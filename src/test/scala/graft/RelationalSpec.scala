@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import graft.ops.Relational
+  lazy val spark = TestSpark.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs non-empty on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, TestSpark.sf)
+      assert(df.count() > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("q_agg_pricing groups are complete and counts sum to table size") {
+    val df = Relational.qAggPricing(spark, TestSpark.sf)
+    val total = df.agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0)
+    val raw = graft.tables.Tables.lineitem(spark, TestSpark.sf).count()
+    assert(total == raw)
+  }
+
+  test("q_semi_anti partitions orders exactly") {
+    val df = Relational.qSemiAnti(spark, TestSpark.sf).collect()
+    val total = df.map(_.getAs[Long]("n_orders")).sum
+    assert(total == graft.tables.Tables.orders(spark, TestSpark.sf).count())
+  }
+
+  test("q_upsert_latest yields one row per user") {
+    val df = Relational.qUpsertLatest(spark, TestSpark.sf)
+    assert(df.count() == df.select("user_id").distinct().count())
+  }
+
+  test("q_window_pit first row per supplier has qty_before 0") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.qWindowPit(spark, TestSpark.sf)
+    val firsts = df.groupBy("l_suppkey").agg(min(struct(col("l_orderkey"), col("l_linenumber"))).as("f"))
+    // at least: global min qty_before is 0.0
+    assert(df.agg(min("qty_before")).head().getDouble(0) == 0.0)
+  }
+
+  test("q_topk returns exactly 10 descending") {
+    val rows = Relational.qTopK(spark, TestSpark.sf).collect()
+    assert(rows.length == 10)
+    val bals = rows.map(_.getAs[Double]("acctbal"))
+    assert(bals.sameElements(bals.sorted(Ordering[Double].reverse)))
+  }
+}
