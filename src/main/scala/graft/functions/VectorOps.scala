@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Array-vector math over `array<double>` columns, built from codegen'd
+  * builtins (`zip_with`, `aggregate`, `transform`) — no UDFs, so every
+  * expression stays inside whole-stage codegen and matches DuckDB's
+  * `list_*` double-precision semantics element-for-element.
+  *
+  * All helpers expect `array<double>`; call [[asDouble]] on float arrays
+  * first (the test `embeddings.embedding` column is `array<float>`).
+  */
+object VectorOps {
+
+  def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Σ (aᵢ−bᵢ)² — squared Euclidean distance. Monotonic with L2, so rank
+    * and top-k logic can skip the sqrt.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** cos(a, b) = a·b / (‖a‖‖b‖) — null-free inputs assumed. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+}
