@@ -26,11 +26,16 @@ object VectorOps {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** ‖a‖₂ */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  /** Σ aᵢ² */
+  def normSq(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
 
-  /** cos(a, b) = a·b / (‖a‖‖b‖) — null-free inputs assumed. */
+  /** ‖a‖₂ */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** cos(a, b) = a·b / √(Σa²·Σb²) — the sqrt-of-product form, matching
+    * DuckDB's `list_cosine_similarity` bit-for-bit for oracle parity.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    dot(a, b) / sqrt(normSq(a) * normSq(b))
 }

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+import graft.tables.Tables
+
+/** Deduplication for training-data pipelines — SURVEY.md §2.D.
+  *
+  * Exact (hash-groupBy), MinHash+LSH, SimHash block index, char-n-gram
+  * Jaccard verify, and embedding-cosine near-dup. The scale invariant for
+  * every near-dup operator: candidate generation is O(n · bands) via
+  * bucket joins — the n² cross product never materializes; the quadratic
+  * verify step only runs on bucket-colliding pairs.
+  */
+object Dedup {
+
+  /** D1 — exact dedup: hash-groupBy keep-first. One shuffle on the text
+    * hash (map-side combine shrinks it to one row per distinct text).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** Word-level shingles (word 3-grams) as a distinct array per doc. */
+  private def shingleCol: Column = array_distinct(expr(
+    """transform(sequence(0, greatest(size(split(trim(text), '\\s+')) - 3, 0)),
+      |  i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i + 1, 3)))""".stripMargin))
+
+  /** D2 — MinHash + LSH near-dup detection.
+    *
+    * shingle → 32 minhashes (xxhash64 with per-permutation salt, min per
+    * doc) → 8 bands × 4 rows → band-signature bucket join for candidate
+    * pairs → exact shingle-Jaccard verify (≥ 0.5) on candidates only.
+    * Output: per-doc candidate/near-dup counts (covers every doc, so the
+    * result is non-empty even on a dup-free corpus).
+    *
+    * Scale: the exploded (doc × shingle × perm) stream partial-aggregates
+    * map-side to 32 longs per doc before the shuffle; candidate pairs are
+    * bounded by band-bucket collisions, not n².
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String,
+                      numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), shingleCol.as("shingles"))
+    val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val mhCols = (0 until numPerm).map(h =>
+      min(xxhash64(concat(col("shingle"), lit(s":$h")))).as(s"mh_$h"))
+    val minhashes = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bandSigs = minhashes.select(col("doc_id"), explode(array(
+      (0 until bands).map { b =>
+        val sig = xxhash64(
+          (Seq(lit(b): Column) ++ (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))): _*)
+        struct(lit(b).as("band"), sig.as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val l = bandSigs.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val r = bandSigs.select(col("band"), col("sig"), col("doc_id").as("b"))
+    val candidates = l.join(r, Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val withSets = candidates
+      .join(docs.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+    val perDoc = withSets.select(explode(array(col("a"), col("b"))).as("doc_id"), col("jaccard"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("jaccard") >= 0.5, 1)).as("n_near_dups"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** D3 — SimHash near-dup detection.
+    *
+    * Per-token 64-bit hash, weight = in-doc term frequency; bit b of the
+    * signature is the sign of Σ ±weight over tokens. Near-dup candidates
+    * via the 4×16-bit block index (any hamming≤3 pair must share ≥1 of 4
+    * blocks — pigeonhole); verify with `bit_count(xor) <= 3`.
+    * Output: per-doc signature + near-dup count.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"bit_$b"))
+    val bitSums = tf.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val simhash = (0 until 64).map(b =>
+      when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sigs = bitSums.select(col("doc_id"), simhash.as("simhash"))
+    val blocks = sigs.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map(i =>
+        struct(lit(i).as("blk"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("blk_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.blk"), col("b.blk_val"))
+    val l = blocks.select(col("blk"), col("blk_val"), col("doc_id").as("a"), col("simhash").as("sh_a"))
+    val r = blocks.select(col("blk"), col("blk_val"), col("doc_id").as("b"), col("simhash").as("sh_b"))
+    val near = l.join(r, Seq("blk", "blk_val"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sh_a", "sh_b").distinct()
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+    val perDoc = near.select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
+    sigs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** D4 — char-trigram Jaccard similarity join (the verify-stage metric of
+    * D2 as a standalone operator). Blocked on (lang, length-bucket) so the
+    * pair space stays near-linear; top-20 most-similar pairs.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / 100).as("len_bucket"),
+      array_distinct(expr(
+        "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("grams"))
+    val l = grams.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("a"), col("grams").as("g_a"))
+    val r = grams.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("b"), col("grams").as("g_b"))
+    l.join(r, Seq("lang", "len_bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded Scala PRNG compiled
+    * into the plan as literals — same buckets on every run/executor).
+    */
+  private[ops] def hyperplanes(n: Int, dim: Int, seed: Long = 7L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** D5 — embedding-cosine near-dup: random-hyperplane LSH buckets (sign
+    * bits of 4 projections → 16 buckets), within-bucket pairs only, top-10
+    * by cosine. The bucket join keeps candidates at ~n²/16 per bucket
+    * rather than n² global — and at real scale more planes shrink it
+    * geometrically.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes(4, 64)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val bucketed = e.withColumn("bucket", bucket)
+    val l = bucketed.select(col("bucket"), col("vec_id").as("a"), col("emb").as("e_a"))
+    val r = bucketed.select(col("bucket"), col("vec_id").as("b"), col("emb").as("e_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("e_a"), col("e_b")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a"), col("b"))
+      .limit(10)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(s, d)),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Text analysis for training-data pipelines — SURVEY.md §2.F.
+  *
+  * Token counting, quality scoring, stopword-heuristic language ID,
+  * normalized-content fingerprinting, corpus n-gram stats. Everything is
+  * a per-row projection plus (at most) one aggregation — embarrassingly
+  * parallel at 100 TB; no driver-side state, no UDFs (all builtins stay
+  * in whole-stage codegen).
+  */
+object Text {
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** F1 — token counting: whitespace tokens + alphabetic-run tokens (a
+    * BPE-ish lower bound).
+    */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha_tokens"))
+      .orderBy("doc_id")
+
+  /** F2 — quality scoring: length, punctuation/digit/space ratios, mean
+    * token length, and a linear composite score. Mirrors the heuristic
+    * quality filters used on large web corpora.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast("double")
+    val punct = len - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")).cast("double")
+    val digits = len - length(regexp_replace(col("text"), "[0-9]", "")).cast("double")
+    val nonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        len.cast("long").as("len"),
+        nTokens.cast("long").as("n_tokens"),
+        r4(punct / len).as("punct_ratio"),
+        r4(digits / len).as("digit_ratio"),
+        r4(nonSpace / nTokens).as("mean_token_len"),
+        r4(least(nTokens / lit(50.0), lit(1.0)) * (lit(1.0) - punct / len)).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language stopword-hit scores (shared by F3's engine and oracle).
+    * Tie-break is alphabetical language order, so the prediction is
+    * deterministic on both engines.
+    */
+  private val langPatterns: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu)\\b",
+    "en" -> "\\b(the|a|of|and|is|to|in|that)\\b",
+    "es" -> "\\b(el|la|de|que|los|las|una|por)\\b",
+    "fr" -> "\\b(le|la|les|et|est|une|des|dans)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]")
+
+  /** F3 — n-gram/stopword-heuristic language ID: count per-language
+    * stopword hits, pick argmax (alphabetical tie-break). The `lang`
+    * column is ground truth for evaluation, not an input.
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang").as("true_lang")) ++
+        langPatterns.map { case (l, p) =>
+          size(regexp_extract_all(col("text"), lit(p), lit(0))).as(s"s_$l")
+        }: _*)
+    // Sequential-elimination cascade, identical to the oracle's CASE: each
+    // language wins if it ties-or-beats every LATER language (alphabetical
+    // order), which makes ties resolve to the alphabetically first winner.
+    val langs = langPatterns.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), acc) =>
+        val beatsLater = langs.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(beatsLater, lit(l)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("true_lang"), pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** F4 — document fingerprint: md5 of whitespace-normalized lowercase
+    * content (dedup-grade canonical hash; the rolling-hash variant lives
+    * in the SimHash operator's per-token hashing).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** F5 — corpus-level top character trigrams: explode trigram positions
+    * via `transform(sequence(...))` (no UDF), aggregate with map-side
+    * partial counts, deterministic top-20.
+    */
+  def textNgramStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))"))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> (textTokenCount _),
+    "text_quality" -> (textQuality _),
+    "text_lang_id" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_ngram_stats" -> (textNgramStats _))
+
+  private val langScoreSql: String = langPatterns
+    .map { case (l, p) => s"len(regexp_extract_all(text, '$p')) AS s_$l" }
+    .mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        | len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | length(text) AS len,
+        | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        | round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+        |       / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+        | round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |       / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+        | round(length(regexp_replace(text, '\s', '', 'g'))
+        |       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 4) AS mean_token_len,
+        | round(least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) *
+        |       (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+        |        / CAST(length(text) AS DOUBLE)), 4) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH s AS (SELECT doc_id, lang AS true_lang, $langScoreSql FROM documents)
+         |SELECT doc_id, true_lang,
+         | CASE
+         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |  WHEN s_fr >= s_zh THEN 'fr'
+         |  ELSE 'zh' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_ngram_stats" ->
+      """SELECT gram, count(*) AS n FROM (
+        | SELECT unnest([substr(text, i::INT, 3) for i in range(1, length(text) - 1)]) AS gram
+        | FROM documents)
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)
+}
