@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** One sampled frame's extracted features (H2 output row). */
+case class FrameFeature(doc_id: Long, frame_idx: Int, frame_size: Int,
+                        feature: Long)
+
+/** Multimodal (binary-column) plumbing — SURVEY.md §2.H.
+  *
+  * Media handling at 100 TB means: payloads as opaque `binary` columns
+  * with typed metadata alongside, decode/feature-extract as batched
+  * per-partition functions. No codecs ship in this container, so the
+  * decode step is a clearly-marked deterministic STUB — but the
+  * Spark-side plumbing (binary schema, magic-byte sniffing, frame
+  * slicing, partition-iterator batching, typed Encoder output) is real
+  * and tested.
+  */
+object Multimodal {
+
+  /** Documents with a synthetic binary payload (utf-8 text bytes). At
+    * production scale this column arrives from the source parquet as real
+    * image/audio bytes; everything downstream treats it as opaque binary.
+    */
+  private def withPayload(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** H1 — binary metadata extraction: payload size, leading-bytes "magic"
+    * sniff, and a coarse type classification — all pure projections over
+    * the binary column (pushdown-friendly; the payload itself is never
+    * interpreted).
+    */
+  def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("payload_size"),
+        hex(substring(col("payload"), 1, 4)).as("magic"),
+        when(length(col("payload")) > 300, lit("large"))
+          .when(length(col("payload")) > 150, lit("medium"))
+          .otherwise(lit("small")).as("size_class"))
+      .orderBy("doc_id")
+
+  /** H2 — deterministic frame sampling + stub feature extraction.
+    *
+    * Real plumbing: 64-byte frames sliced from the binary payload, every
+    * 4th frame sampled (`frame_idx % 4 == 0`), frames batched through a
+    * per-partition iterator (the `mapPartitions` shape a real decoder —
+    * JNI codec, ONNX session — needs: one expensive init per partition,
+    * then streaming batches). STUB: `decodeFrame` fakes the decoded
+    * feature as a deterministic byte-sum hash; swap its body for a real
+    * codec call in production.
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val frames = withPayload(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, (length(payload) - 1) div 64),
+            |  i -> substring(payload, i * 64 + 1, 64))""".stripMargin))
+          .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % 4 === 0)
+    frames
+      .mapPartitions { it =>
+        // per-partition init happens HERE once (e.g. codec handle) —
+        // stubbed as a no-op because no codecs ship in this container.
+        it.map { row =>
+          val docId = row.getLong(0)
+          val idx = row.getInt(1)
+          val bytes = row.getAs[Array[Byte]](2)
+          FrameFeature(docId, idx, bytes.length, decodeFrame(bytes))
+        }
+      }(Encoders.product[FrameFeature])
+      .orderBy("doc_id", "frame_idx")
+      .toDF()
+  }
+
+  /** STUB decode: deterministic fake "feature" (polynomial byte hash).
+    * A real deployment replaces this body with the codec/model call; the
+    * signature (bytes in, fixed-width feature out) is the real contract.
+    */
+  private def decodeFrame(bytes: Array[Byte]): Long =
+    bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + (b & 0xff))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_frame_sample" -> (mmFrameSample _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS payload_size,
+        | substr(hex(encode(text)), 1, 8) AS magic,
+        | CASE WHEN octet_length(encode(text)) > 300 THEN 'large'
+        |      WHEN octet_length(encode(text)) > 150 THEN 'medium'
+        |      ELSE 'small' END AS size_class
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Streaming analytics — SURVEY.md §2.G.
+  *
+  * The reference is a daily micro-batch pipeline (fetch → insert →
+  * next-day update). Generalized here to event-time processing over the
+  * `events` table: tumbling-window aggregation and gap-based
+  * sessionization, each with a batch-equivalent formulation (SQL-oracled)
+  * plus a true Structured Streaming runtime path (readStream → watermark →
+  * window → sink) exercised by the test suite.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), surfaced as Long nanos
+  * (`nanosAsLong`); conversions use integer `div` — double division would
+  * lose precision above 2^53 ns.
+  */
+object Events {
+
+  /** Nanos-long → timestamp (micro truncation is exact for window maths). */
+  private def tsCol = expr("timestamp_micros(ts div 1000)")
+
+  /** G1 — tumbling 1-hour window aggregation (batch formulation):
+    * per (window, event_type) counts/sums. Single shuffle on the
+    * (window, type) key with map-side partial aggregation.
+    */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_trunc("hour", tsCol).as("hour"), col("event_type"), col("value"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** G2 — gap-based sessionization (30-min timeout), batch formulation:
+    * lag → new-session flag → running sum as session index. One shuffle
+    * (partition by user), in-partition sort; nanosecond arithmetic stays
+    * in exact Long space.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"),
+        date_format(expr("timestamp_micros(min(ts) div 1000)"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** G3 — the Structured Streaming runtime path: file stream over the
+    * events parquet → event-time watermark → tumbling window agg →
+    * in-memory sink. Returns the sink query name; the caller (test)
+    * drains with `processAllAvailable` and compares against the batch
+    * formulation (G1 shape). At scale the same plan runs on a Kafka
+    * source with checkpointing — watermarks bound the window state store.
+    */
+  def startStreamingWindowAgg(spark: SparkSession, dir: String,
+                              queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = Tables.events(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      // file streams list a directory; glob-filter selects the one table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(tsCol.as("event_ts"), col("event_type"), col("value"))
+      .withWatermark("event_ts", "2 hours")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start()
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> (streamWindowAgg _),
+    "stream_sessionize" -> (streamSessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessioned AS (
+        |  SELECT *, CAST(sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | round(sum(value), 4) AS sum_value,
+        | strftime(date_trunc('microsecond', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
