@@ -1,27 +1,69 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main — driver contract: one JSON line with per-query and
+  * total wall seconds on SPARK_GRAFT_SF_DIR.
+  *
+  * Headline queries per SURVEY.md §6. Each result is fully materialized
+  * through the `noop` sink — `count()` would let Catalyst prune the
+  * projections being measured. A table-scan warm-up runs first so JVM/
+  * codegen startup cost isn't attributed to the first query.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q_agg_pricing", "q_join_shuffle", "q_multi_join_agg",
+    "f_comp_diff", "f_standard_scale",
+    "dedup_minhash_lsh", "ann_bruteforce", "text_quality",
+    "stream_window_agg")
+
+  def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // single-file-per-table inputs: smaller split target keeps all
+      // cores busy on the scan stage
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Warm-up: touch every input table once (file listing + scan codegen
+    // + JIT), so measured times reflect steady-state execution.
+    graft.tables.Tables.names.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // SPARK_GRAFT_BENCH_PASSES=2 reports steady-state (last-pass) times —
+    // useful locally to separate codegen/JIT cost from execution cost.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val times = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          try materialize(fn(spark, sfDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.last
+      }
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

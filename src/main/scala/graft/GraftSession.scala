@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * no nanos timestamp type; truncating would lose ordering information).
   */
 object GraftSession {
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)}]",
               shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .master(master)

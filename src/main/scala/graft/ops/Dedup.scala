@@ -26,16 +26,24 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
-  /** Word-level shingles (word 3-grams) as a distinct array per doc. */
-  private def shingleCol: Column = array_distinct(expr(
-    """transform(sequence(0, greatest(size(split(trim(text), '\\s+')) - 3, 0)),
-      |  i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i + 1, 3)))""".stripMargin))
+  /** Word-level shingles (word 3-grams) as a distinct array per doc.
+    * Tokens are materialized into a column first so the shingle lambda
+    * does O(1) element access — `slice(split(...))` inside the lambda
+    * would re-split the text for every shingle position (O(words²)/row).
+    */
+  private def shingled(df: DataFrame): DataFrame =
+    df.withColumn("tokens", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(0, greatest(size(tokens) - 3, 0)),
+          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
+        .as("shingles"))
 
   /** D2 — MinHash + LSH near-dup detection.
     *
-    * shingle → 32 minhashes (xxhash64 with per-permutation salt, min per
-    * doc) → 8 bands × 4 rows → band-signature bucket join for candidate
-    * pairs → exact shingle-Jaccard verify (≥ 0.5) on candidates only.
+    * shingle → 32 minhashes (one xxhash64 per shingle, remixed by 32
+    * universal-hash permutations, min per doc) → 8 bands × 4 rows →
+    * band-signature bucket join for candidate pairs → exact
+    * shingle-Jaccard verify (≥ 0.5) on candidates only.
     * Output: per-doc candidate/near-dup counts (covers every doc, so the
     * result is non-empty even on a dup-free corpus).
     *
@@ -46,10 +54,19 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String,
                       numPerm: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), shingleCol.as("shingles"))
+    // shingle arrays are reused three times (minhash, two verify joins) —
+    // persist so the text→shingle work runs once
+    val docs = shingled(Tables.documents(spark, dir)).persist()
+    // ONE string hash per shingle; the numPerm "permutations" are cheap
+    // universal-hash remixes h·A_i + B_i of that 64-bit value (odd
+    // multipliers → bijective over Z/2^64), not numPerm string hashes
     val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val mhCols = (0 until numPerm).map(h =>
-      min(xxhash64(concat(col("shingle"), lit(s":$h")))).as(s"mh_$h"))
+      .withColumn("h0", xxhash64(col("shingle")))
+    val mhCols = (0 until numPerm).map { i =>
+      val a = 0x9E3779B97F4A7C15L * (2 * i + 1)
+      val b = 0xBF58476D1CE4E5B9L * i
+      min(col("h0") * lit(a) + lit(b)).as(s"mh_$i")
+    }
     val minhashes = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bandSigs = minhashes.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
@@ -58,6 +75,7 @@ object Dedup {
         struct(lit(b).as("band"), sig.as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+      .persist() // self-joined below; unpersisted it would re-run minhashing twice
     val l = bandSigs.select(col("band"), col("sig"), col("doc_id").as("a"))
     val r = bandSigs.select(col("band"), col("sig"), col("doc_id").as("b"))
     val candidates = l.join(r, Seq("band", "sig"))
@@ -102,7 +120,7 @@ object Dedup {
     val simhash = (0 until 64).map(b =>
       when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
-    val sigs = bitSums.select(col("doc_id"), simhash.as("simhash"))
+    val sigs = bitSums.select(col("doc_id"), simhash.as("simhash")).persist()
     val blocks = sigs.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(i =>
         struct(lit(i).as("blk"),
@@ -132,6 +150,7 @@ object Dedup {
       floor(col("n_chars") / 100).as("len_bucket"),
       array_distinct(expr(
         "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("grams"))
+      .persist() // both sides of the blocked self-join
     val l = grams.select(col("lang"), col("len_bucket"),
       col("doc_id").as("a"), col("grams").as("g_a"))
     val r = grams.select(col("lang"), col("len_bucket"),
@@ -167,7 +186,7 @@ object Dedup {
       val planeCol = array(p.map(lit(_)): _*)
       when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
-    val bucketed = e.withColumn("bucket", bucket)
+    val bucketed = e.withColumn("bucket", bucket).persist()
     val l = bucketed.select(col("bucket"), col("vec_id").as("a"), col("emb").as("e_a"))
     val r = bucketed.select(col("bucket"), col("vec_id").as("b"), col("emb").as("e_b"))
     l.join(r, Seq("bucket"))
