@@ -35,7 +35,23 @@ object VectorOps {
 
   /** cos(a, b) = a·b / √(Σa²·Σb²) — the sqrt-of-product form, matching
     * DuckDB's `list_cosine_similarity` bit-for-bit for oracle parity.
+    * Backed by the fused native [[CosineSim]] expression: one codegen'd
+    * loop, no intermediate product array per row.
     */
   def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      CosineSim(expression(a), expression(b)))
+
+  /** Composed-builtins cosine (allocates a zip_with array per row) — kept
+    * for A/B testing against [[cosine]].
+    */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / sqrt(normSq(a) * normSq(b))
+
+  /** 64-bit polynomial rolling hash over a string column. */
+  def rollhash64(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(RollHash64(expression(c)))
+
+  private def expression(c: Column) =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
 }

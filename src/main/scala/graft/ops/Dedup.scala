@@ -57,15 +57,14 @@ object Dedup {
     // shingle arrays are reused three times (minhash, two verify joins) —
     // persist so the text→shingle work runs once
     val docs = shingled(Tables.documents(spark, dir)).persist()
-    // ONE string hash per shingle; the numPerm "permutations" are cheap
-    // universal-hash remixes h·A_i + B_i of that 64-bit value (odd
-    // multipliers → bijective over Z/2^64), not numPerm string hashes
+    // ONE string hash per shingle; the numPerm "permutations" re-hash that
+    // fixed-width 64-bit value with a per-permutation seed — 8-byte
+    // xxhash64 rounds, far cheaper than numPerm string hashes (and no
+    // multiply-overflow under ANSI mode)
     val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .withColumn("h0", xxhash64(col("shingle")))
     val mhCols = (0 until numPerm).map { i =>
-      val a = 0x9E3779B97F4A7C15L * (2 * i + 1)
-      val b = 0xBF58476D1CE4E5B9L * i
-      min(col("h0") * lit(a) + lit(b)).as(s"mh_$i")
+      min(xxhash64(col("h0"), lit(i))).as(s"mh_$i")
     }
     val minhashes = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bandSigs = minhashes.select(col("doc_id"), explode(array(

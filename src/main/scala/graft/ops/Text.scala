@@ -97,6 +97,19 @@ object Text {
         md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** F4b — 64-bit rolling-hash fingerprint via the native codegen'd
+    * [[graft.functions.RollHash64]] expression (single pass over UTF8
+    * bytes, no digest allocation — the scale path next to the md5-based
+    * F4). Engine-specific hash, so rows-only (no DuckDB equivalent).
+    */
+  def textRollhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.VectorOps.rollhash64(
+          lower(regexp_replace(col("text"), "\\s+", " "))).as("rollhash"))
+      .orderBy("doc_id")
+
   /** F5 — corpus-level top character trigrams: explode trigram positions
     * via `transform(sequence(...))` (no UDF), aggregate with map-side
     * partial counts, deterministic top-20.
@@ -116,6 +129,7 @@ object Text {
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_rollhash" -> (textRollhash _),
     "text_ngram_stats" -> (textNgramStats _))
 
   private val langScoreSql: String = langPatterns

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion / sink surface — SURVEY.md §2.I.
+  *
+  * The reference ingests via daily REST pulls and lands rows in postgres
+  * with INSERT + next-day UPDATE (straslerj/mlb-win-predictor
+  * src/function.py:552,624,480). The Spark-native equivalents:
+  *
+  *  - JSON-lines / CSV readers with explicit schemas (never
+  *    inferSchema on a 100 TB path — one pass saved, types stable),
+  *  - date-partitioned parquet sinks whose partition column reaches the
+  *    directory layout (partition pruning at read),
+  *  - append-only incremental batches + a latest-wins merged VIEW (the
+  *    UPDATE-free formulation of late-arriving labels: immutable writes,
+  *    merge-on-read).
+  */
+object Sources {
+
+  /** JSON-lines ingest with explicit schema. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** CSV ingest: header + explicit schema (no inference pass). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Date-partitioned parquet sink: `partitionBy` lands one directory per
+    * day so date-filtered reads prune at the file-listing level (the
+    * daily-batch layout every large pipeline uses).
+    */
+  def writeDatePartitioned(df: DataFrame, dateCol: String, path: String): Unit =
+    df.withColumn("p_date", to_date(col(dateCol)))
+      .write.mode("overwrite").partitionBy("p_date").parquet(path)
+
+  def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Append one immutable batch (the INSERT of a daily run). Re-runs are
+    * idempotent at the read side via [[readLatest]], not by mutating
+    * storage — UPDATE-in-place doesn't exist at 100 TB.
+    */
+  def appendBatch(df: DataFrame, path: String, batchId: Long): Unit =
+    df.withColumn("_batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
+  /** Merge-on-read latest-wins view over appended batches: for each key,
+    * the row from the highest batch id (the reference's next-day UPDATE
+    * expressed as immutable append + window dedup).
+    */
+  def readLatest(spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_batch_id").desc)
+    spark.read.parquet(path)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_batch_id")
+  }
+}

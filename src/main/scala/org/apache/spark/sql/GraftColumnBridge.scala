@@ -1,0 +1,23 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Bridge into `private[sql]` Column construction — Spark 4 wraps Columns
+  * around ColumnNodes, and `classic.ExpressionUtils.column` is the
+  * supported internal path from a raw Catalyst [[Expression]]. Lives in
+  * the `org.apache.spark.sql` package purely for access; no Spark
+  * internals are modified.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an ALREADY-RUNNING session (the
+    * `spark.sql.extensions` config path only applies at session build).
+    */
+  def registerFunction(spark: SparkSession, name: String, info: ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name), info, builder)
+}
