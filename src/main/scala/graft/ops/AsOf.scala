@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** As-of (point-in-time) join — SURVEY.md §2.A16.
+  *
+  * The reference's defining semantic: each game is joined to the
+  * pitcher's latest stats STRICTLY BEFORE game time (README "stats going
+  * into the game"). Spark has no asof-join operator; the scalable
+  * formulation is the tagged-union trick:
+  *
+  *   union(probe tagged 0, build tagged 1)
+  *     → one shuffle on the key, in-partition sort by (time, tag)
+  *     → forward-fill the build value with last(ignoreNulls) over a
+  *       running frame → keep probe rows.
+  *
+  * Probe rows sort before build rows at equal timestamps, so a build row
+  * at exactly probe-time is NOT visible (strict "before"). One shuffle
+  * total — no per-key subqueries, no range cross-join; at 100 TB this is
+  * the plan a custom SparkPlan would produce anyway, so composing
+  * builtins wins (stays inside whole-stage codegen + AQE).
+  */
+object AsOf {
+
+  /** Generic as-of join: for each probe row, the latest build row value
+    * with build.time strictly below probe.time, per key.
+    */
+  def asofJoin(probe: DataFrame, build: DataFrame,
+               keyCol: String, timeCol: String, valueCol: String,
+               asofName: String): DataFrame = {
+    val p = probe.withColumn("_tag", lit(0))
+    val b = build.select(col(keyCol), col(timeCol),
+        col(valueCol).as("_build_value"))
+      .withColumn("_tag", lit(1))
+    val unioned = p.unionByName(b, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      // _build_value last: deterministic fill if two build rows share a ts
+      .orderBy(col(timeCol), col("_tag"), col("_build_value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(asofName,
+        last(when(col("_tag") === 1, col("_build_value")), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 0)
+      .drop("_tag", "_build_value")
+  }
+
+  /** A16 — `q_asof_join`: each purchase event joined to the same user's
+    * most recent strictly-prior view event (game ⋈ latest pre-game stat).
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    asofJoin(purchases, views, "user_id", "ts", "value", "prior_view_value")
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 4).as("purchase_value"),
+        round(col("prior_view_value"), 4).as("prior_view_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, value, 0 AS tag
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL AS event_id, value, 1 AS tag
+        |  FROM events WHERE event_type = 'view'),
+        |filled AS (
+        |  SELECT *, last_value(CASE WHEN tag = 1 THEN value END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, tag, CASE WHEN tag = 1 THEN value END
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_view
+        |  FROM tagged)
+        |SELECT user_id, event_id,
+        | round(value, 4) AS purchase_value,
+        | round(prior_view, 4) AS prior_view_value
+        |FROM filled WHERE tag = 0
+        |ORDER BY user_id, event_id""".stripMargin)
+}

@@ -113,3 +113,60 @@ object Events {
         | strftime(date_trunc('microsecond', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
+
+/** Typed rows for the stateful streaming path (top-level for Encoders). */
+case class EventRow(event_id: Long, ts: Long, user_id: Long,
+                    event_type: String, value: Double)
+case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
+
+/** G3b — sessionization as a STATEFUL streaming computation:
+  * `groupByKey(user).flatMapGroupsWithState` carrying (last event ts,
+  * session counter) across micro-batches. The state per key is O(1) —
+  * watermark+timeout would bound it in production; events within a batch
+  * are sorted in-group (micro-batch iterators carry no time order).
+  */
+object StatefulSessionize {
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+  val gapNs: Long = 30L * 60 * 1000 * 1000 * 1000
+
+  /** (lastTs, currentSessionId, eventsInCurrentSession) */
+  type SessState = (Long, Long, Long)
+
+  def sessionize(uid: Long, events: Iterator[EventRow],
+                 state: GroupState[SessState]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var (lastTs, sid, n) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    sorted.foreach { e =>
+      if (lastTs == Long.MinValue || e.ts - lastTs > gapNs) {
+        if (sid > 0) out += SessionOut(uid, sid, n)
+        sid += 1; n = 1
+      } else n += 1
+      lastTs = e.ts
+    }
+    state.update((lastTs, sid, n))
+    // emit the (possibly still-open) current session too — complete data
+    // arrives in one batch here; production would emit on timeout
+    out += SessionOut(uid, sid, n)
+    out.iterator
+  }
+
+  def start(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = Tables.events(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+  }
+}

@@ -65,3 +65,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(bals.sameElements(bals.sorted(Ordering[Double].reverse)))
   }
 }
+
+class AsOfSpec extends AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  lazy val spark = TestSpark.spark
+
+  test("q_asof_join: prior view is strictly before the purchase") {
+    val events = graft.tables.Tables.events(spark, TestSpark.sf)
+    val purchases = events.filter(col("event_type") === "purchase").count()
+    val df = graft.ops.AsOf.qAsofJoin(spark, TestSpark.sf)
+    assert(df.count() == purchases) // left semantics: every probe row kept
+  }
+
+  test("asofJoin honors strict-before at equal timestamps") {
+    import spark.implicits._
+    val probe = Seq((1L, 100L, 9.9)).toDF("k", "t", "v")
+    val build = Seq((1L, 100L, 1.0), (1L, 50L, 2.0)).toDF("k", "t", "v")
+    val out = graft.ops.AsOf.asofJoin(probe, build, "k", "t", "v", "prior")
+      .select("prior").head()
+    // the ts=100 build row must NOT be visible; ts=50 wins
+    assert(out.getDouble(0) == 2.0)
+  }
+}

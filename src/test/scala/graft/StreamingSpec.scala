@@ -50,3 +50,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).sameElements(again.collect().map(_.toSeq)))
   }
 }
+
+class StatefulStreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("G3b: flatMapGroupsWithState sessionization matches batch sessions") {
+    import org.apache.spark.sql.functions._
+    val q = graft.streaming.StatefulSessionize.start(spark, sf, "stateful_sess_sink")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM stateful_sess_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.streaming.Events.streamSessionize(spark, sf)
+        .select(col("user_id"), col("session_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
+
+class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("salted join equals the plain join") {
+    import org.apache.spark.sql.functions._
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val o = graft.tables.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, "l_orderkey")
+      .agg(count(lit(1)), sum("l_extendedprice")).head()
+    val salted = graft.ops.Skew.saltedEquiJoin(li, o, "l_orderkey",
+        distributor = col("l_linenumber"), numSalts = 8)
+      .agg(count(lit(1)), sum("l_extendedprice")).head()
+    assert(plain.getLong(0) == salted.getLong(0))
+    assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
+  }
+}
