@@ -1,0 +1,31 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PersistenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("C10: model save/load round-trip preserves predictions") {
+    val data = graft.tables.Tables.embeddings(spark, sf)
+      .select(
+        array_to_vector(col("embedding").cast("array<double>")).as("features"),
+        (col("label") > 4.5).cast("double").as("label"))
+    val path = Files.createTempDirectory("graft_model").toString + "/lr"
+    val (orig, reloaded) = graft.ml.Persistence.roundTrip(data, path)
+    val a = orig.select("prediction").collect().map(_.getDouble(0))
+    val b = reloaded.select("prediction").collect().map(_.getDouble(0))
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("Telemetry.measure reports rows and wall time") {
+    val m = Telemetry.measure(
+      graft.ops.Relational.qAggPricing(spark, sf))
+    assert(m.wallSec > 0.0)
+    assert(m.outputRows > 0L)
+  }
+}
