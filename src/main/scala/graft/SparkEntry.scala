@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.{Metrics, Models}
 import graft.ops.{AsOf, Dedup, Features, Multimodal, Relational, Similarity, Text}
+import graft.plans.TopK
 import graft.streaming.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,12 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ AsOf.all ++ Features.all ++ Models.all ++ Metrics.all ++
+    Relational.all ++ AsOf.all ++ TopK.all ++ Features.all ++ Models.all ++ Metrics.all ++
       Dedup.all ++ Similarity.all ++ Text.all ++ Events.all ++ Multimodal.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ AsOf.oracles ++ Features.oracles ++ Models.oracles ++ Metrics.oracles ++
+    Relational.oracles ++ AsOf.oracles ++ TopK.oracles ++ Features.oracles ++ Models.oracles ++ Metrics.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Text.oracles ++ Events.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Bounded per-key top-k as a custom typed Aggregator — SURVEY.md §2.A17.
+  *
+  * The window formulation (`row_number over (partition by key order by v)
+  * <= k`) must shuffle and SORT every row of every key. This Aggregator
+  * keeps a k-bounded buffer per key with map-side partial aggregation:
+  * each partition contributes at most k rows per key to the shuffle, and
+  * nothing is ever globally sorted. At 100 TB with millions of rows per
+  * hot key, that's the difference between a spilling sort and a
+  * constant-memory pass.
+  */
+object TopK {
+
+  case class Line(l_suppkey: Long, l_extendedprice: Double,
+                  l_orderkey: Long, l_linenumber: Int)
+
+  /** Keep the k largest by (price desc, orderkey asc, linenumber asc) —
+    * the full deterministic order, so ties resolve identically to the
+    * SQL-window oracle.
+    */
+  class TopKByPrice(k: Int) extends Aggregator[Line, List[Line], List[Line]] {
+    private def beats(a: Line, b: Line): Boolean =
+      a.l_extendedprice > b.l_extendedprice ||
+        (a.l_extendedprice == b.l_extendedprice &&
+          (a.l_orderkey < b.l_orderkey ||
+            (a.l_orderkey == b.l_orderkey && a.l_linenumber < b.l_linenumber)))
+
+    private def insert(buf: List[Line], x: Line): List[Line] = {
+      val (better, rest) = buf.span(beats(_, x))
+      (better ::: x :: rest).take(k)
+    }
+
+    override def zero: List[Line] = Nil
+    override def reduce(buf: List[Line], x: Line): List[Line] = insert(buf, x)
+    override def merge(a: List[Line], b: List[Line]): List[Line] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: List[Line]): List[Line] = buf
+    // kryo: the buffer/result is an internal k-bounded list consumed by a
+    // typed flatMap right after — never surfaced as a SQL column
+    override def bufferEncoder: Encoder[List[Line]] = Encoders.kryo[List[Line]]
+    override def outputEncoder: Encoder[List[Line]] = Encoders.kryo[List[Line]]
+  }
+
+  /** A17 — `q_topk_per_key`: top-3 priciest lineitems per supplier. */
+  def qTopKPerKey(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .as[Line]
+    ds.groupByKey(_.l_suppkey)
+      .agg(new TopKByPrice(k).toColumn.name("top"))
+      .flatMap { case (suppkey, top) =>
+        top.zipWithIndex.map { case (l, i) =>
+          (suppkey, i + 1, l.l_orderkey, l.l_linenumber, l.l_extendedprice)
+        }
+      }
+      .toDF("l_suppkey", "rank", "l_orderkey", "l_linenumber", "price")
+      .withColumn("price", round(col("price"), 4))
+      .orderBy("l_suppkey", "rank")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_per_key" -> ((s, d) => qTopKPerKey(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q_topk_per_key" ->
+      """SELECT l_suppkey, rank, l_orderkey, l_linenumber,
+        | round(l_extendedprice, 4) AS price
+        |FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY l_suppkey
+        |   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+        | FROM lineitem)
+        |WHERE rank <= 3
+        |ORDER BY l_suppkey, rank""".stripMargin)
+}

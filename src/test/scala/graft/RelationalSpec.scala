@@ -87,3 +87,25 @@ class AsOfSpec extends AnyFunSuite {
     assert(out.getDouble(0) == 2.0)
   }
 }
+
+class TopKPerKeySpec extends AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  lazy val spark = TestSpark.spark
+
+  test("q_topk_per_key: at most 3 per supplier, descending, matches window formulation") {
+    val df = graft.plans.TopK.qTopKPerKey(spark, TestSpark.sf)
+    val per = df.groupBy("l_suppkey").count().agg(max("count")).head().getLong(0)
+    assert(per <= 3)
+    // cross-check against the window-rank formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val windowed = graft.tables.Tables.lineitem(spark, TestSpark.sf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("l_suppkey"), col("rank"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 4).as("price"))
+      .orderBy("l_suppkey", "rank")
+    assert(df.collect().map(_.toSeq).sameElements(windowed.collect().map(_.toSeq)))
+  }
+}
