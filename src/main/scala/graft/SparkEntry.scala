@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ml.{Metrics, Models}
 import graft.ops.{AsOf, Dedup, Features, Multimodal, Relational, Similarity, Text}
 import graft.plans.TopK
+import graft.sources.SourceQueries
 import graft.streaming.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -16,7 +17,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ AsOf.all ++ TopK.all ++ Features.all ++ Models.all ++ Metrics.all ++
-      Dedup.all ++ Similarity.all ++ Text.all ++ Events.all ++ Multimodal.all
+      Dedup.all ++ Similarity.all ++ Text.all ++ Events.all ++ Multimodal.all ++
+      SourceQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

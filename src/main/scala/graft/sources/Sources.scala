@@ -66,3 +66,54 @@ object Sources {
       .drop("_rn", "_batch_id")
   }
 }
+
+/** Queries-contract wrappers (§2.I): each round-trips real data through
+  * the source/sink path in a scratch dir and returns the read-back frame
+  * (rows-only driver check; equality is test-asserted in SourcesSpec).
+  */
+object SourceQueries {
+  import graft.tables.Tables
+
+  private def scratch(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_src_$name").toString
+
+  def srcJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val path = scratch("json")
+    Sources.writeJson(orders, path)
+    Sources.readJson(spark, path, orders.schema).orderBy("o_orderkey")
+  }
+
+  def srcCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val path = scratch("csv")
+    Sources.writeCsv(nation, path)
+    Sources.readCsv(spark, path, nation.schema).orderBy("n_nationkey")
+  }
+
+  def srcPartitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("part")
+    Sources.writeDatePartitioned(Tables.orders(spark, dir), "o_orderdate", path)
+    Sources.readDatePartitioned(spark, path)
+      .groupBy("p_date").agg(count(lit(1)).as("n_orders"))
+      .orderBy("p_date")
+  }
+
+  def srcIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("merge")
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    // batch 1: all orders pending; batch 2: final statuses arrive late
+    Sources.appendBatch(orders.withColumn("o_orderstatus", lit("PENDING")), path, 1L)
+    Sources.appendBatch(orders, path, 2L)
+    Sources.readLatest(spark, path, Seq("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_json_roundtrip" -> (srcJsonRoundtrip _),
+    "src_csv_roundtrip" -> (srcCsvRoundtrip _),
+    "src_partitioned_sink" -> (srcPartitionedSink _),
+    "src_incremental_merge" -> (srcIncrementalMerge _))
+}
