@@ -64,11 +64,29 @@ object AsOf {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> (qAsofJoin _))
+  /** A16b — the same query through the custom [[graft.plans.AsOfJoinExec]]
+    * plan node (LogicalPlan + SparkStrategy + sort-merge SparkPlan),
+    * hash-checked against the identical DuckDB oracle.
+    */
+  def qAsofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.plans.AsOfJoinNative
+      .asofJoin(purchases, views, "user_id", "ts", "value", "prior_view_value")
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 4).as("purchase_value"),
+        round(col("prior_view_value"), 4).as("prior_view_value"))
+      .orderBy("user_id", "event_id")
+  }
 
-  val oracles: Map[String, String] = Map(
-    "q_asof_join" ->
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_asof_join_native" -> (qAsofJoinNative _))
+
+  private val asofOracle =
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id, value, 0 AS tag
         |  FROM events WHERE event_type = 'purchase'
@@ -84,5 +102,9 @@ object AsOf {
         | round(value, 4) AS purchase_value,
         | round(prior_view, 4) AS prior_view_value
         |FROM filled WHERE tag = 0
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" -> asofOracle,
+    "q_asof_join_native" -> asofOracle)
 }

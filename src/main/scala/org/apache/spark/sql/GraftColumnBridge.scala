@@ -13,6 +13,13 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a raw LogicalPlan (Dataset.ofRows is
+    * private[sql]).
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a SQL function on an ALREADY-RUNNING session (the
     * `spark.sql.extensions` config path only applies at session build).
     */

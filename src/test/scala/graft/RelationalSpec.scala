@@ -109,3 +109,44 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).sameElements(windowed.collect().map(_.toSeq)))
   }
 }
+
+class AsOfNativeSpec extends AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  lazy val spark = TestSpark.spark
+
+  test("native AsOfJoinExec equals the composed asofJoin formulation") {
+    val events = graft.tables.Tables.events(spark, TestSpark.sf)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val composed = graft.ops.AsOf
+      .asofJoin(purchases, views, "user_id", "ts", "value", "prior")
+      .select("user_id", "event_id", "prior").orderBy("user_id", "event_id")
+      .collect().map(_.toSeq)
+    val native = graft.plans.AsOfJoinNative
+      .asofJoin(purchases, views, "user_id", "ts", "value", "prior")
+      .select("user_id", "event_id", "prior").orderBy("user_id", "event_id")
+      .collect().map(_.toSeq)
+    assert(native.nonEmpty)
+    assert(native.sameElements(composed))
+  }
+
+  test("native AsOfJoinExec strict-before at equal timestamps") {
+    import spark.implicits._
+    val probe = Seq((1L, 100L, 9.9)).toDF("k", "t", "v")
+    val build = Seq((1L, 50L, 2.0), (1L, 100L, 1.0)).toDF("k", "t", "v")
+    val out = graft.plans.AsOfJoinNative.asofJoin(probe, build, "k", "t", "v", "prior")
+      .select("prior").head()
+    assert(out.getDouble(0) == 2.0)
+  }
+
+  test("native AsOfJoinExec emits null when no earlier build row exists") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, 9.9), (2L, 10L, 8.8)).toDF("k", "t", "v")
+    val build = Seq((1L, 99L, 2.0)).toDF("k", "t", "v")
+    val rows = graft.plans.AsOfJoinNative.asofJoin(probe, build, "k", "t", "v", "prior")
+      .orderBy("k").select("prior").collect()
+    assert(rows.forall(_.isNullAt(0)))
+  }
+}
