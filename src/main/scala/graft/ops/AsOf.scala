@@ -59,8 +59,8 @@ object AsOf {
       .select(col("user_id"), col("ts"), col("value"))
     asofJoin(purchases, views, "user_id", "ts", "value", "prior_view_value")
       .select(col("user_id"), col("event_id"),
-        round(col("value"), 4).as("purchase_value"),
-        round(col("prior_view_value"), 4).as("prior_view_value"))
+        OracleRound.r4b(col("value")).as("purchase_value"),
+        OracleRound.r4b(col("prior_view_value")).as("prior_view_value"))
       .orderBy("user_id", "event_id")
   }
 
@@ -77,8 +77,8 @@ object AsOf {
     graft.plans.AsOfJoinNative
       .asofJoin(purchases, views, "user_id", "ts", "value", "prior_view_value")
       .select(col("user_id"), col("event_id"),
-        round(col("value"), 4).as("purchase_value"),
-        round(col("prior_view_value"), 4).as("prior_view_value"))
+        OracleRound.r4b(col("value")).as("purchase_value"),
+        OracleRound.r4b(col("prior_view_value")).as("prior_view_value"))
       .orderBy("user_id", "event_id")
   }
 
@@ -99,8 +99,8 @@ object AsOf {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_view
         |  FROM tagged)
         |SELECT user_id, event_id,
-        | round(value, 4) AS purchase_value,
-        | round(prior_view, 4) AS prior_view_value
+        | floor((value) * 10000 + 0.5) / 10000 AS purchase_value,
+        | floor((prior_view) * 10000 + 0.5) / 10000 AS prior_view_value
         |FROM filled WHERE tag = 0
         |ORDER BY user_id, event_id""".stripMargin
 

@@ -190,7 +190,7 @@ object Dedup {
     val r = bucketed.select(col("bucket"), col("vec_id").as("b"), col("emb").as("e_b"))
     l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), round(cosine(col("e_a"), col("e_b")), 4).as("cos_sim"))
+      .select(col("a"), col("b"), OracleRound.r4b(cosine(col("e_a"), col("e_b"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a"), col("b"))
       .limit(10)
   }

@@ -22,6 +22,8 @@ import graft.tables.Tables
 object Features {
 
   private def r4(c: Column): Column = round(c, 4)
+  // binary-deterministic rounding for computed doubles (see OracleRound)
+  private def r4b(c: Column): Column = OracleRound.r4b(c)
   // round() can yield IEEE -0.0 on one engine and 0.0 on the other for
   // tiny negatives; adding 0.0 normalizes both to +0.0.
   private def r4z(c: Column): Column = round(c, 4) + lit(0.0)
@@ -39,7 +41,7 @@ object Features {
     Tables.lineitem(spark, dir)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        r4(ratioCol).as("qty_disc_ratio"))
+        r4b(ratioCol).as("qty_disc_ratio"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** B2 — comparison features: the reference joins per-pitcher stats twice
@@ -51,16 +53,19 @@ object Features {
     */
   def fCompDiff(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // entity means from exact integer cents: a double avg's summation
+    // order differs between engines, an integer sum cannot
+    val cents = sum(round(col("l_extendedprice") * 100).cast("long"))
     val supStats = li.groupBy("l_suppkey")
-      .agg(avg("l_extendedprice").as("supp_avg_price"))
+      .agg((cents / (lit(100.0) * count(lit(1)))).as("supp_avg_price"))
     val partStats = li.groupBy("l_partkey")
-      .agg(avg("l_extendedprice").as("part_avg_price"))
+      .agg((cents / (lit(100.0) * count(lit(1)))).as("part_avg_price"))
     li.join(broadcast(supStats), "l_suppkey")
       .join(broadcast(partStats), "l_partkey")
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        r4z(col("supp_avg_price") - col("part_avg_price")).as("supp_part_diff"),
-        r4z(col("l_extendedprice") - col("supp_avg_price")).as("price_vs_supp"))
+        r4b(col("supp_avg_price") - col("part_avg_price")).as("supp_part_diff"),
+        r4b(col("l_extendedprice") - col("supp_avg_price")).as("price_vs_supp"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -69,7 +74,7 @@ object Features {
     */
   def fDropNulls(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .withColumn("qty_disc_ratio", r4(ratioCol))
+      .withColumn("qty_disc_ratio", r4b(ratioCol))
       .na.drop(Seq("qty_disc_ratio"))
       .select("l_orderkey", "l_linenumber", "qty_disc_ratio")
       .orderBy("l_orderkey", "l_linenumber")
@@ -102,14 +107,36 @@ object Features {
     */
   def fStandardScale(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val stats = li.agg(
-      avg("l_quantity").as("q_mu"), stddev("l_quantity").as("q_sigma"),
-      avg("l_extendedprice").as("p_mu"), stddev("l_extendedprice").as("p_sigma"))
+    // μ and σ from EXACT integer moments (cents; Σc² in decimal — it
+    // overflows a long): double-precision avg/stddev merge partial
+    // aggregates in partition order, which differs between engines and
+    // runs, and the ulp drift lands on 600k rounded output rows. From
+    // exact Σc and Σc², both engines derive bit-identical doubles.
+    def exactStats(c: Column, scale: Double, muName: String) = {
+      val cents = round(c * scale).cast("long")
+      Seq(sum(cents).as(s"_s1_$muName"),
+        sum((cents * cents).cast("decimal(38,0)")).as(s"_s2_$muName"),
+        count(lit(1)).as(s"_n_$muName"))
+    }
+    val statCols = exactStats(col("l_quantity"), 1.0, "q") ++
+      exactStats(col("l_extendedprice"), 100.0, "p")
+    val raw = li.agg(statCols.head, statCols.tail: _*)
+    def mu(tag: String, scale: Double): Column =
+      col(s"_s1_$tag").cast("double") / (lit(scale) * col(s"_n_$tag"))
+    def sigma(tag: String, scale: Double): Column = {
+      val n = col(s"_n_$tag").cast("decimal(38,0)")
+      val s1 = col(s"_s1_$tag").cast("decimal(38,0)")
+      val num = (col(s"_s2_$tag") * n - s1 * s1).cast("double")
+      sqrt(num) / (lit(scale) * sqrt(col(s"_n_$tag").cast("double") * (col(s"_n_$tag") - 1)))
+    }
+    val stats = raw.select(
+      mu("q", 1.0).as("q_mu"), sigma("q", 1.0).as("q_sigma"),
+      mu("p", 100.0).as("p_mu"), sigma("p", 100.0).as("p_sigma"))
     li.crossJoin(broadcast(stats))
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        r4z((col("l_quantity") - col("q_mu")) / col("q_sigma")).as("qty_scaled"),
-        r4z((col("l_extendedprice") - col("p_mu")) / col("p_sigma")).as("price_scaled"))
+        r4b((col("l_quantity") - col("q_mu")) / col("q_sigma")).as("qty_scaled"),
+        r4b((col("l_extendedprice") - col("p_mu")) / col("p_sigma")).as("price_scaled"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -124,7 +151,8 @@ object Features {
         when(pmod(col("o_orderkey") * lit(2654435761L), lit(100)) < 80, lit("train"))
           .otherwise(lit("test")))
       .groupBy("split")
-      .agg(count(lit(1)).as("n_orders"), r4(avg("o_totalprice")).as("avg_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        r4(sum(round(col("o_totalprice") * 100).cast("long")) / (lit(100.0) * count(lit(1)))).as("avg_price"))
       .orderBy("split")
 
   /** B7 — binary label (eda cell 27: `winning_team == home_team_id`):
@@ -145,7 +173,7 @@ object Features {
     li.crossJoin(broadcast(stats))
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        r4((col("l_extendedprice") - col("p_min")) /
+        r4b((col("l_extendedprice") - col("p_min")) /
           (col("p_max") - col("p_min"))).as("price_norm"))
       .orderBy("l_orderkey", "l_linenumber")
   }
@@ -174,7 +202,7 @@ object Features {
     li.crossJoin(broadcast(m))
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        r4(coalesce(col("ratio"), col("ratio_mean"))).as("ratio_imputed"))
+        r4b(coalesce(col("ratio"), col("ratio_mean"))).as("ratio_imputed"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -193,22 +221,24 @@ object Features {
   val oracles: Map[String, String] = Map(
     "f_null_safe_ratio" ->
       """SELECT l_orderkey, l_linenumber,
-        | round(CASE WHEN l_discount = 0 THEN NULL ELSE l_quantity / l_discount END, 4)
+        | floor((CASE WHEN l_discount = 0 THEN NULL ELSE l_quantity / l_discount END) * 10000 + 0.5) / 10000
         |   AS qty_disc_ratio
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f_comp_diff" ->
-      """WITH sup AS (SELECT l_suppkey, avg(l_extendedprice) AS supp_avg_price
+      """WITH sup AS (SELECT l_suppkey,
+        |             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (100.0 * count(*)) AS supp_avg_price
         |             FROM lineitem GROUP BY 1),
-        |     prt AS (SELECT l_partkey, avg(l_extendedprice) AS part_avg_price
+        |     prt AS (SELECT l_partkey,
+        |             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (100.0 * count(*)) AS part_avg_price
         |             FROM lineitem GROUP BY 1)
         |SELECT l_orderkey, l_linenumber,
-        | round(supp_avg_price - part_avg_price, 4) + 0.0 AS supp_part_diff,
-        | round(l_extendedprice - supp_avg_price, 4) + 0.0 AS price_vs_supp
+        | floor((supp_avg_price - part_avg_price) * 10000 + 0.5) / 10000 AS supp_part_diff,
+        | floor((l_extendedprice - supp_avg_price) * 10000 + 0.5) / 10000 AS price_vs_supp
         |FROM lineitem JOIN sup USING (l_suppkey) JOIN prt USING (l_partkey)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f_drop_nulls" ->
       """SELECT l_orderkey, l_linenumber,
-        | round(l_quantity / l_discount, 4) AS qty_disc_ratio
+        | floor((l_quantity / l_discount) * 10000 + 0.5) / 10000 AS qty_disc_ratio
         |FROM lineitem WHERE l_discount <> 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f_describe" ->
@@ -228,15 +258,23 @@ object Features {
         |) ORDER BY col_name""".stripMargin,
     "f_standard_scale" ->
       """SELECT l_orderkey, l_linenumber,
-        | round((l_quantity - q_mu) / q_sigma, 4) + 0.0 AS qty_scaled,
-        | round((l_extendedprice - p_mu) / p_sigma, 4) + 0.0 AS price_scaled
+        | floor(((l_quantity - q_mu) / q_sigma) * 10000 + 0.5) / 10000 AS qty_scaled,
+        | floor(((l_extendedprice - p_mu) / p_sigma) * 10000 + 0.5) / 10000 AS price_scaled
         |FROM lineitem CROSS JOIN (
-        | SELECT avg(l_quantity) AS q_mu, stddev_samp(l_quantity) AS q_sigma,
-        |        avg(l_extendedprice) AS p_mu, stddev_samp(l_extendedprice) AS p_sigma
-        | FROM lineitem)
+        | SELECT
+        |  sum(cq)::DOUBLE / (1.0 * count(*)) AS q_mu,
+        |  sqrt((sum(cq*cq) * count(*) - sum(cq) * sum(cq))::DOUBLE)
+        |    / (1.0 * sqrt(count(*)::DOUBLE * (count(*) - 1))) AS q_sigma,
+        |  sum(cp)::DOUBLE / (100.0 * count(*)) AS p_mu,
+        |  sqrt((sum(cp*cp) * count(*) - sum(cp) * sum(cp))::DOUBLE)
+        |    / (100.0 * sqrt(count(*)::DOUBLE * (count(*) - 1))) AS p_sigma
+        | FROM (SELECT CAST(round(l_quantity) AS BIGINT) AS cq,
+        |              CAST(round(l_extendedprice * 100) AS BIGINT) AS cp
+        |       FROM lineitem))
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "f_train_test_split" ->
-      """SELECT split, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+      """SELECT split, count(*) AS n_orders,
+        | round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (100.0 * count(*)), 4) AS avg_price
         |FROM (SELECT o_totalprice,
         |  CASE WHEN (o_orderkey * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END AS split
         | FROM orders)
@@ -246,7 +284,7 @@ object Features {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f_minmax_scale" ->
       """SELECT l_orderkey, l_linenumber,
-        | round((l_extendedprice - p_min) / (p_max - p_min), 4) AS price_norm
+        | floor(((l_extendedprice - p_min) / (p_max - p_min)) * 10000 + 0.5) / 10000 AS price_norm
         |FROM lineitem CROSS JOIN (
         | SELECT min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
@@ -256,8 +294,8 @@ object Features {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f_impute_mean" ->
       """SELECT l_orderkey, l_linenumber,
-        | round(coalesce(CASE WHEN l_discount = 0 THEN NULL
-        |                     ELSE l_quantity / l_discount END, ratio_mean), 4) AS ratio_imputed
+        | floor((coalesce(CASE WHEN l_discount = 0 THEN NULL
+        |                     ELSE l_quantity / l_discount END, ratio_mean)) * 10000 + 0.5) / 10000 AS ratio_imputed
         |FROM lineitem CROSS JOIN (
         | SELECT avg(CASE WHEN l_discount = 0 THEN NULL
         |                 ELSE l_quantity / l_discount END) AS ratio_mean FROM lineitem)

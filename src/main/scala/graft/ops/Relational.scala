@@ -21,6 +21,7 @@ import graft.tables.Tables
 object Relational {
 
   private def r4(c: Column): Column = round(c, 4)
+  private def r4b(c: Column): Column = OracleRound.r4b(c)
 
   /** A1 — groupBy aggregate (TPC-H Q1 shape). Reference analog: season-
     * to-date stat accumulation per pitcher (function.py:83-87). Map-side
@@ -30,11 +31,13 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
+        // money flows as exact integer cents: double summation order
+        // differs between engines/partitionings, integer sums don't
         r4(sum("l_quantity")).as("sum_qty"),
-        r4(sum("l_extendedprice")).as("sum_base_price"),
-        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_base_price"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")) / 10000.0).as("sum_disc_price"),
         r4(avg("l_quantity")).as("avg_qty"),
-        r4(avg("l_discount")).as("avg_disc"),
+        r4(sum(round(col("l_discount") * 100).cast("long")) / (lit(100.0) * count(lit(1)))).as("avg_disc"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -49,7 +52,7 @@ object Relational {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
-        r4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        r4b(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** A3 — star join with explicitly broadcast dimensions. Reference
@@ -76,7 +79,7 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(
         countDistinct("o_orderkey").as("n_orders"),
-        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")) / 10000.0).as("revenue"))
       .orderBy("o_orderpriority")
   }
 
@@ -99,8 +102,11 @@ object Relational {
     * (partition by key), in-partition sort, running frame.
     */
   def qWindowPit(spark: SparkSession, dir: String): DataFrame = {
+    // lineitem intentionally contains duplicate (orderkey, linenumber)
+    // rows (re-inserted games in the reference); l_quantity joins the sort
+    // key so tied rows are value-interchangeable on both engines
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.lineitem(spark, dir)
       .select(
@@ -119,7 +125,7 @@ object Relational {
     Tables.events(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type").as("last_type"), r4(col("value")).as("last_value"))
+      .select(col("user_id"), col("event_type").as("last_type"), r4b(col("value")).as("last_value"))
       .orderBy("user_id")
   }
 
@@ -183,7 +189,7 @@ object Relational {
       .agg(
         count(when(col("o_totalprice") > lit(200000.0), lit(1))).as("n_big"),
         count(lit(1)).as("n_orders"),
-        r4(avg("o_totalprice")).as("avg_price"))
+        r4(sum(round(col("o_totalprice") * 100).cast("long")) / (lit(100.0) * count(lit(1)))).as("avg_price"))
       .orderBy("c_mktsegment")
   }
 
@@ -199,7 +205,7 @@ object Relational {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
-      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")) / 10000.0).as("revenue"))
       .orderBy("n_name")
   }
 
@@ -246,16 +252,16 @@ object Relational {
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) AS sum_qty,
-        | round(sum(l_extendedprice), 4) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+        | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
         | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_discount), 4) AS avg_disc,
+        | round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(*)), 4) AS avg_disc,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         | strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
-        | round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+        | floor((l_extendedprice * (1.0 - l_discount)) * 10000 + 0.5) / 10000 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount > 0.05
@@ -268,7 +274,7 @@ object Relational {
     "q_join_shuffle" ->
       """SELECT o_orderpriority,
         | count(DISTINCT o_orderkey) AS n_orders,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_semi_anti" ->
@@ -282,13 +288,13 @@ object Relational {
     "q_window_pit" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | round(coalesce(sum(l_quantity) OVER (
-        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 4) AS qty_before
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q_upsert_latest" ->
       """SELECT user_id, last_type, last_value FROM (
-        | SELECT user_id, event_type AS last_type, round(value, 4) AS last_value,
+        | SELECT user_id, event_type AS last_type, floor((value) * 10000 + 0.5) / 10000 AS last_value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_topk" ->
@@ -315,11 +321,12 @@ object Relational {
       """SELECT c_mktsegment,
         | count(CASE WHEN o_totalprice > 200000.0 THEN 1 END) AS n_big,
         | count(*) AS n_orders,
-        | round(avg(o_totalprice), 4) AS avg_price
+        | round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (100.0 * count(*)), 4) AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_multi_join_agg" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      """SELECT n_name,
+        | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

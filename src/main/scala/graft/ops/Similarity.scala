@@ -37,7 +37,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"),
-        col("nid").as("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"))
+        col("nid").as("neighbor_id"), OracleRound.r4b(col("cos_sim")).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -119,7 +119,7 @@ object Similarity {
         |  SELECT p.qid, e.vec_id AS nid,
         |         list_cosine_similarity(p.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos_sim
         |  FROM probes p CROSS JOIN embeddings e WHERE e.vec_id <> p.qid)
-        |SELECT qid AS query_id, rank, nid AS neighbor_id, round(cos_sim, 4) AS cos_sim
+        |SELECT qid AS query_id, rank, nid AS neighbor_id, floor((cos_sim) * 10000 + 0.5) / 10000 AS cos_sim
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
         |      FROM scored)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)

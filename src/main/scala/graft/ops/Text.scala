@@ -15,7 +15,7 @@ import graft.tables.Tables
   */
 object Text {
 
-  private def r4(c: Column): Column = round(c, 4)
+  private def r4(c: Column): Column = OracleRound.r4b(c)
 
   /** F1 — token counting: whitespace tokens + alphabetic-run tokens (a
     * BPE-ish lower bound).
@@ -146,15 +146,12 @@ object Text {
       """SELECT doc_id,
         | length(text) AS len,
         | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-        | round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
-        |       / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-        | round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-        |       / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
-        | round(length(regexp_replace(text, '\s', '', 'g'))
-        |       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 4) AS mean_token_len,
-        | round(least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) *
+        | floor(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 10000 + 0.5) / 10000 AS punct_ratio,
+        | floor(((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 10000 + 0.5) / 10000 AS digit_ratio,
+        | floor((length(regexp_replace(text, '\s', '', 'g')) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean_token_len,
+        | floor((least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) *
         |       (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
-        |        / CAST(length(text) AS DOUBLE)), 4) AS quality_score
+        |        / CAST(length(text) AS DOUBLE))) * 10000 + 0.5) / 10000 AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       s"""WITH s AS (SELECT doc_id, lang AS true_lang, $langScoreSql FROM documents)

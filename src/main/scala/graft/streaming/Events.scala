@@ -32,7 +32,7 @@ object Events {
     Tables.events(spark, dir)
       .select(date_trunc("hour", tsCol).as("hour"), col("event_type"), col("value"))
       .groupBy("hour", "event_type")
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.ops.OracleRound.r4b(sum("value")).as("sum_value"))
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type")
@@ -53,7 +53,7 @@ object Events {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 4).as("sum_value"),
+        graft.ops.OracleRound.r4b(sum("value")).as("sum_value"),
         date_format(expr("timestamp_micros(min(ts) div 1000)"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
       .orderBy("user_id", "session_id")
   }
@@ -76,7 +76,7 @@ object Events {
       .select(tsCol.as("event_ts"), col("event_type"), col("value"))
       .withWatermark("event_ts", "2 hours")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.ops.OracleRound.r4b(sum("value")).as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .writeStream
@@ -93,7 +93,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        | event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        | event_type, count(*) AS n_events, floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sessionize" ->
       """WITH flagged AS (
@@ -109,7 +109,7 @@ object Events {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
-        | round(sum(value), 4) AS sum_value,
+        | floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value,
         | strftime(date_trunc('microsecond', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopK.{Line, TopKByPrice}
+
+/** Randomized-property tests for the hand-written algorithmic cores —
+  * the pieces whose correctness the SQL oracles can't stress beyond the
+  * fixed test corpus (buffer merge order, tie handling, split points).
+  * Seeded generators: failures reproduce.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  // constant key: the aggregator always runs inside one groupByKey group,
+  // so its ordering never needs to disambiguate across keys
+  private def randLines(rnd: Random, n: Int): List[Line] =
+    List.fill(n)(Line(
+      1L,
+      rnd.nextInt(50).toDouble, // coarse prices → frequent ties
+      rnd.nextInt(20).toLong,
+      rnd.nextInt(4) + 1))
+
+  private def refTop3(xs: List[Line]): List[Line] =
+    xs.sortBy(l => (-l.l_extendedprice, l.l_orderkey, l.l_linenumber)).take(3)
+
+  test("TopKByPrice reduce-then-merge equals sort-take for any split") {
+    val rnd = new Random(42)
+    val agg = new TopKByPrice(3)
+    (1 to 300).foreach { _ =>
+      val a = randLines(rnd, rnd.nextInt(12))
+      val b = randLines(rnd, rnd.nextInt(12))
+      val bufA = a.foldLeft(agg.zero)(agg.reduce)
+      val bufB = b.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(bufA, bufB)) == refTop3(a ++ b),
+        s"split a=$a b=$b")
+      assert(agg.merge(bufA, bufB) == agg.merge(bufB, bufA),
+        s"merge-order a=$a b=$b")
+    }
+  }
+
+  test("RollHash64 eval matches the byte-fold reference on random strings") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(1125899906842597L)((h, b) => 31 * h + (b & 0xff))
+    val rnd = new Random(7)
+    (1 to 300).foreach { _ =>
+      val s = rnd.alphanumeric.take(rnd.nextInt(40)).mkString +
+        (if (rnd.nextBoolean()) "äöü漢字" else "")
+      val got = graft.functions.RollHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType)).eval(null)
+      assert(got == ref(s), s"string '$s'")
+    }
+  }
+
+  test("CosineSim eval matches a plain-Scala reference on random vectors") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def ref(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / math.sqrt(na * nb)
+    }
+    val rnd = new Random(11)
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(16) + 1
+      val a = Array.fill(n)(rnd.nextGaussian())
+      val b = Array.fill(n)(rnd.nextGaussian())
+      val got = graft.functions.CosineSim(
+        Literal(ArrayData.toArrayData(a), ArrayType(DoubleType)),
+        Literal(ArrayData.toArrayData(b), ArrayType(DoubleType))).eval(null)
+      assert(got == ref(a, b))
+    }
+  }
+}
