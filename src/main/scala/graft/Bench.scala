@@ -13,6 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   val headline: Seq[String] = Seq(
     "q_agg_pricing", "q_join_shuffle", "q_multi_join_agg",
+    "q_asof_join", "q_topk_per_key",
     "f_comp_diff", "f_standard_scale",
     "dedup_minhash_lsh", "ann_bruteforce", "text_quality",
     "stream_window_agg")
