@@ -38,11 +38,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: touch every input table once (file listing + scan codegen
-    // + JIT), so measured times reflect steady-state execution.
-    graft.tables.Tables.names.foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
+    // Warm-up: run every headline query once at the smallest scale factor
+    // (or this one, if no smaller exists). Whole-stage codegen caches by
+    // generated source, so the tiny-SF pass compiles/JITs every plan shape
+    // and the measured pass reflects execution, not compiler time.
+    val warmDir = {
+      val tiny = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+      if (new java.io.File(tiny).isDirectory) tiny else sfDir
+    }
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
+      }
     }
 
     // SPARK_GRAFT_BENCH_PASSES=2 reports steady-state (last-pass) times —
