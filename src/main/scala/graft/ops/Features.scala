@@ -42,7 +42,7 @@ object Features {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         r4b(ratioCol).as("qty_disc_ratio"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "qty_disc_ratio")
 
   /** B2 — comparison features: the reference joins per-pitcher stats twice
     * (home + away) onto each game and emits away−home diffs (eda cell 27).
@@ -66,7 +66,7 @@ object Features {
         col("l_orderkey"), col("l_linenumber"),
         r4b(col("supp_avg_price") - col("part_avg_price")).as("supp_part_diff"),
         r4b(col("l_extendedprice") - col("supp_avg_price")).as("price_vs_supp"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "supp_part_diff", "price_vs_supp")
   }
 
   /** B3 — dropna across derived feature columns (eda cell 15/24): rows
@@ -77,7 +77,7 @@ object Features {
       .withColumn("qty_disc_ratio", r4b(ratioCol))
       .na.drop(Seq("qty_disc_ratio"))
       .select("l_orderkey", "l_linenumber", "qty_disc_ratio")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "qty_disc_ratio")
 
   /** B4 — describe(): count/mean/std/min/max per numeric column (eda cell
     * 7). Single pass over the table (one agg), then `stack` pivots the 1×N
@@ -137,7 +137,7 @@ object Features {
         col("l_orderkey"), col("l_linenumber"),
         r4b((col("l_quantity") - col("q_mu")) / col("q_sigma")).as("qty_scaled"),
         r4b((col("l_extendedprice") - col("p_mu")) / col("p_sigma")).as("price_scaled"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "qty_scaled", "price_scaled")
   }
 
   /** B6 — deterministic train/test split (modeling `train_test_split(...,
@@ -175,7 +175,7 @@ object Features {
         col("l_orderkey"), col("l_linenumber"),
         r4b((col("l_extendedprice") - col("p_min")) /
           (col("p_max") - col("p_min"))).as("price_norm"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "price_norm")
   }
 
   /** B9 — quantile discretization into 4 buckets via ntile over a total
@@ -203,7 +203,7 @@ object Features {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         r4b(coalesce(col("ratio"), col("ratio_mean"))).as("ratio_imputed"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "ratio_imputed")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -223,7 +223,7 @@ object Features {
       """SELECT l_orderkey, l_linenumber,
         | floor((CASE WHEN l_discount = 0 THEN NULL ELSE l_quantity / l_discount END) * 10000 + 0.5) / 10000
         |   AS qty_disc_ratio
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_disc_ratio""".stripMargin,
     "f_comp_diff" ->
       """WITH sup AS (SELECT l_suppkey,
         |             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (100.0 * count(*)) AS supp_avg_price
@@ -235,12 +235,12 @@ object Features {
         | floor((supp_avg_price - part_avg_price) * 10000 + 0.5) / 10000 AS supp_part_diff,
         | floor((l_extendedprice - supp_avg_price) * 10000 + 0.5) / 10000 AS price_vs_supp
         |FROM lineitem JOIN sup USING (l_suppkey) JOIN prt USING (l_partkey)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, supp_part_diff, price_vs_supp""".stripMargin,
     "f_drop_nulls" ->
       """SELECT l_orderkey, l_linenumber,
         | floor((l_quantity / l_discount) * 10000 + 0.5) / 10000 AS qty_disc_ratio
         |FROM lineitem WHERE l_discount <> 0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, qty_disc_ratio""".stripMargin,
     "f_describe" ->
       """SELECT * FROM (
         | SELECT 'l_quantity' AS col_name, count(*) AS n,
@@ -271,7 +271,7 @@ object Features {
         | FROM (SELECT CAST(round(l_quantity) AS BIGINT) AS cq,
         |              CAST(round(l_extendedprice * 100) AS BIGINT) AS cp
         |       FROM lineitem))
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, qty_scaled, price_scaled""".stripMargin,
     "f_train_test_split" ->
       """SELECT split, count(*) AS n_orders,
         | round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (100.0 * count(*)), 4) AS avg_price
@@ -287,7 +287,7 @@ object Features {
         | floor(((l_extendedprice - p_min) / (p_max - p_min)) * 10000 + 0.5) / 10000 AS price_norm
         |FROM lineitem CROSS JOIN (
         | SELECT min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max FROM lineitem)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, price_norm""".stripMargin,
     "f_quantile_bucket" ->
       """SELECT o_orderkey,
         | ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_bucket
@@ -299,5 +299,5 @@ object Features {
         |FROM lineitem CROSS JOIN (
         | SELECT avg(CASE WHEN l_discount = 0 THEN NULL
         |                 ELSE l_quantity / l_discount END) AS ratio_mean FROM lineitem)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber, ratio_imputed""".stripMargin)
 }

@@ -36,8 +36,8 @@ object Relational {
         r4(sum("l_quantity")).as("sum_qty"),
         (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_base_price"),
         (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")) / 10000.0).as("sum_disc_price"),
-        r4(avg("l_quantity")).as("avg_qty"),
-        r4(sum(round(col("l_discount") * 100).cast("long")) / (lit(100.0) * count(lit(1)))).as("avg_disc"),
+        r4b(avg("l_quantity")).as("avg_qty"),
+        r4b(sum(round(col("l_discount") * 100).cast("long")) / (lit(100.0) * count(lit(1)))).as("avg_disc"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -53,7 +53,7 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
         r4b(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "revenue")
 
   /** A3 — star join with explicitly broadcast dimensions. Reference
     * analog: `lookup_team`/`lookup_player` id->name joins (function.py:58-69).
@@ -112,7 +112,7 @@ object Relational {
       .select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         r4(coalesce(sum("l_quantity").over(w), lit(0.0))).as("qty_before"))
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "qty_before")
   }
 
   /** A7 — late-arriving-label upsert, latest-record-wins (the reference's
@@ -189,7 +189,7 @@ object Relational {
       .agg(
         count(when(col("o_totalprice") > lit(200000.0), lit(1))).as("n_big"),
         count(lit(1)).as("n_orders"),
-        r4(sum(round(col("o_totalprice") * 100).cast("long")) / (lit(100.0) * count(lit(1)))).as("avg_price"))
+        r4b(sum(round(col("o_totalprice") * 100).cast("long")) / (lit(100.0) * count(lit(1)))).as("avg_price"))
       .orderBy("c_mktsegment")
   }
 
@@ -254,8 +254,8 @@ object Relational {
         | round(sum(l_quantity), 4) AS sum_qty,
         | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
         | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(*)), 4) AS avg_disc,
+        | floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+        | floor((sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(*))) * 10000 + 0.5) / 10000 AS avg_disc,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_filter_project" ->
@@ -265,7 +265,7 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
     "q_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -291,7 +291,7 @@ object Relational {
         |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 4) AS qty_before
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, qty_before""".stripMargin,
     "q_upsert_latest" ->
       """SELECT user_id, last_type, last_value FROM (
         | SELECT user_id, event_type AS last_type, floor((value) * 10000 + 0.5) / 10000 AS last_value,
@@ -321,7 +321,7 @@ object Relational {
       """SELECT c_mktsegment,
         | count(CASE WHEN o_totalprice > 200000.0 THEN 1 END) AS n_big,
         | count(*) AS n_orders,
-        | round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (100.0 * count(*)), 4) AS avg_price
+        | floor((sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (100.0 * count(*))) * 10000 + 0.5) / 10000 AS avg_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_multi_join_agg" ->

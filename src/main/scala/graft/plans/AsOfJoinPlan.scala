@@ -66,7 +66,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     Seq(Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
         SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
       Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-        SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)))
+        SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending),
+        // value tiebreak: build rows tied on (key, time) must resolve the
+        // same way as the composed formulation / the SQL-window oracle
+        // (last-consumed = max value)
+        SortOrder(rightValue, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -94,7 +98,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       def advanceRight(): Unit =
         if (rIt.hasNext) {
           val row = rIt.next()
-          rKey = rKeyB.eval(row); rTime = rTimeB.eval(row); rVal = rValB.eval(row)
+          // copyValue: eval() of string/decimal/struct types returns
+          // buffer-backed views into the reused upstream row
+          rKey = InternalRow.copyValue(rKeyB.eval(row))
+          rTime = InternalRow.copyValue(rTimeB.eval(row))
+          rVal = InternalRow.copyValue(rValB.eval(row))
           rHasHead = true
         } else rHasHead = false
       advanceRight()

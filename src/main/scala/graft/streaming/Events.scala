@@ -24,6 +24,15 @@ object Events {
   /** Nanos-long → timestamp (micro truncation is exact for window maths). */
   private def tsCol = expr("timestamp_micros(ts div 1000)")
 
+  /** Order-independent cross-engine sum of a full-precision double
+    * column: quantize each value to an exact 1e-8 grid with pure binary
+    * arithmetic (floor(v·1e8 + 0.5) — identical on any IEEE engine),
+    * sum as exact integers, rescale. A plain double sum merges partial
+    * aggregates in partition order, which differs between engines/runs.
+    */
+  private def exactSum8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(floor(c * 100000000L + lit(0.5)).cast("long")) / 100000000.0
+
   /** G1 — tumbling 1-hour window aggregation (batch formulation):
     * per (window, event_type) counts/sums. Single shuffle on the
     * (window, type) key with map-side partial aggregation.
@@ -32,7 +41,7 @@ object Events {
     Tables.events(spark, dir)
       .select(date_trunc("hour", tsCol).as("hour"), col("event_type"), col("value"))
       .groupBy("hour", "event_type")
-      .agg(count(lit(1)).as("n_events"), graft.ops.OracleRound.r4b(sum("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.ops.OracleRound.r4b(exactSum8(col("value"))).as("sum_value"))
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start", "event_type")
@@ -53,7 +62,7 @@ object Events {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-        graft.ops.OracleRound.r4b(sum("value")).as("sum_value"),
+        graft.ops.OracleRound.r4b(exactSum8(col("value"))).as("sum_value"),
         date_format(expr("timestamp_micros(min(ts) div 1000)"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
       .orderBy("user_id", "session_id")
   }
@@ -93,7 +102,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        | event_type, count(*) AS n_events, floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+        | event_type, count(*) AS n_events, floor((sum(CAST(floor(value * 100000000 + 0.5) AS BIGINT)) / 100000000.0) * 10000 + 0.5) / 10000 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sessionize" ->
       """WITH flagged AS (
@@ -109,7 +118,7 @@ object Events {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
-        | floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value,
+        | floor((sum(CAST(floor(value * 100000000 + 0.5) AS BIGINT)) / 100000000.0) * 10000 + 0.5) / 10000 AS sum_value,
         | strftime(date_trunc('microsecond', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
