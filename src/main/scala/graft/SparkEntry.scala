@@ -24,5 +24,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ AsOf.oracles ++ TopK.oracles ++ Features.oracles ++ Models.oracles ++ Metrics.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Text.oracles ++ Events.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Text.oracles ++ Events.oracles ++ Multimodal.oracles ++
+      SourceQueries.oracles
 }

@@ -96,7 +96,8 @@ object SourceQueries {
     val path = scratch("part")
     Sources.writeDatePartitioned(Tables.orders(spark, dir), "o_orderdate", path)
     Sources.readDatePartitioned(spark, path)
-      .groupBy("p_date").agg(count(lit(1)).as("n_orders"))
+      .groupBy(date_format(col("p_date"), "yyyy-MM-dd").as("p_date"))
+      .agg(count(lit(1)).as("n_orders"))
       .orderBy("p_date")
   }
 
@@ -116,4 +117,24 @@ object SourceQueries {
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
     "src_partitioned_sink" -> (srcPartitionedSink _),
     "src_incremental_merge" -> (srcIncrementalMerge _))
+
+  /** A faithful round-trip preserves every value, so the oracle is the
+    * equivalent select on the ORIGINAL table — any sink/source corruption
+    * (quoting, type coercion, partition-value encoding, merge logic)
+    * surfaces as a hash mismatch.
+    */
+  val oracles: Map[String, String] = Map(
+    "src_json_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "src_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "src_partitioned_sink" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS p_date,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_incremental_merge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
 }
