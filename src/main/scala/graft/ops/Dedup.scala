@@ -157,8 +157,8 @@ object Dedup {
     l.join(r, Seq("lang", "len_bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))), 4).as("jaccard"))
+        OracleRound.r4b(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(20)
   }
@@ -205,5 +205,20 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // DuckDB list comprehension mirrors the trigram transform exactly
+    // (i in 1..len-2, distinct, intersect/union cardinality ratio)
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        | SELECT doc_id, lang, floor(n_chars / 100) AS len_bucket,
+        |  list_distinct([substring(text, i, 3) FOR i IN range(1, length(text) - 1)]) AS grams
+        | FROM documents)
+        |SELECT a, b,
+        | floor((CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(ga, gb)))) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM (
+        | SELECT l.doc_id AS a, r.doc_id AS b, l.grams AS ga, r.grams AS gb
+        | FROM g l JOIN g r ON l.lang = r.lang AND l.len_bucket = r.len_bucket
+        |  AND l.doc_id < r.doc_id)
+        |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin)
 }

@@ -206,7 +206,22 @@ object Features {
       .orderBy("l_orderkey", "l_linenumber", "ratio_imputed")
   }
 
+  /** B11 — one-hot encoding of a low-cardinality categorical (the
+    * sklearn-style dummy columns the reference's modeling feeds). Explicit
+    * category list → static projection, no distinct-discovery scan; each
+    * indicator is a codegen'd comparison, zero shuffles.
+    */
+  def fOneHot(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val cols = segs.map(s =>
+      (col("c_mktsegment") === s).cast("int").as(s"seg_${s.toLowerCase}"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey") +: cols: _*)
+      .orderBy("c_custkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_onehot" -> (fOneHot _),
     "f_null_safe_ratio" -> (fNullSafeRatio _),
     "f_comp_diff" -> (fCompDiff _),
     "f_drop_nulls" -> (fDropNulls _),
@@ -219,6 +234,14 @@ object Features {
     "f_impute_mean" -> (fImputeMean _))
 
   val oracles: Map[String, String] = Map(
+    "f_onehot" ->
+      """SELECT c_custkey,
+        | CAST(c_mktsegment = 'AUTOMOBILE' AS INTEGER) AS seg_automobile,
+        | CAST(c_mktsegment = 'BUILDING' AS INTEGER) AS seg_building,
+        | CAST(c_mktsegment = 'FURNITURE' AS INTEGER) AS seg_furniture,
+        | CAST(c_mktsegment = 'HOUSEHOLD' AS INTEGER) AS seg_household,
+        | CAST(c_mktsegment = 'MACHINERY' AS INTEGER) AS seg_machinery
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "f_null_safe_ratio" ->
       """SELECT l_orderkey, l_linenumber,
         | floor((CASE WHEN l_discount = 0 THEN NULL ELSE l_quantity / l_discount END) * 10000 + 0.5) / 10000

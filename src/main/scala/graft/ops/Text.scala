@@ -100,7 +100,8 @@ object Text {
   /** F4b — 64-bit rolling-hash fingerprint via the native codegen'd
     * [[graft.functions.RollHash64]] expression (single pass over UTF8
     * bytes, no digest allocation — the scale path next to the md5-based
-    * F4). Engine-specific hash, so rows-only (no DuckDB equivalent).
+    * F4). Oracle replays the same mod-2^64 polynomial in DuckDB HUGEINT
+    * arithmetic, so even the native expression is hash-verified.
     */
   def textRollhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -170,5 +171,22 @@ object Text {
       """SELECT gram, count(*) AS n FROM (
         | SELECT unnest([substr(text, i::INT, 3) for i in range(1, length(text) - 1)]) AS gram
         | FROM documents)
-        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    // replays the native RollHash64 expression (h = 31·h + byte, mod 2^64,
+    // over the whitespace-normalized lowercased text) in portable SQL:
+    // HUGEINT accumulator with explicit mod, signed-wrap to BIGINT at the
+    // end. Corpus is ASCII so codepoints == UTF-8 bytes.
+    "text_rollhash" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |       THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS rollhash
+        |FROM (
+        | SELECT doc_id,
+        |  list_reduce(
+        |   list_prepend(1125899906842597::HUGEINT,
+        |    [CAST(unicode(t[i]) AS HUGEINT) FOR i IN range(1, length(t) + 1)]),
+        |   (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS h
+        | FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |       FROM documents))
+        |ORDER BY doc_id""".stripMargin)
 }

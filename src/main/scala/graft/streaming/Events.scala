@@ -123,6 +123,58 @@ object Events {
         |FROM sessioned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
 
+/** G4 — streaming dedup with a watermark-bounded state store:
+  * `dropDuplicatesWithinWatermark` keeps one state entry per key only
+  * until the watermark passes it — the streaming analog of D1 whose state
+  * does NOT grow without bound (a bare `dropDuplicates` on a stream
+  * would). Test drives it with a self-unioned source (every event twice)
+  * and asserts exactly one survivor per event_id.
+  */
+object StreamingDedup {
+  def start(spark: SparkSession, dir: String,
+            queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = Tables.events(spark, dir).schema
+    def src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(expr("timestamp_micros(ts div 1000)").as("event_ts"),
+        col("event_id"), col("user_id"), col("event_type"))
+    src.union(src) // deliberate duplicate feed
+      .withWatermark("event_ts", "30 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+  }
+}
+
+/** G5 — the reference's INSERT-then-UPDATE daily cycle as a streaming
+  * sink: `foreachBatch` lands every micro-batch as an immutable append
+  * (batch id = the stream's epoch), and readers resolve latest-wins
+  * through [[graft.sources.Sources.readLatest]]. Idempotent on retry:
+  * re-delivered batches overwrite themselves (same batch id), never
+  * double-count — the exactly-once pattern for file/JDBC sinks.
+  */
+object StreamingUpsert {
+  def run(spark: SparkSession, dir: String, outPath: String): Unit = {
+    val schema = Tables.events(spark, dir).schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.Sources.appendBatch(batch, outPath, id)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+}
+
 /** Typed rows for the stateful streaming path (top-level for Encoders). */
 case class EventRow(event_id: Long, ts: Long, user_id: Long,
                     event_type: String, value: Double)

@@ -51,6 +51,33 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("G4: watermarked streaming dedup keeps one row per event_id from a doubled feed") {
+    val q = graft.streaming.StreamingDedup.start(spark, sf, "stream_dedup_sink")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT count(*) FROM stream_dedup_sink").head().getLong(0)
+      val expected = graft.tables.Tables.events(spark, sf)
+        .select("event_id").distinct().count()
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
+  test("G5: foreachBatch append + latest-wins read equals the source") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
+    graft.streaming.StreamingUpsert.run(spark, sf, out)
+    val merged = graft.sources.Sources.readLatest(spark, out, Seq("event_id"))
+    val src = graft.tables.Tables.events(spark, sf)
+    assert(merged.count() == src.count())
+    val srcSum = src.agg(sum("event_id")).head().getLong(0)
+    val mergedSum = merged.agg(sum("event_id")).head().getLong(0)
+    assert(srcSum == mergedSum)
+  }
+}
+
 class StatefulStreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
