@@ -117,3 +117,75 @@ case class RollHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): RollHash64 =
     copy(child = newChild)
 }
+
+/** Wrapping 64-bit affine mix `h → a·h + b` (mod 2⁶⁴) — the universal-hash
+  * "permutation" family MinHash needs. A native expression because plain
+  * Column arithmetic throws on long overflow under ANSI mode, while Java
+  * long arithmetic wraps silently — and mod-2⁶⁴ wrapping is exactly the
+  * semantic a hash mix wants. Portable: any engine with 128-bit integers
+  * can replay `(a·h + b) mod 2⁶⁴` (see the DuckDB oracles in Dedup).
+  */
+case class Mix64(child: Expression, a: Long, b: Long)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_mix64 expects a bigint argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mix64"
+
+  override def nullSafeEval(input: Any): Any =
+    a * input.asInstanceOf[Long] + b
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${a}L * $c + ${b}L;")
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
+/** Wrapping polynomial fold over an array<long>: s = 31·s + xᵢ (mod 2⁶⁴)
+  * from seed 1125899906842597 — combines a band index + its minhash rows
+  * into one 64-bit band signature in a single pass, again with wrapping
+  * (not throwing) overflow semantics and a portable mod-2⁶⁴ definition.
+  */
+case class Combine64(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_combine64 expects array<bigint>, got ${t.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_combine64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    var s = 1125899906842597L
+    var i = 0
+    while (i < xs.numElements()) {
+      s = 31L * s + xs.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |long $s = 1125899906842597L;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  $s = 31L * $s + $c.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Combine64 =
+    copy(child = newChild)
+}

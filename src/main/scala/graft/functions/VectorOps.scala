@@ -52,6 +52,14 @@ object VectorOps {
   def rollhash64(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(RollHash64(expression(c)))
 
+  /** Wrapping affine mix a·h + b (mod 2⁶⁴) over a bigint column. */
+  def mix64(c: Column, a: Long, b: Long): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(Mix64(expression(c), a, b))
+
+  /** Wrapping polynomial fold 31·s + xᵢ over an array<long> column. */
+  def combine64(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(Combine64(expression(c)))
+
   private def expression(c: Column) =
     org.apache.spark.sql.GraftColumnBridge.expression(c)
 }

@@ -57,20 +57,22 @@ object Dedup {
     // shingle arrays are reused three times (minhash, two verify joins) —
     // persist so the text→shingle work runs once
     val docs = shingled(Tables.documents(spark, dir)).persist()
-    // ONE string hash per shingle; the numPerm "permutations" re-hash that
-    // fixed-width 64-bit value with a per-permutation seed — 8-byte
-    // xxhash64 rounds, far cheaper than numPerm string hashes (and no
-    // multiply-overflow under ANSI mode)
+    // ONE string hash per shingle (native RollHash64); the numPerm
+    // "permutations" are wrapping affine mixes aᵢ·h + bᵢ (mod 2⁶⁴) via the
+    // native Mix64 expression — cheaper than numPerm string hashes, immune
+    // to ANSI overflow checks, and (unlike xxhash64) replayable in the
+    // DuckDB oracle with HUGEINT arithmetic
     val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .withColumn("h0", xxhash64(col("shingle")))
+      .withColumn("h0", rollhash64(col("shingle")))
+    val consts = mixConsts(numPerm)
     val mhCols = (0 until numPerm).map { i =>
-      min(xxhash64(col("h0"), lit(i))).as(s"mh_$i")
+      min(mix64(col("h0"), consts(i)._1, consts(i)._2)).as(s"mh_$i")
     }
     val minhashes = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bandSigs = minhashes.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
-        val sig = xxhash64(
-          (Seq(lit(b): Column) ++ (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))): _*)
+        val sig = combine64(array(
+          (Seq(lit(b.toLong): Column) ++ (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))): _*))
         struct(lit(b).as("band"), sig.as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
@@ -111,7 +113,9 @@ object Dedup {
     val tf = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("token")))
+      // native RollHash64 (not xxhash64): same single-pass cost, but the
+      // mod-2⁶⁴ polynomial replays in the DuckDB oracle
+      .withColumn("h", rollhash64(col("token")))
     val bitCols = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
         .otherwise(-col("w"))).as(s"bit_$b"))
@@ -171,6 +175,40 @@ object Dedup {
     Seq.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Deterministic (a, b) pairs for the Mix64 permutation family. a is a
+    * positive odd 31-bit multiplier — odd keeps the map bijective mod 2⁶⁴,
+    * 31-bit keeps the oracle's HUGEINT product (< 2⁹⁵) inside 128 bits.
+    */
+  private[ops] def mixConsts(n: Int, seed: Long = 11L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((rnd.nextInt(Int.MaxValue).toLong | 1L, rnd.nextLong() & Long.MaxValue))
+  }
+
+  // ---- DuckDB replay helpers for the mod-2^64 hash pipeline ----
+  private val U64 = "18446744073709551616::HUGEINT"
+  /** signed BIGINT → unsigned HUGEINT in [0, 2⁶⁴) */
+  private def unsignedSql(x: String): String =
+    s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $U64 ELSE CAST($x AS HUGEINT) END)"
+  /** unsigned HUGEINT in [0, 2⁶⁴) → signed BIGINT (two's-complement wrap) */
+  private def wrapSql(x: String): String =
+    s"CAST(CASE WHEN $x >= 9223372036854775808::HUGEINT THEN $x - $U64 ELSE $x END AS BIGINT)"
+  /** RollHash64 replay over a string column (ASCII corpus ⇒ codepoints = bytes) */
+  private def rollSql(c: String): String =
+    s"list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      s"[CAST(unicode($c[i]) AS HUGEINT) FOR i IN range(1, length($c) + 1)]), " +
+      s"(a, b) -> (a * 31 + b) % $U64)"
+
+  /** The plane-sign bucket expression as DuckDB SQL over a column named
+    * `emb` (DOUBLE[]): Σᵢ 2ⁱ·[emb·planeᵢ > 0]. Double literals use
+    * shortest-round-trip repr, so both engines see identical planes;
+    * `list_dot_product` and the Spark fold both accumulate sequentially.
+    */
+  private[ops] def bucketSql(planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(emb, $lit) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** D5 — embedding-cosine near-dup: random-hyperplane LSH buckets (sign
     * bits of 4 projections → 16 buckets), within-bucket pairs only, top-10
     * by cosine. The bucket join keeps candidates at ~n²/16 per bucket
@@ -220,5 +258,100 @@ object Dedup {
         | SELECT l.doc_id AS a, r.doc_id AS b, l.grams AS ga, r.grams AS gb
         | FROM g l JOIN g r ON l.lang = r.lang AND l.len_bucket = r.len_bucket
         |  AND l.doc_id < r.doc_id)
-        |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin)
+        |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
+    // full MinHash+LSH replay: shingling, RollHash64, the 32 affine-mix
+    // permutations, band signatures, candidate join, and Jaccard verify —
+    // every step integer-exact mod 2^64, generated with the same constants
+    // the Spark plan compiles in
+    "dedup_minhash_lsh" -> {
+      val numPerm = 32; val bands = 8; val rpb = numPerm / bands
+      val consts = mixConsts(numPerm)
+      val mhSelect = (0 until numPerm).map { i =>
+        val (a, b) = consts(i)
+        val mix = s"((hu * $a::HUGEINT + $b::HUGEINT) % $U64)"
+        s"min(${wrapSql(mix)}) AS mh_$i"
+      }.mkString(",\n  ")
+      val bandSelects = (0 until bands).map { bi =>
+        val elems = (s"$bi::HUGEINT" +:
+          (0 until rpb).map(r => unsignedSql(s"mh_${bi * rpb + r}"))).mkString(", ")
+        val fold = s"list_reduce(list_prepend(1125899906842597::HUGEINT, [$elems]), " +
+          s"(a, b) -> (a * 31 + b) % $U64)"
+        s"SELECT doc_id, $bi AS band, ${wrapSql(fold)} AS sig FROM mh"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH tok AS (
+         | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+         |sh AS (
+         | SELECT doc_id, list_distinct([concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])
+         |   FOR i IN range(1, greatest(len(tokens) - 3, 0) + 2)]) AS shingles
+         | FROM tok),
+         |expl AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |h0 AS (SELECT doc_id, ${rollSql("shingle")} AS hu FROM expl),
+         |mh AS (SELECT doc_id,
+         |  $mhSelect
+         | FROM h0 GROUP BY doc_id),
+         |sigs AS (
+         |  $bandSelects),
+         |cand AS (
+         | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         | FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+         |jac AS (
+         | SELECT c.a, c.b,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |  len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+         |perdoc AS (
+         | SELECT doc_id, count(*) AS n_candidates,
+         |  count(CASE WHEN jaccard >= 0.5 THEN 1 END) AS n_near_dups
+         | FROM (SELECT unnest([a, b]) AS doc_id, jaccard FROM jac) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.n_candidates, 0) AS n_candidates,
+         | coalesce(p.n_near_dups, 0) AS n_near_dups
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    // SimHash replay: per-token RollHash64, signed bit-sums, signature
+    // assembly and the 4×16-bit block index — all integer-exact
+    "dedup_simhash" -> {
+      val bitCols = (0 until 64).map { b =>
+        s"sum(CASE WHEN (hu // ${BigInt(1) << b}::HUGEINT) % 2 = 1 THEN w ELSE -w END) AS bit_$b"
+      }.mkString(",\n  ")
+      val sigTerms = (0 until 64).map { b =>
+        s"(CASE WHEN bit_$b > 0 THEN ${BigInt(1) << b}::HUGEINT ELSE 0::HUGEINT END)"
+      }.mkString(" + ")
+      val blockSelects = (0 until 4).map { i =>
+        s"SELECT doc_id, simhash, $i AS blk, (sigu // ${BigInt(1) << (i * 16)}::HUGEINT) % 65536 AS blk_val FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH tf AS (
+         | SELECT doc_id, token, count(*) AS w FROM (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+         | GROUP BY 1, 2),
+         |hashed AS (SELECT doc_id, w, ${rollSql("token")} AS hu FROM tf),
+         |bits AS (SELECT doc_id,
+         |  $bitCols
+         | FROM hashed GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, ($sigTerms) AS sigu, ${wrapSql(s"($sigTerms)")} AS simhash FROM bits),
+         |blocks AS (
+         |  $blockSelects),
+         |near AS (
+         | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sh_a, r.simhash AS sh_b
+         | FROM blocks l JOIN blocks r ON l.blk = r.blk AND l.blk_val = r.blk_val AND l.doc_id < r.doc_id),
+         |filt AS (SELECT a, b FROM near WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+         |perdoc AS (
+         | SELECT doc_id, count(*) AS n_near_dups
+         | FROM (SELECT unnest([a, b]) AS doc_id FROM filt) GROUP BY 1)
+         |SELECT s.doc_id, s.simhash, coalesce(p.n_near_dups, 0) AS n_near_dups
+         |FROM sigs s LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    // the hyperplanes are deterministic (seeded PRNG compiled into the
+    // plan), so the oracle embeds the same planes as SQL literals and
+    // replays the sign-bucket + within-bucket cosine top-10 exactly
+    "dedup_embedding" -> {
+      val planes = hyperplanes(4, 64)
+      s"""WITH b AS (
+         | SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  ${bucketSql(planes)} AS bucket
+         | FROM embeddings)
+         |SELECT l.vec_id AS a, r.vec_id AS b,
+         | floor(list_cosine_similarity(l.emb, r.emb) * 10000 + 0.5) / 10000 AS cos_sim
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |ORDER BY cos_sim DESC, a, b LIMIT 10""".stripMargin
+    })
 }

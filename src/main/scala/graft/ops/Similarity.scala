@@ -122,5 +122,25 @@ object Similarity {
         |SELECT qid AS query_id, rank, nid AS neighbor_id, floor((cos_sim) * 10000 + 0.5) / 10000 AS cos_sim
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
         |      FROM scored)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // same deterministic hyperplane literals as the Spark plan (see
+    // Dedup.bucketSql); probes search only their own sign-bucket
+    "ann_lsh" -> {
+      val planes = Dedup.hyperplanes(4, 64)
+      s"""WITH b AS (
+         | SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  ${Dedup.bucketSql(planes)} AS bucket
+         | FROM embeddings),
+         |probes AS (
+         | SELECT vec_id AS qid, emb AS q_emb, bucket FROM b WHERE vec_id % 100 = 0),
+         |scored AS (
+         | SELECT p.qid, e.vec_id AS nid,
+         |  list_cosine_similarity(p.q_emb, e.emb) AS cos_sim
+         | FROM b e JOIN probes p USING (bucket) WHERE e.vec_id <> p.qid)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id,
+         | floor((cos_sim) * 10000 + 0.5) / 10000 AS cos_sim
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |      FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable scale-properties audit: these assertions pin the physical
+  * plans to the shapes that survive a 100 TB deployment — filters and
+  * projections reaching the parquet scan, small dimensions broadcast,
+  * whole-stage codegen covering the hot path. A regression here is a
+  * performance bug even when every value is still correct.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  /** Final (post-AQE) plan text only — `toString` appends the pre-AQE
+    * "Initial Plan" section, which would double-count operators.
+    */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q_filter_project pushes predicates and prunes columns at the scan") {
+    val plan = executedPlan("q_filter_project")
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range not pushed to parquet in:\n$plan")
+    // projection pruning: unreferenced lineitem columns must not reach
+    // the scan (the plan text truncates ReadSchema, so check by absence)
+    Seq("l_partkey", "l_suppkey", "l_quantity", "l_tax").foreach { c =>
+      assert(!plan.contains(c), s"scan reads unreferenced column $c — pruning lost")
+    }
+  }
+
+  test("q_join_broadcast broadcasts both dimension tables") {
+    val plan = executedPlan("q_join_broadcast")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast == 2, s"expected 2 broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dimension join fell back to sort-merge in:\n$plan")
+  }
+
+  test("q_multi_join_agg never shuffles the fact on a dimension key") {
+    val plan = executedPlan("q_multi_join_agg")
+    // customer/nation joins must broadcast; the only hash exchanges
+    // allowed are the lineitem⋈orders join key and the final groupBy
+    assert(!"Exchange hashpartitioning\\((c_custkey|c_nationkey|n_nationkey)".r
+      .findFirstIn(plan).isDefined,
+      s"fact shuffled on a dimension key in:\n$plan")
+  }
+
+  test("q_agg_pricing aggregates inside whole-stage codegen") {
+    val plan = executedPlan("q_agg_pricing")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate in:\n$plan")
+    // partial (map-side) aggregation must run before the exchange:
+    // the partial_ functions appear in the pre-shuffle stage
+    assert(plan.contains("partial_sum") || plan.contains("partial_count")
+      || plan.contains("Partial"),
+      s"no map-side partial aggregation in:\n$plan")
+  }
+
+  test("ann_bruteforce keeps the probe side broadcast (no n×n shuffle)") {
+    val plan = executedPlan("ann_bruteforce")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe set not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"ANN fell back to a cartesian shuffle product in:\n$plan")
+  }
+
+  test("dedup_minhash_lsh candidate join is an equi-join on band signatures") {
+    val plan = executedPlan("dedup_minhash_lsh")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation degenerated to a cross product in:\n$plan")
+  }
+}
