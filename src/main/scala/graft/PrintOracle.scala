@@ -6,7 +6,12 @@ package graft
   */
 object PrintOracle {
   def main(args: Array[String]): Unit =
-    args.foreach { name =>
+    if (args.isEmpty || args.sameElements(Array("--stats"))) {
+      val qs = SparkEntry.queries.keySet
+      val os = SparkEntry.oracleSql.keySet
+      println(s"STATS queries=${qs.size} oracled=${os.size}")
+      println(s"STATS rows-only: ${(qs -- os).toSeq.sorted.mkString(", ")}")
+    } else args.foreach { name =>
       println(s"-- $name")
       println(SparkEntry.oracleSql.getOrElse(name, s"(no oracle for $name)"))
       println(";")

@@ -35,6 +35,15 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Columnar ORC round-trip (Spark bundles native ORC support) — the
+    * second columnar interchange format a warehouse migration meets.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Date-partitioned parquet sink: `partitionBy` lands one directory per
     * day so date-filtered reads prune at the file-listing level (the
     * daily-batch layout every large pipeline uses).
@@ -92,6 +101,13 @@ object SourceQueries {
     Sources.readCsv(spark, path, nation.schema).orderBy("n_nationkey")
   }
 
+  def srcOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = Tables.supplier(spark, dir)
+    val path = scratch("orc")
+    Sources.writeOrc(supplier, path)
+    Sources.readOrc(spark, path).orderBy("s_suppkey")
+  }
+
   def srcPartitionedSink(spark: SparkSession, dir: String): DataFrame = {
     val path = scratch("part")
     Sources.writeDatePartitioned(Tables.orders(spark, dir), "o_orderdate", path)
@@ -115,6 +131,7 @@ object SourceQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
+    "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "src_partitioned_sink" -> (srcPartitionedSink _),
     "src_incremental_merge" -> (srcIncrementalMerge _))
 
@@ -130,6 +147,9 @@ object SourceQueries {
     "src_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "src_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "src_partitioned_sink" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS p_date,
         |       COUNT(*) AS n_orders

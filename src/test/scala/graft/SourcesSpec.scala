@@ -35,6 +35,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.schema == nation.schema)
   }
 
+  test("I2b: ORC round-trip preserves every value") {
+    val supplier = graft.tables.Tables.supplier(spark, sf)
+    val path = tmp("orc")
+    Sources.writeOrc(supplier, path)
+    val back = Sources.readOrc(spark, path)
+    assert(back.schema == supplier.schema)
+    assert(back.exceptAll(supplier).isEmpty && supplier.exceptAll(back).isEmpty)
+  }
+
   test("I3: date-partitioned sink prunes partitions on read") {
     val orders = graft.tables.Tables.orders(spark, sf)
     val path = tmp("part")
