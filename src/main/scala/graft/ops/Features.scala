@@ -220,7 +220,27 @@ object Features {
       .orderBy("c_custkey")
   }
 
+  /** B12 — target (mean) encoding: replace a categorical with the mean of
+    * the label within that category. The encoding table is |categories|
+    * rows — a tiny aggregate broadcast back onto the facts, never a
+    * window. Exact across engines: integer label sum / count is a single
+    * double division.
+    */
+  def fTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = broadcast(Tables.customer(spark, dir))
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        (col("o_totalprice") > lit(150000.0)).cast("long").as("label"))
+    val enc = joined.groupBy("c_mktsegment")
+      .agg(r4b(sum("label") / count(lit(1))).as("seg_rate"))
+    joined.join(broadcast(enc), "c_mktsegment")
+      .select(col("o_orderkey"), col("c_mktsegment"), col("label"), col("seg_rate"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_target_encode" -> (fTargetEncode _),
     "f_onehot" -> (fOneHot _),
     "f_null_safe_ratio" -> (fNullSafeRatio _),
     "f_comp_diff" -> (fCompDiff _),
@@ -234,6 +254,17 @@ object Features {
     "f_impute_mean" -> (fImputeMean _))
 
   val oracles: Map[String, String] = Map(
+    "f_target_encode" ->
+      """WITH j AS (
+        | SELECT o_orderkey, c_mktsegment,
+        |  CAST(o_totalprice > 150000.0 AS BIGINT) AS label
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        |enc AS (
+        | SELECT c_mktsegment,
+        |  floor((sum(label)::DOUBLE / count(*)) * 10000 + 0.5) / 10000 AS seg_rate
+        | FROM j GROUP BY 1)
+        |SELECT j.o_orderkey, j.c_mktsegment, j.label, enc.seg_rate
+        |FROM j JOIN enc USING (c_mktsegment) ORDER BY o_orderkey""".stripMargin,
     "f_onehot" ->
       """SELECT c_custkey,
         | CAST(c_mktsegment = 'AUTOMOBILE' AS INTEGER) AS seg_automobile,

@@ -87,6 +87,14 @@ class Relational2Spec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("f_target_encode rates lie in [0,1] with one rate per segment") {
+    val df = graft.ops.Features.fTargetEncode(spark, TestSpark.sf)
+    assert(df.filter(col("seg_rate") < 0 || col("seg_rate") > 1).count() == 0)
+    val perSeg = df.groupBy("c_mktsegment")
+      .agg(countDistinct("seg_rate").as("n")).filter(col("n") =!= 1)
+    assert(perSeg.count() == 0)
+  }
+
   test("f_onehot indicators are exclusive and exhaustive") {
     val df = graft.ops.Features.fOneHot(spark, TestSpark.sf)
     val bad = df.filter(
