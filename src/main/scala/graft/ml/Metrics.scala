@@ -15,7 +15,7 @@ import graft.tables.Tables
   */
 object Metrics {
 
-  private def labeled(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def labeled(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).select(
       col("o_orderkey"),
       col("o_totalprice").as("score"),
