@@ -67,6 +67,25 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** G2b — sessionization through Spark's NATIVE `session_window`
+    * aggregate (the operator the lag-formulation in G2 hand-builds).
+    * One shuffle on the session key; in Structured Streaming the same
+    * expression maintains merging session state with watermark expiry.
+    * Semantics note: session_window is end-exclusive — an event exactly
+    * `gap` after the previous one starts a NEW session (G2's `lag` uses
+    * strict `>`); the oracle mirrors this with `>=` on microseconds.
+    */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), tsCol.as("event_ts"), col("value"))
+      .groupBy(col("user_id"), session_window(col("event_ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.OracleRound.r4b(exactSum8(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** G3 — the Structured Streaming runtime path: file stream over the
     * events parquet → event-time watermark → tumbling window agg →
     * in-memory sink. Returns the sink query name; the caller (test)
@@ -97,13 +116,37 @@ object Events {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
-    "stream_sessionize" -> (streamSessionize _))
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_session_window" -> (streamSessionWindow _))
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n_events, floor((sum(CAST(floor(value * 100000000 + 0.5) AS BIGINT)) / 100000000.0) * 10000 + 0.5) / 10000 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // micros-resolution gap-merge replay; ties in `us` can't straddle a
+    // session boundary (diff 0 < gap), so no tie-break column is needed,
+    // and per-user session starts are ≥30 min apart so the second-level
+    // session_start string is a total order
+    "stream_session_window" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |flagged AS (
+        | SELECT user_id, us, value,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sessioned AS (
+        | SELECT *, sum(new_session) OVER (
+        |   PARTITION BY user_id ORDER BY us
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flagged)
+        |SELECT user_id,
+        | strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | count(*) AS n_events,
+        | floor((sum(CAST(floor(value * 100000000 + 0.5) AS BIGINT)) / 100000000.0) * 10000 + 0.5) / 10000 AS sum_value
+        |FROM sessioned GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,

@@ -33,6 +33,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("G2b: native session_window finds the same number of sessions as the lag formulation") {
+    // boundary semantics differ only when a gap is EXACTLY 30 minutes
+    // (probability ~0 on continuous timestamps) — session counts match
+    val native = Events.streamSessionWindow(spark, sf).count()
+    val lagged = Events.streamSessionize(spark, sf).count()
+    assert(native == lagged)
+  }
+
   test("mm_binary_meta payload size matches n_chars for ascii text") {
     val df = Multimodal.mmBinaryMeta(spark, sf)
     val docs = graft.tables.Tables.documents(spark, sf)
