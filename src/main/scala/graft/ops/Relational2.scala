@@ -138,7 +138,40 @@ object Relational2 {
       .orderBy("o_orderpriority")
   }
 
+  /** A23 — JSON column processing: `events.props` carries a JSON payload
+    * (the API-pull reality the reference ingests, function.py REST
+    * responses). `get_json_object` extracts in-projection — codegen'd,
+    * no UDF, pushdown-friendly — and feeds a normal aggregate.
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** A24 — set operations: INTERSECT / EXCEPT between two extracts (the
+    * re-run reconciliation question: which games appear in both pulls /
+    * only in one). Spark plans both as aggregates+joins, not sorts.
+    */
+  def qIntersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    val e1 = o.filter(col("o_orderkey") % 3 =!= 0)
+    val e2 = o.filter(col("o_orderkey") % 2 === 0)
+    val both = e1.intersect(e2).agg(count(lit(1)).as("n"))
+      .select(lit("both").as("kind"), col("n"))
+    val onlyFirst = e1.exceptAll(e2).agg(count(lit(1)).as("n"))
+      .select(lit("only_first").as("kind"), col("n"))
+    both.unionByName(onlyFirst).orderBy("kind")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> (qJsonExtract _),
+    "q_intersect_except" -> (qIntersectExcept _),
     "q_range_join" -> (qRangeJoin _),
     "q_pivot" -> (qPivot _),
     "q_cube" -> (qCube _),
@@ -146,6 +179,26 @@ object Relational2 {
     "q_join_bucketed" -> (qJoinBucketed _))
 
   val oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type,
+        | count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_intersect_except" ->
+      """SELECT * FROM (
+        | SELECT 'both' AS kind, count(*) AS n FROM (
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+        |  INTERSECT
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0)
+        | UNION ALL
+        | SELECT 'only_first' AS kind, count(*) AS n FROM (
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+        |  EXCEPT ALL
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0))
+        |ORDER BY kind""".stripMargin,
     // epoch_us(ts) truncates exactly like Spark's `ts div 1000` on the
     // nanosecond longs, so the window boundaries agree to the microsecond
     "q_range_join" ->

@@ -87,6 +87,20 @@ class Relational2Spec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("q_json_extract parses every props payload") {
+    val df = Relational2.qJsonExtract(spark, TestSpark.sf)
+    val total = df.agg(sum("n_with_k")).head().getLong(0)
+    assert(total == graft.tables.Tables.events(spark, TestSpark.sf).count())
+  }
+
+  test("q_intersect_except partitions the first extract") {
+    val rows = Relational2.qIntersectExcept(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = graft.tables.Tables.orders(spark, TestSpark.sf)
+    val e1 = o.filter(col("o_orderkey") % 3 =!= 0).count()
+    assert(rows("both") + rows("only_first") == e1)
+  }
+
   test("f_target_encode rates lie in [0,1] with one rate per segment") {
     val df = graft.ops.Features.fTargetEncode(spark, TestSpark.sf)
     assert(df.filter(col("seg_rate") < 0 || col("seg_rate") > 1).count() == 0)
