@@ -3,8 +3,25 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{CosineSim, RollHash64}
+import graft.functions.{Combine64, CosineSim, Mix64, RollHash64}
+
+/** Algebraic simplification over the graft expression domain: chained
+  * affine mixes compose into one. a₂·(a₁·h + b₁) + b₂ ≡ (a₁a₂)·h +
+  * (a₂b₁ + b₂), and because Mix64 is DEFINED on wrapping mod-2⁶⁴
+  * arithmetic, folding the constants with plain Java long multiplication
+  * is exact — no overflow caveat. Collapses re-permuted minhash chains
+  * to a single codegen'd multiply-add per row.
+  */
+object GraftOptimizations extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Mix64(Mix64(h, a1, b1), a2, b2) =>
+        Mix64(h, a1 * a2, a2 * b1 + b2)
+    }
+}
 
 /** SparkSessionExtensions hook: registers the graft native expressions as
   * SQL functions (`graft_cosine`, `graft_rollhash64`) so `spark.sql` /
@@ -25,6 +42,13 @@ object GraftFunctions {
     org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "graft_rollhash64",
       new ExpressionInfo(classOf[RollHash64].getName, "graft_rollhash64"),
       children => RollHash64(children(0)))
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "graft_combine64",
+      new ExpressionInfo(classOf[Combine64].getName, "graft_combine64"),
+      children => Combine64(children(0)))
+    if (!spark.experimental.extraOptimizations.contains(GraftOptimizations)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftOptimizations
+    }
   }
 }
 
@@ -40,5 +64,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollHash64].getName, "graft_rollhash64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollHash64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_combine64"),
+      new ExpressionInfo(classOf[Combine64].getName, "graft_combine64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Combine64(children(0))))
+    // every extension tier: functions (above), optimizer rule, planner
+    // strategy (the custom as-of join node becomes available to ALL
+    // sessions built with these extensions, not just the DataFrame API)
+    ext.injectOptimizerRule(_ => GraftOptimizations)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

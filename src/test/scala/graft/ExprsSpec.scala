@@ -46,8 +46,37 @@ class ExprsSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
-      "graft_rollhash64('abc') h").head()
+      "graft_rollhash64('abc') h, " +
+      "graft_combine64(array(1L, 2L, 3L)) s").head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) != 0L)
+    assert(r.getLong(2) == ((1125899906842597L * 31 + 1) * 31 + 2) * 31 + 3)
+  }
+
+  test("Mix64 wraps like Java long arithmetic") {
+    val (a, b) = (2147483647L, 9007199254740993L)
+    val rows = graft.tables.Tables.documents(spark, sf).limit(20)
+      .select(VectorOps.rollhash64(col("text")).as("h"),
+        VectorOps.mix64(VectorOps.rollhash64(col("text")), a, b).as("m"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == a * r.getLong(0) + b))
+  }
+
+  test("GraftOptimizations collapses chained affine mixes to one") {
+    GraftFunctions.register(spark) // installs the optimizer rule
+    val (a1, b1, a2, b2) = (2654435761L, 11L, 40503L, 7L)
+    val df = graft.tables.Tables.documents(spark, sf).limit(20)
+      .select(VectorOps.rollhash64(col("text")).as("h"))
+      .select(col("h"),
+        VectorOps.mix64(VectorOps.mix64(col("h"), a1, b1), a2, b2).as("m"))
+    val nMix = df.queryExecution.optimizedPlan.collect { case node =>
+      node.expressions.map(_.collect { case m: graft.functions.Mix64 => m }.size).sum
+    }.sum
+    assert(nMix == 1, s"chain not collapsed:\n${df.queryExecution.optimizedPlan}")
+    // and the folded constants are semantically exact (wrapping algebra)
+    df.collect().foreach { r =>
+      val expect = a2 * (a1 * r.getLong(0) + b1) + b2
+      assert(r.getLong(1) == expect)
+    }
   }
 }
