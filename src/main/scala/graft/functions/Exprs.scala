@@ -162,11 +162,14 @@ case class Combine64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_combine64"
 
+  // a null ELEMENT nulls the whole hash (SQL semantics) — silently
+  // hashing nulls as 0 would collide distinct inputs for SQL callers
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     var s = 1125899906842597L
     var i = 0
     while (i < xs.numElements()) {
+      if (xs.isNullAt(i)) return null
       s = 31L * s + xs.getLong(i)
       i += 1
     }
@@ -180,6 +183,7 @@ case class Combine64(child: Expression)
       s"""
          |long $s = 1125899906842597L;
          |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if ($c.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s = 31L * $s + $c.getLong($i);
          |}
          |${ev.value} = $s;

@@ -185,15 +185,15 @@ object Dedup {
   }
 
   // ---- DuckDB replay helpers for the mod-2^64 hash pipeline ----
-  private val U64 = "18446744073709551616::HUGEINT"
+  private[graft] val U64 = "18446744073709551616::HUGEINT"
   /** signed BIGINT → unsigned HUGEINT in [0, 2⁶⁴) */
-  private def unsignedSql(x: String): String =
+  private[graft] def unsignedSql(x: String): String =
     s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $U64 ELSE CAST($x AS HUGEINT) END)"
   /** unsigned HUGEINT in [0, 2⁶⁴) → signed BIGINT (two's-complement wrap) */
-  private def wrapSql(x: String): String =
+  private[graft] def wrapSql(x: String): String =
     s"CAST(CASE WHEN $x >= 9223372036854775808::HUGEINT THEN $x - $U64 ELSE $x END AS BIGINT)"
   /** RollHash64 replay over a string column (ASCII corpus ⇒ codepoints = bytes) */
-  private def rollSql(c: String): String =
+  private[graft] def rollSql(c: String): String =
     s"list_reduce(list_prepend(1125899906842597::HUGEINT, " +
       s"[CAST(unicode($c[i]) AS HUGEINT) FOR i IN range(1, length($c) + 1)]), " +
       s"(a, b) -> (a * 31 + b) % $U64)"

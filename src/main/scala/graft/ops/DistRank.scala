@@ -35,6 +35,13 @@ object DistRank {
       row_number().over(Window.partitionBy("_slice").orderBy(sortCols: _*)))
     val sizes = ranged.groupBy("_slice").count().orderBy("_slice")
       .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // The persist is CORRECTNESS-critical, not an optimization:
+    // RangePartitioner samples its split boundaries per RDD
+    // instantiation, so if `ranged` were recomputed for the caller's
+    // final action it could draw DIFFERENT slice boundaries than the
+    // sizes scan above — and the offsets would no longer match the local
+    // ranks. The cache pins one materialization of the slicing for both
+    // passes; it is bounded by the ranked input's size.
     val offsets = sizes.map(_._1).zip(sizes.map(_._2).scanLeft(0L)(_ + _))
     val result = local
       .join(broadcast(offsets.toSeq.toDF("_slice", "_off")), "_slice")

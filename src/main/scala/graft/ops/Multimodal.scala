@@ -99,26 +99,20 @@ object Multimodal {
         |      ELSE 'small' END AS size_class
         |FROM documents ORDER BY doc_id""".stripMargin,
     // replays the frame slicing + stub byte-hash "decode" in portable SQL
-    // (corpus is ASCII, so string slices == payload byte slices and
-    // codepoints == bytes); proves the mapPartitions plumbing preserves
-    // every sampled frame bit-exactly
+    // (corpus is ASCII, so string slices == payload byte slices); the
+    // hash fold comes from the canonical helpers in [[Dedup]]
     "mm_frame_sample" ->
-      """WITH fr AS (
-        | SELECT doc_id,
-        |  CAST(unnest(range(0, (length(text) - 1) // 64 + 1)) AS INT) AS frame_idx, text
-        | FROM documents),
-        |sampled AS (
-        | SELECT doc_id, frame_idx, substring(text, frame_idx * 64 + 1, 64) AS f
-        | FROM fr WHERE frame_idx % 4 = 0)
-        |SELECT doc_id, frame_idx, CAST(length(f) AS INT) AS frame_size,
-        | CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-        |       THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS feature
-        |FROM (
-        | SELECT doc_id, frame_idx, f,
-        |  list_reduce(
-        |   list_prepend(1125899906842597::HUGEINT,
-        |    [CAST(unicode(f[i]) AS HUGEINT) FOR i IN range(1, length(f) + 1)]),
-        |   (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS h
-        | FROM sampled)
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+      s"""WITH fr AS (
+         | SELECT doc_id,
+         |  CAST(unnest(range(0, (length(text) - 1) // 64 + 1)) AS INT) AS frame_idx, text
+         | FROM documents),
+         |sampled AS (
+         | SELECT doc_id, frame_idx, substring(text, frame_idx * 64 + 1, 64) AS f
+         | FROM fr WHERE frame_idx % 4 = 0)
+         |SELECT doc_id, frame_idx, CAST(length(f) AS INT) AS frame_size,
+         | ${Dedup.wrapSql("h")} AS feature
+         |FROM (
+         | SELECT doc_id, frame_idx, f, ${Dedup.rollSql("f")} AS h
+         | FROM sampled)
+         |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -99,10 +99,13 @@ object Relational2 {
     e.withColumn("r", row_number().over(wOrd))
       .withColumn("n", count(lit(1)).over(wAll))
       .groupBy("event_type")
+      // ceil(q·n) in INTEGER arithmetic — (n·p + 99) div 100 — because
+      // ceil(n * 0.95) in doubles overshoots by one whenever q·n is an
+      // exact integer (0.95 rounds up in binary; n=10000 → rank 9501)
       .agg(
-        max(when(col("r") === ceil(col("n") * lit(0.25)), col("value"))).as("p25"),
-        max(when(col("r") === ceil(col("n") * lit(0.50)), col("value"))).as("p50"),
-        max(when(col("r") === ceil(col("n") * lit(0.95)), col("value"))).as("p95"))
+        max(when(col("r") === expr("(n * 25 + 99) div 100"), col("value"))).as("p25"),
+        max(when(col("r") === expr("(n * 50 + 99) div 100"), col("value"))).as("p50"),
+        max(when(col("r") === expr("(n * 95 + 99) div 100"), col("value"))).as("p95"))
       .orderBy("event_type")
   }
 
@@ -230,9 +233,9 @@ object Relational2 {
         |  count(*) OVER (PARTITION BY event_type) AS n
         | FROM events)
         |SELECT event_type,
-        | max(CASE WHEN r = ceil(n * 0.25) THEN value END) AS p25,
-        | max(CASE WHEN r = ceil(n * 0.50) THEN value END) AS p50,
-        | max(CASE WHEN r = ceil(n * 0.95) THEN value END) AS p95
+        | max(CASE WHEN r = (n * 25 + 99) // 100 THEN value END) AS p25,
+        | max(CASE WHEN r = (n * 50 + 99) // 100 THEN value END) AS p50,
+        | max(CASE WHEN r = (n * 95 + 99) // 100 THEN value END) AS p95
         |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderpriority,

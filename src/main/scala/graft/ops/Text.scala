@@ -172,21 +172,14 @@ object Text {
         | SELECT unnest([substr(text, i::INT, 3) for i in range(1, length(text) - 1)]) AS gram
         | FROM documents)
         |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
-    // replays the native RollHash64 expression (h = 31·h + byte, mod 2^64,
-    // over the whitespace-normalized lowercased text) in portable SQL:
-    // HUGEINT accumulator with explicit mod, signed-wrap to BIGINT at the
-    // end. Corpus is ASCII so codepoints == UTF-8 bytes.
+    // replays the native RollHash64 expression over the whitespace-
+    // normalized lowercased text via the canonical HUGEINT helpers in
+    // [[Dedup]] (one definition of the polynomial across all oracles)
     "text_rollhash" ->
-      """SELECT doc_id,
-        | CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-        |       THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS rollhash
-        |FROM (
-        | SELECT doc_id,
-        |  list_reduce(
-        |   list_prepend(1125899906842597::HUGEINT,
-        |    [CAST(unicode(t[i]) AS HUGEINT) FOR i IN range(1, length(t) + 1)]),
-        |   (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS h
-        | FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
-        |       FROM documents))
-        |ORDER BY doc_id""".stripMargin)
+      s"""SELECT doc_id, ${Dedup.wrapSql("h")} AS rollhash
+         |FROM (
+         | SELECT doc_id, ${Dedup.rollSql("t")} AS h
+         | FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+         |       FROM documents))
+         |ORDER BY doc_id""".stripMargin)
 }

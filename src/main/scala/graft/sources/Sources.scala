@@ -63,6 +63,19 @@ object Sources {
     df.withColumn("_batch_id", lit(batchId))
       .write.mode("append").parquet(path)
 
+  /** Idempotent batch landing: the batch id is a PARTITION and the write
+    * is a dynamic-partition overwrite, so a re-delivered batch replaces
+    * its own partition instead of appending a duplicate copy — the
+    * storage-level exactly-once contract a streaming foreachBatch sink
+    * needs (plain [[appendBatch]] double-counts on retry for any reader
+    * that isn't doing latest-wins dedup).
+    */
+  def upsertBatch(df: DataFrame, path: String, batchId: Long): Unit =
+    df.withColumn("_batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id").parquet(path)
+
   /** Merge-on-read latest-wins view over appended batches: for each key,
     * the row from the highest batch id (the reference's next-day UPDATE
     * expressed as immutable append + window dedup).

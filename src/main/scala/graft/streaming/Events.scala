@@ -195,11 +195,13 @@ object StreamingDedup {
 }
 
 /** G5 — the reference's INSERT-then-UPDATE daily cycle as a streaming
-  * sink: `foreachBatch` lands every micro-batch as an immutable append
-  * (batch id = the stream's epoch), and readers resolve latest-wins
-  * through [[graft.sources.Sources.readLatest]]. Idempotent on retry:
-  * re-delivered batches overwrite themselves (same batch id), never
-  * double-count — the exactly-once pattern for file/JDBC sinks.
+  * sink: `foreachBatch` lands every micro-batch in its own batch-id
+  * partition via a dynamic-partition OVERWRITE
+  * ([[graft.sources.Sources.upsertBatch]]), and readers resolve
+  * latest-wins through [[graft.sources.Sources.readLatest]]. Idempotent
+  * on retry at the STORAGE level: a re-delivered batch replaces its own
+  * partition rather than appending a duplicate, so even raw-path readers
+  * never double-count — the exactly-once pattern for file sinks.
   */
 object StreamingUpsert {
   def run(spark: SparkSession, dir: String, outPath: String): Unit = {
@@ -211,7 +213,7 @@ object StreamingUpsert {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.sources.Sources.appendBatch(batch, outPath, id)
+        graft.sources.Sources.upsertBatch(batch, outPath, id)
       }
       .start()
     try q.processAllAvailable() finally q.stop()

@@ -55,6 +55,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Mix64 is a bijection mod 2^64 for odd multipliers") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.LongType
+    val rnd = new Random(13)
+    (1 to 50).foreach { _ =>
+      val a = rnd.nextInt(Int.MaxValue).toLong | 1L
+      val b = rnd.nextLong()
+      val inputs = Seq.fill(200)(rnd.nextLong()).distinct
+      val outputs = inputs.map { h =>
+        graft.functions.Mix64(Literal(h, LongType), a, b).eval(null).asInstanceOf[Long]
+      }
+      // odd multiplier ⇒ injective mod 2^64: distinct inputs stay distinct
+      assert(outputs.distinct.size == inputs.size)
+      // and eval agrees with plain wrapping arithmetic
+      inputs.zip(outputs).foreach { case (h, o) => assert(o == a * h + b) }
+    }
+  }
+
+  test("Combine64 equals the fold reference and composes with Mix64 algebra") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val rnd = new Random(17)
+    (1 to 200).foreach { _ =>
+      val xs = Array.fill(rnd.nextInt(10))(rnd.nextLong())
+      val got = graft.functions.Combine64(
+        Literal(ArrayData.toArrayData(xs), ArrayType(LongType))).eval(null)
+      val ref = xs.foldLeft(1125899906842597L)((s, x) => 31L * s + x)
+      assert(got == ref)
+      // the GraftOptimizations fold law: a2·(a1·h+b1)+b2 == (a1a2)h + (a2b1+b2)
+      val (a1, b1, a2, b2) = (rnd.nextLong() | 1L, rnd.nextLong(), rnd.nextLong() | 1L, rnd.nextLong())
+      val h = rnd.nextLong()
+      assert(a2 * (a1 * h + b1) + b2 == (a1 * a2) * h + (a2 * b1 + b2))
+    }
+  }
+
   test("CosineSim eval matches a plain-Scala reference on random vectors") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData

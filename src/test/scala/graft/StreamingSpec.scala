@@ -74,11 +74,16 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
-  test("G5: foreachBatch append + latest-wins read equals the source") {
+  test("G5: foreachBatch upsert + latest-wins read equals the source, idempotent on redelivery") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
     graft.streaming.StreamingUpsert.run(spark, sf, out)
-    val merged = graft.sources.Sources.readLatest(spark, out, Seq("event_id"))
+    // simulate batch redelivery: a second uncheckpointed run re-lands the
+    // same batch ids — the dynamic partition overwrite must replace, not
+    // append, so even the RAW path has no duplicates
+    graft.streaming.StreamingUpsert.run(spark, sf, out)
     val src = graft.tables.Tables.events(spark, sf)
+    assert(spark.read.parquet(out).count() == src.count())
+    val merged = graft.sources.Sources.readLatest(spark, out, Seq("event_id"))
     assert(merged.count() == src.count())
     val srcSum = src.agg(sum("event_id")).head().getLong(0)
     val mergedSum = merged.agg(sum("event_id")).head().getLong(0)
