@@ -172,7 +172,25 @@ object Relational2 {
     both.unionByName(onlyFirst).orderBy("kind")
   }
 
+  /** A25 — sliding-frame window: 7-row moving average per supplier (the
+    * rolling form-curve stat every sports model wants). Same single
+    * shuffle as the running frame in A6; the averaged column is integral
+    * (quantities), so sliding-frame incremental add/remove arithmetic is
+    * exact on both engines. Duplicate fact rows are position-
+    * interchangeable: the output multiset is engine-independent.
+    */
+  def qMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        OracleRound.r4b(avg("l_quantity").over(w)).as("qty_ma7"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "qty_ma7")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moving_avg" -> (qMovingAvg _),
     "q_json_extract" -> (qJsonExtract _),
     "q_intersect_except" -> (qIntersectExcept _),
     "q_range_join" -> (qRangeJoin _),
@@ -182,6 +200,14 @@ object Relational2 {
     "q_join_bucketed" -> (qJoinBucketed _))
 
   val oracles: Map[String, String] = Map(
+    "q_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | floor((avg(l_quantity) OVER (
+        |   PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS qty_ma7
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, qty_ma7""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         | count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,

@@ -87,6 +87,15 @@ class Relational2Spec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("q_moving_avg covers every fact row and stays within value bounds") {
+    val df = Relational2.qMovingAvg(spark, TestSpark.sf)
+    val li = graft.tables.Tables.lineitem(spark, TestSpark.sf)
+    assert(df.count() == li.count())
+    val (lo, hi) = (li.agg(min("l_quantity")).head().getDouble(0),
+      li.agg(max("l_quantity")).head().getDouble(0))
+    assert(df.filter(col("qty_ma7") < lo || col("qty_ma7") > hi).count() == 0)
+  }
+
   test("q_json_extract parses every props payload") {
     val df = Relational2.qJsonExtract(spark, TestSpark.sf)
     val total = df.agg(sum("n_with_k")).head().getLong(0)
