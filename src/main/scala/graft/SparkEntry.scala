@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ml.{Metrics, Models}
-import graft.ops.{AsOf, Dedup, DistRank, Features, Multimodal, Relational, Relational2, Similarity, Text}
+import graft.ops.{AsOf, Dedup, DistRank, Features, Multimodal, Pipeline, Relational, Relational2, Similarity, Text}
 import graft.plans.TopK
 import graft.sources.SourceQueries
 import graft.streaming.Events
@@ -17,13 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Relational2.all ++ AsOf.all ++ TopK.all ++ Features.all ++ Models.all ++ Metrics.all ++
-      DistRank.all ++ Dedup.all ++ Similarity.all ++ Text.all ++ Events.all ++ Multimodal.all ++
+      DistRank.all ++ Dedup.all ++ Pipeline.all ++ Similarity.all ++ Text.all ++ Events.all ++ Multimodal.all ++
       SourceQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ AsOf.oracles ++ TopK.oracles ++ Features.oracles ++ Models.oracles ++ Metrics.oracles ++
-      DistRank.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Text.oracles ++ Events.oracles ++ Multimodal.oracles ++
+      DistRank.oracles ++ Dedup.oracles ++ Pipeline.oracles ++ Similarity.oracles ++ Text.oracles ++ Events.oracles ++ Multimodal.oracles ++
       SourceQueries.oracles
 }

@@ -38,21 +38,12 @@ object Dedup {
           |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
         .as("shingles"))
 
-  /** D2 — MinHash + LSH near-dup detection.
-    *
-    * shingle → 32 minhashes (one xxhash64 per shingle, remixed by 32
-    * universal-hash permutations, min per doc) → 8 bands × 4 rows →
-    * band-signature bucket join for candidate pairs → exact
-    * shingle-Jaccard verify (≥ 0.5) on candidates only.
-    * Output: per-doc candidate/near-dup counts (covers every doc, so the
-    * result is non-empty even on a dup-free corpus).
-    *
-    * Scale: the exploded (doc × shingle × perm) stream partial-aggregates
-    * map-side to 32 longs per doc before the shuffle; candidate pairs are
-    * bounded by band-bucket collisions, not n².
+  /** The candidate-pair + Jaccard-verify core of D2, exposed so composite
+    * pipelines (see [[Pipeline]]) can reuse the LSH machinery: returns
+    * (a, b, jaccard) for every band-colliding doc pair, a < b.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String,
-                      numPerm: Int = 32, bands: Int = 8): DataFrame = {
+  def minhashCandidatePairs(spark: SparkSession, dir: String,
+                            numPerm: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerm / bands
     // shingle arrays are reused three times (minhash, two verify joins) —
     // persist so the text→shingle work runs once
@@ -82,12 +73,28 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "sig"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val withSets = candidates
+    candidates
       .join(docs.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
       .join(docs.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
       .select(col("a"), col("b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** D2 — MinHash + LSH near-dup detection.
+    *
+    * shingle → 32 minhashes → 8 bands × 4 rows → band-signature bucket
+    * join for candidate pairs ([[minhashCandidatePairs]]) → exact
+    * shingle-Jaccard verify (≥ 0.5). Output: per-doc candidate/near-dup
+    * counts (covers every doc, so the result is non-empty even on a
+    * dup-free corpus).
+    *
+    * Scale: the exploded (doc × shingle × perm) stream partial-aggregates
+    * map-side to 32 longs per doc before the shuffle; candidate pairs are
+    * bounded by band-bucket collisions, not n².
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val withSets = minhashCandidatePairs(spark, dir)
     val perDoc = withSets.select(explode(array(col("a"), col("b"))).as("doc_id"), col("jaccard"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_candidates"),
@@ -198,6 +205,49 @@ object Dedup {
       s"[CAST(unicode($c[i]) AS HUGEINT) FOR i IN range(1, length($c) + 1)]), " +
       s"(a, b) -> (a * 31 + b) % $U64)"
 
+  /** The full MinHash-LSH candidate+verify replay as a WITH-clause body
+    * ending in `jac(a, b, jaccard)` — the SQL twin of
+    * [[minhashCandidatePairs]], shared by the D2 oracle and the
+    * composite-pipeline oracle.
+    */
+  private[graft] lazy val minhashJacCtes: String = {
+    val numPerm = 32; val bands = 8; val rpb = numPerm / bands
+    val consts = mixConsts(numPerm)
+    val mhSelect = (0 until numPerm).map { i =>
+      val (a, b) = consts(i)
+      val mix = s"((hu * $a::HUGEINT + $b::HUGEINT) % $U64)"
+      s"min(${wrapSql(mix)}) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until bands).map { bi =>
+      val elems = (s"$bi::HUGEINT" +:
+        (0 until rpb).map(r => unsignedSql(s"mh_${bi * rpb + r}"))).mkString(", ")
+      val fold = s"list_reduce(list_prepend(1125899906842597::HUGEINT, [$elems]), " +
+        s"(a, b) -> (a * 31 + b) % $U64)"
+      s"SELECT doc_id, $bi AS band, ${wrapSql(fold)} AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""tok AS (
+       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+       |sh AS (
+       | SELECT doc_id, list_distinct([concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])
+       |   FOR i IN range(1, greatest(len(tokens) - 3, 0) + 2)]) AS shingles
+       | FROM tok),
+       |expl AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |h0 AS (SELECT doc_id, ${rollSql("shingle")} AS hu FROM expl),
+       |mh AS (SELECT doc_id,
+       |  $mhSelect
+       | FROM h0 GROUP BY doc_id),
+       |sigs AS (
+       |  $bandSelects),
+       |cand AS (
+       | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       | FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+       |jac AS (
+       | SELECT c.a, c.b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |  len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+       | FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)""".stripMargin
+  }
+
   /** The plane-sign bucket expression as DuckDB SQL over a column named
     * `emb` (DOUBLE[]): Σᵢ 2ⁱ·[emb·planeᵢ > 0]. Double literals use
     * shortest-round-trip repr, so both engines see identical planes;
@@ -263,50 +313,15 @@ object Dedup {
     // permutations, band signatures, candidate join, and Jaccard verify —
     // every step integer-exact mod 2^64, generated with the same constants
     // the Spark plan compiles in
-    "dedup_minhash_lsh" -> {
-      val numPerm = 32; val bands = 8; val rpb = numPerm / bands
-      val consts = mixConsts(numPerm)
-      val mhSelect = (0 until numPerm).map { i =>
-        val (a, b) = consts(i)
-        val mix = s"((hu * $a::HUGEINT + $b::HUGEINT) % $U64)"
-        s"min(${wrapSql(mix)}) AS mh_$i"
-      }.mkString(",\n  ")
-      val bandSelects = (0 until bands).map { bi =>
-        val elems = (s"$bi::HUGEINT" +:
-          (0 until rpb).map(r => unsignedSql(s"mh_${bi * rpb + r}"))).mkString(", ")
-        val fold = s"list_reduce(list_prepend(1125899906842597::HUGEINT, [$elems]), " +
-          s"(a, b) -> (a * 31 + b) % $U64)"
-        s"SELECT doc_id, $bi AS band, ${wrapSql(fold)} AS sig FROM mh"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH tok AS (
-         | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
-         |sh AS (
-         | SELECT doc_id, list_distinct([concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])
-         |   FOR i IN range(1, greatest(len(tokens) - 3, 0) + 2)]) AS shingles
-         | FROM tok),
-         |expl AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-         |h0 AS (SELECT doc_id, ${rollSql("shingle")} AS hu FROM expl),
-         |mh AS (SELECT doc_id,
-         |  $mhSelect
-         | FROM h0 GROUP BY doc_id),
-         |sigs AS (
-         |  $bandSelects),
-         |cand AS (
-         | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         | FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
-         |jac AS (
-         | SELECT c.a, c.b,
-         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |  len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
-         | FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b),
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashJacCtes,
          |perdoc AS (
          | SELECT doc_id, count(*) AS n_candidates,
          |  count(CASE WHEN jaccard >= 0.5 THEN 1 END) AS n_near_dups
          | FROM (SELECT unnest([a, b]) AS doc_id, jaccard FROM jac) GROUP BY 1)
          |SELECT d.doc_id, coalesce(p.n_candidates, 0) AS n_candidates,
          | coalesce(p.n_near_dups, 0) AS n_near_dups
-         |FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id""".stripMargin
-    },
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id""".stripMargin,
     // SimHash replay: per-token RollHash64, signed bit-sums, signature
     // assembly and the 4×16-bit block index — all integer-exact
     "dedup_simhash" -> {
@@ -354,4 +369,48 @@ object Dedup {
          |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
          |ORDER BY cos_sim DESC, a, b LIMIT 10""".stripMargin
     })
+}
+
+/** D6 — the operators composed into the actual corpus-cleaning flow a
+  * training-data pipeline runs: quality gate → exact dedup → near-dup
+  * removal. Demonstrates that the pieces compose into one declarative
+  * plan (Catalyst sees the whole flow; nothing materializes between
+  * stages) and stays fully DuckDB-replayable end to end.
+  *
+  * Near-dup policy is single-pass canonical-min: a doc is dropped iff
+  * some SMALLER exact-dedup survivor is ≥0.5-Jaccard similar — a
+  * non-iterative, deterministic rule (full transitive clustering would
+  * need connected components; at 100 TB that's an iterative
+  * GraphFrames/Pregel job bolted onto the same candidate pairs).
+  */
+object Pipeline {
+
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val quality = Tables.documents(spark, dir).filter(col("n_chars") >= 100)
+    val exact = quality.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val nearPairs = Dedup.minhashCandidatePairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+    val removal = nearPairs
+      .join(exact.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+      .join(exact.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .select(col("b").as("doc_id")).distinct()
+    exact.join(removal, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_pipeline" -> (corpusClean _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_pipeline" ->
+      s"""WITH ${Dedup.minhashJacCtes},
+         |quality AS (SELECT doc_id, text FROM documents WHERE n_chars >= 100),
+         |exact AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+         |removal AS (
+         | SELECT DISTINCT j.b AS doc_id FROM jac j
+         | JOIN exact ea ON ea.doc_id = j.a
+         | JOIN exact eb ON eb.doc_id = j.b
+         | WHERE j.jaccard >= 0.5)
+         |SELECT e.doc_id FROM exact e LEFT JOIN removal r ON e.doc_id = r.doc_id
+         |WHERE r.doc_id IS NULL ORDER BY e.doc_id""".stripMargin)
 }

@@ -19,6 +19,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(copies == nDocs)
   }
 
+  test("dedup_pipeline output is a quality-filtered, dedup-consistent subset") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Pipeline.corpusClean(spark, sf)
+    val docs = graft.tables.Tables.documents(spark, sf)
+    assert(out.count() > 0)
+    // every survivor passed the quality gate
+    val badLen = out.join(docs, "doc_id").filter(col("n_chars") < 100).count()
+    assert(badLen == 0)
+    // no two survivors are ≥0.5-Jaccard near-dups
+    val pairs = graft.ops.Dedup.minhashCandidatePairs(spark, sf)
+      .filter(col("jaccard") >= 0.5)
+    val survPairs = pairs
+      .join(out.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+      .join(out.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .count()
+    assert(survPairs == 0, s"$survPairs near-dup pairs survived")
+  }
+
   test("dedup_minhash_lsh covers every doc and counts are sane") {
     val df = Dedup.dedupMinhashLsh(spark, sf)
     assert(df.count() == nDocs)
