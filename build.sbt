@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// CRITICAL for the driver's bench gate: without this, sbt logs the forked
+// process's stdout through its logger, prefixing every line with "[info] "
+// — and the driver then fails to find/parse the one-line bench JSON
+// (BENCH_r01/r02 both recorded parsed:null). StdoutOutput inherits the
+// parent's stdout/stderr so graft.Bench's println reaches the driver raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
