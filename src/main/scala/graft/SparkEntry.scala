@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ml.{Metrics, Models}
-import graft.ops.{AsOf, Dedup, DistRank, Features, Multimodal, Pipeline, Relational, Relational2, Similarity, Text}
+import graft.ml.{Metrics, Models, NaiveBayes}
+import graft.ops.{AsOf, Dedup, DistRank, Features, Features2, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, Text, Text2}
 import graft.plans.TopK
 import graft.sources.SourceQueries
 import graft.streaming.Events
@@ -16,14 +16,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ Relational2.all ++ AsOf.all ++ TopK.all ++ Features.all ++ Models.all ++ Metrics.all ++
-      DistRank.all ++ Dedup.all ++ Pipeline.all ++ Similarity.all ++ Text.all ++ Events.all ++ Multimodal.all ++
-      SourceQueries.all
+    Relational.all ++ Relational2.all ++ Relational3.all ++ AsOf.all ++ TopK.all ++ Features.all ++
+      Features2.all ++ Models.all ++ Metrics.all ++ NaiveBayes.all ++
+      DistRank.all ++ Dedup.all ++ Pipeline.all ++ Similarity.all ++ Text.all ++ Text2.all ++ Events.all ++
+      Multimodal.all ++ SourceQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Relational2.oracles ++ AsOf.oracles ++ TopK.oracles ++ Features.oracles ++ Models.oracles ++ Metrics.oracles ++
-      DistRank.oracles ++ Dedup.oracles ++ Pipeline.oracles ++ Similarity.oracles ++ Text.oracles ++ Events.oracles ++ Multimodal.oracles ++
-      SourceQueries.oracles
+    Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ AsOf.oracles ++ TopK.oracles ++
+      Features.oracles ++ Features2.oracles ++ Models.oracles ++ Metrics.oracles ++ NaiveBayes.oracles ++
+      DistRank.oracles ++ Dedup.oracles ++ Pipeline.oracles ++ Similarity.oracles ++ Text.oracles ++
+      Text2.oracles ++ Events.oracles ++ Multimodal.oracles ++ SourceQueries.oracles
 }

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Relational extensions (round 3) — SURVEY.md §2.A (A26-A30).
+  *
+  * Completes the reporting/temporal surface: explicit GROUPING SETS,
+  * salted skew joins (the 100 TB answer when one key dominates), per-key
+  * lead/lag gap analysis, a zero-filled date spine, and SCD-2 interval
+  * construction from event snapshots (the "UPDATE winning_team next day"
+  * lifecycle, reference function.py:462-539, expressed as immutable
+  * validity intervals).
+  */
+object Relational3 {
+
+  /** A26 — GROUPING SETS: the explicit-sets generalization of A10/A20
+    * (rollup/cube). One pass, Expand handles the set multiplication
+    * map-side before the single hash aggregate — never k scans. Revenue
+    * flows as exact integer cents (order-independent partial merges).
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty[Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("revenue"))
+      .orderBy("status", "priority")
+
+  /** A27 — salted skew join: when one join key holds a disproportionate
+    * share of the probe rows, a plain hash join lands that key on a single
+    * reducer and the stage runs at the speed of its hottest partition.
+    * Salting splits each probe key into S deterministic sub-keys and
+    * replicates the build side S× — the hot key now spreads over S
+    * reducers. Result is bit-identical to the plain join (the oracle IS
+    * the plain join); AQE skew-split is the automatic variant, this is the
+    * explicit one that also works mid-pipeline where AQE can't re-split.
+    * S=4 here; at 100 TB S scales with the observed skew factor.
+    */
+  def qSkewSaltJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 4
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        // deterministic salt — any per-row value works; pmod keeps it in [0, S)
+        pmod(col("l_linenumber"), lit(salts)).as("salt"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .crossJoin(spark.range(salts).select(col("id").cast("int").as("salt")))
+    li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")) / 10000.0).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** A28 — lead/lag gap analysis: time between consecutive events per
+    * user (inter-arrival stats — the "days since last game" family of
+    * features). Single shuffle on user_id; microsecond integer arithmetic
+    * end to end (events.ts is nanos-as-long; μs is the finest resolution
+    * every engine preserves — see A18). Sort key (us, event_id) is total.
+    */
+  def qLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap")).as("n_gaps"),
+        sum("gap").as("sum_gap_us"),
+        max("gap").as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
+  /** A29 — date spine: zero-filled daily counts over the full [min, max]
+    * order-date range (reporting needs every day present, including the
+    * days with no games). The spine comes from `sequence()` over the
+    * 1-row min/max aggregate — a few thousand rows regardless of fact
+    * size, so the left join broadcasts the counts side is wrong-way-
+    * round; instead the tiny spine broadcasts and the big side was
+    * already reduced to per-day counts by the aggregate. No driver-side
+    * date loop.
+    */
+  def qDateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("d"))
+    val spine = days.agg(min("d").as("dmin"), max("d").as("dmax"))
+      .select(explode(expr("sequence(dmin, dmax, interval 1 day)")).as("d"))
+    val counts = days.groupBy("d").agg(count(lit(1)).as("n_orders"))
+    spine.join(counts, Seq("d"), "left")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("day")
+  }
+
+  /** A30 — SCD-2 interval build: collapse each user's event stream into
+    * state-change rows with [valid_from, valid_to) validity intervals
+    * (valid_to null = current). This is the immutable-history answer to
+    * the reference's in-place UPDATE lifecycle: instead of mutating the
+    * row, append the new state and derive intervals declaratively.
+    * Gaps-and-islands via lag-filter + lead — one shuffle on user_id,
+    * both windows share the partitioning.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state"), expr("ts div 1000").as("us"))
+      .withColumn("prev_state", lag("state", 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+    changes
+      .withColumn("valid_to_us", lead("us", 1).over(w))
+      .select(col("user_id"), col("state"), col("us").as("valid_from_us"),
+        col("valid_to_us"), col("event_id"))
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_skew_salt_join" -> (qSkewSaltJoin _),
+    "q_lead_lag" -> (qLeadLag _),
+    "q_date_spine" -> (qDateSpine _),
+    "q_scd2" -> (qScd2 _))
+
+  val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin,
+    // the oracle is the UNSALTED join — salting must be result-invisible
+    "q_skew_salt_join" ->
+      """SELECT o_orderpriority,
+        | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_lead_lag" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        | FROM events)
+        |SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+        | CAST(sum(gap) AS BIGINT) AS sum_gap_us, max(gap) AS max_gap_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_date_spine" ->
+      """WITH b AS (
+        | SELECT min(o_orderdate::DATE) AS dmin, max(o_orderdate::DATE) AS dmax FROM orders),
+        |spine AS (
+        | SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS d FROM b),
+        |c AS (
+        | SELECT o_orderdate::DATE AS d, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT strftime(spine.d, '%Y-%m-%d') AS day, coalesce(c.n_orders, 0) AS n_orders
+        |FROM spine LEFT JOIN c ON spine.d = c.d
+        |ORDER BY day""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS us,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_state
+        | FROM events),
+        |changes AS (
+        | SELECT * FROM e WHERE prev_state IS NULL OR prev_state <> state)
+        |SELECT user_id, state, us AS valid_from_us,
+        | lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+        | event_id
+        |FROM changes
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin)
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Text-analysis extensions (round 3) — SURVEY.md §2.F (F6).
+  *
+  * TF-IDF term salience per document — the last classic corpus statistic
+  * missing from §2.F (token counts F1, quality F2, lang-id F3,
+  * fingerprints F4, corpus n-grams F5).
+  */
+object Text2 {
+
+  /** F6 — top-3 salient terms per document by quantized TF-IDF.
+    *
+    * Salience is tf·(N/df) quantized to the integer `(tf·10⁶·N) div df`
+    * instead of tf·ln(N/df): inside one document the log is a monotone
+    * transform of N/df, so the per-doc ranking is identical — and integer
+    * arithmetic is exactly replayable cross-engine, where `ln` differs in
+    * the last ulp between libm implementations (same reasoning as the
+    * integer rank arithmetic in A21). Ties broken by term asc.
+    *
+    * Plan shape: explode → two partial-aggregated shuffles (tf on
+    * (doc, term), df on term — AQE handles stopword skew) → broadcast of
+    * the 1-row corpus count → per-doc top-k window. At 100 TB the window
+    * would swap for the k-bounded TopK aggregator (A17); here per-doc
+    * term counts are small enough that the window is the clearer plan.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(tot))
+      .withColumn("tfidf_q", expr("(tf * 1000000 * n_total) div df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf_q").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("doc_id", "term", "tf", "df", "tfidf_q")
+      .orderBy(col("doc_id"), col("tfidf_q").desc, col("term"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _))
+
+  val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        | FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+        |  CAST(df.df AS BIGINT) AS df,
+        |  CAST((tf.tf * 1000000 * t.n_total) // df.df AS BIGINT) AS tfidf_q
+        | FROM tf JOIN df USING (term) CROSS JOIN tot t)
+        |SELECT doc_id, term, tf, df, tfidf_q FROM (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_q DESC, term) AS rn
+        | FROM scored)
+        |WHERE rn <= 3
+        |ORDER BY doc_id, tfidf_q DESC, term""".stripMargin)
+}
