@@ -194,6 +194,64 @@ object StreamingDedup {
   }
 }
 
+/** G6 — stream-stream interval join: the streaming twin of A18's range
+  * join. Each `error` event joins the same user's `click` events from the
+  * preceding 5 minutes. Both sides carry event-time watermarks and the
+  * join condition bounds click-time relative to error-time, so Spark can
+  * expire both state stores as the watermark advances — the state never
+  * grows beyond watermark + interval. Append mode: a pair is emitted once
+  * its match window can no longer change. The test drains complete input
+  * and compares the emitted pair set against the batch join.
+  */
+object StreamStreamJoin {
+  def start(spark: SparkSession, dir: String,
+            queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = Tables.events(spark, dir).schema
+    def src = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("event_id"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 hours")
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", "2 hours")
+    errors.join(clicks,
+        expr("""c_user = e_user AND
+                c_ts >= e_ts - interval 5 minutes AND
+                c_ts < e_ts"""))
+      .select(col("e_id"), col("c_id"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+  }
+
+  /** Batch formulation of the same join for equivalence testing. */
+  def batch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+    errors.join(clicks,
+        col("c_user") === col("e_user") &&
+          col("c_ts") >= col("e_ts") - expr("interval 5 minutes") &&
+          col("c_ts") < col("e_ts"))
+      .select(col("e_id"), col("c_id"))
+  }
+}
+
 /** G5 — the reference's INSERT-then-UPDATE daily cycle as a streaming
   * sink: `foreachBatch` lands every micro-batch in its own batch-id
   * partition via a dynamic-partition OVERWRITE

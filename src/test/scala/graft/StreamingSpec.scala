@@ -95,6 +95,18 @@ class StatefulStreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
+  test("G6: stream-stream interval join emits exactly the batch join's pairs") {
+    val q = graft.streaming.StreamStreamJoin.start(spark, sf, "stream_join_sink")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT e_id, c_id FROM stream_join_sink")
+      val batch = graft.streaming.StreamStreamJoin.batch(spark, sf)
+      assert(streamed.count() > 0, "join emitted nothing")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream-stream join pairs != batch join pairs")
+    } finally q.stop()
+  }
+
   test("G3b: flatMapGroupsWithState sessionization matches batch sessions") {
     import org.apache.spark.sql.functions._
     val q = graft.streaming.StatefulSessionize.start(spark, sf, "stateful_sess_sink")
