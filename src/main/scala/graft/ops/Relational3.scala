@@ -124,7 +124,36 @@ object Relational3 {
       .orderBy("user_id", "valid_from_us", "event_id")
   }
 
+  /** A31 — bloom-filter pre-join: semi-join lineitem to the urgent
+    * orders, with a bloom filter built over the dim keys and applied to
+    * the fact BEFORE the join shuffle. At 100 TB this is the difference
+    * between shuffling the full fact table and shuffling only the ~1/5
+    * that can possibly match: the filter is a few MB regardless of fact
+    * size, false positives are removed by the exact semi join that
+    * follows, so the result is exactly the plain semi join (the oracle).
+    * Catalyst's runtime row-level filtering injects this pattern for
+    * joins it can see; the explicit form works mid-pipeline too. The
+    * single-row driver collect is the bloom binary itself (same tiny-
+    * broadcast budget as C3's centroids).
+    */
+  def qBloomPrejoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bloom
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val bloomBytes = dim.agg(Bloom.bloomAgg(col("o_orderkey")).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    Tables.lineitem(spark, dir)
+      .filter(Bloom.mightContain(lit(bloomBytes), col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_prejoin" -> (qBloomPrejoin _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_skew_salt_join" -> (qSkewSaltJoin _),
     "q_lead_lag" -> (qLeadLag _),
@@ -132,6 +161,15 @@ object Relational3 {
     "q_scd2" -> (qScd2 _))
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the plain semi join — the bloom pre-filter must be
+    // result-invisible (false positives all die in the exact join)
+    "q_bloom_prejoin" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        | SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,

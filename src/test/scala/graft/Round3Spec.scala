@@ -110,6 +110,26 @@ class Round3Spec extends AnyFunSuite {
     t.unpersist()
   }
 
+  test("q_bloom_prejoin: equals the plain semi join, and the bloom actually prunes") {
+    import graft.tables.Tables
+    import graft.functions.Bloom
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val plain = Tables.lineitem(spark, sf)
+      .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+    val bloomed = Relational3.qBloomPrejoin(spark, sf)
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+    // the pre-filter must prune most non-matching fact rows (~4/5 here);
+    // generous bound to stay robust to bloom false-positive rates
+    val bloomBytes = dim.agg(Bloom.bloomAgg(col("o_orderkey")).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val li = Tables.lineitem(spark, sf)
+    val kept = li.filter(Bloom.mightContain(lit(bloomBytes), col("l_orderkey"))).count()
+    assert(kept < li.count() * 2 / 3, s"bloom kept $kept of ${li.count()} rows")
+  }
+
   test("q_percentile_disc and f_robust_scale agree on p25/p50") {
     // both derive the same discrete quantiles — cross-check the cut tables
     val pd = Relational2.qPercentileDisc(spark, sf)
