@@ -52,9 +52,29 @@ object Features2 {
       .orderBy("c_custkey")
   }
 
+  /** B15 — deterministic stratified sample: the k=20 docs per language
+    * with the smallest multiplicative key hash (Knuth 2654435761 mod
+    * 2³²). Balanced class subsampling for training data that is (a)
+    * reproducible across engines/runs — no RNG, the "random" order is a
+    * pure function of the key — and (b) scalable: per-group top-k by
+    * hash, the same bounded-buffer shape as A17 (window here; the TopK
+    * aggregator at 100 TB). Integer arithmetic end to end.
+    */
+  def fStratifiedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val h = expr("(doc_id * 2654435761) % 4294967296")
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("doc_id", "lang", "h")
+      .orderBy("lang", "h", "doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f_robust_scale" -> (fRobustScale _),
-    "f_count_encode" -> (fCountEncode _))
+    "f_count_encode" -> (fCountEncode _),
+    "f_stratified_sample" -> ((s: SparkSession, d: String) => fStratifiedSample(s, d)))
 
   val oracles: Map[String, String] = Map(
     "f_robust_scale" ->
@@ -73,6 +93,15 @@ object Features2 {
         | floor(((e.value - c.p50) / (c.p75 - c.p25)) * 10000 + 0.5) / 10000 AS value_robust
         |FROM events e JOIN cuts c USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+    "f_stratified_sample" ->
+      """WITH h AS (
+        | SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h
+        | FROM documents),
+        |ranked AS (
+        | SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        | FROM h)
+        |SELECT doc_id, lang, CAST(h AS BIGINT) AS h FROM ranked
+        |WHERE rn <= 20 ORDER BY lang, h, doc_id""".stripMargin,
     "f_count_encode" ->
       """WITH freq AS (
         | SELECT c_mktsegment, count(*) AS seg_n FROM customer GROUP BY 1)

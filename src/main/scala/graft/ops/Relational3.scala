@@ -152,7 +152,36 @@ object Relational3 {
       .orderBy("l_returnflag")
   }
 
+  /** A32 — the SQL-string surface: the same Catalyst engine through
+    * `spark.sql` over temp views (TPC-H Q3 shape adapted to this schema:
+    * segment-filtered unshipped-revenue top-10). A user of the
+    * reference's raw-SQL workflow ports queries verbatim; DataFrame and
+    * SQL formulations compile to identical plans, so everything §5 says
+    * about pushdown/broadcast applies unchanged. `TakeOrderedAndProject`
+    * handles the global top-10 without a full sort.
+    */
+  def qSqlApi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      """SELECT o_orderkey,
+        | date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+        | o_orderpriority,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM v_customer
+        |JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < CAST('1998-01-01' AS TIMESTAMP)
+        |  AND l_shipdate > CAST('1998-01-01' AS TIMESTAMP)
+        |GROUP BY o_orderkey, orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_api" -> (qSqlApi _),
     "q_bloom_prejoin" -> (qBloomPrejoin _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_skew_salt_join" -> (qSkewSaltJoin _),
@@ -161,6 +190,20 @@ object Relational3 {
     "q_scd2" -> (qScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_api" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | o_orderpriority,
+        | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < CAST('1998-01-01' AS TIMESTAMP)
+        |  AND l_shipdate > CAST('1998-01-01' AS TIMESTAMP)
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
     // the oracle is the plain semi join — the bloom pre-filter must be
     // result-invisible (false positives all die in the exact join)
     "q_bloom_prejoin" ->

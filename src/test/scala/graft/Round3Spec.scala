@@ -130,6 +130,36 @@ class Round3Spec extends AnyFunSuite {
     assert(kept < li.count() * 2 / 3, s"bloom kept $kept of ${li.count()} rows")
   }
 
+  test("f_stratified_sample: exactly k per class (or the whole class), deterministic") {
+    val s1 = Features2.fStratifiedSample(spark, sf)
+    val s2 = Features2.fStratifiedSample(spark, sf)
+    val classSizes = graft.tables.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    classSizes.foreach { case (lang, n) =>
+      assert(sampled(lang) == math.min(20L, n), s"$lang: ${sampled.get(lang)}")
+    }
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
+  test("q_sql_api: SQL-string formulation matches the DataFrame formulation") {
+    import graft.tables.Tables
+    val sql = Relational3.qSqlApi(spark, sf)
+    val df = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("c_mktsegment") === "BUILDING" &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+    assert(sql.collect().map(_.toSeq).sameElements(df.collect().map(_.toSeq)))
+  }
+
   test("q_percentile_disc and f_robust_scale agree on p25/p50") {
     // both derive the same discrete quantiles — cross-check the cut tables
     val pd = Relational2.qPercentileDisc(spark, sf)
