@@ -160,6 +160,37 @@ class Round3Spec extends AnyFunSuite {
     assert(sql.collect().map(_.toSeq).sameElements(df.collect().map(_.toSeq)))
   }
 
+  test("q_dq_checks: planted dupes detected, clean constraints report zero") {
+    import graft.ops.Quality
+    val checks = Quality.qDqChecks(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(checks.size == 6)
+    // the generator plants duplicate (l_orderkey, l_linenumber) rows
+    assert(checks("lineitem_duplicate_line") > 0)
+    // quantities are generated in [1, 50] and totals are positive
+    assert(checks("lineitem_qty_out_of_range") == 0)
+    assert(checks("orders_nonpositive_total") == 0)
+  }
+
+  test("q_forward_fill: no null after first valid reading, values carried verbatim") {
+    import graft.ops.Quality
+    val ff = Quality.qForwardFill(spark, sf)
+    // once a reading exists for a user, reading_filled is never null again
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bad = ff.withColumn("seen", count("reading").over(w))
+      .filter(col("seen") > 0 && col("reading_filled").isNull)
+    assert(bad.isEmpty)
+    // non-gap rows pass their own reading through unchanged
+    assert(ff.filter(col("reading").isNotNull &&
+      col("reading_filled") =!= col("reading")).isEmpty)
+    // filled values only ever come from the reading domain
+    val domain = ff.select(col("reading")).na.drop().distinct()
+    val filled = ff.select(col("reading_filled").as("reading")).na.drop().distinct()
+    assert(filled.exceptAll(domain).isEmpty)
+  }
+
   test("q_percentile_disc and f_robust_scale agree on p25/p50") {
     // both derive the same discrete quantiles — cross-check the cut tables
     val pd = Relational2.qPercentileDisc(spark, sf)
