@@ -191,6 +191,27 @@ class Round3Spec extends AnyFunSuite {
     assert(filled.exceptAll(domain).isEmpty)
   }
 
+  test("q_rank_funcs: ranks span [0,1], quartiles balanced within 1") {
+    import graft.ops.Relational4
+    val r = Relational4.qRankFuncs(spark, sf)
+    val g = r.groupBy("o_orderpriority")
+      .agg(min("pct_rank").as("lo"), max("pct_rank").as("hi"), max("cume").as("cd"))
+    assert(g.filter(col("lo") =!= 0.0 || col("hi") =!= 1.0 || col("cd") =!= 1.0).isEmpty)
+    val q = r.groupBy("o_orderpriority", "quartile").count()
+      .groupBy("o_orderpriority").agg((max("count") - min("count")).as("spread"))
+    assert(q.filter(col("spread") > 1).isEmpty)
+  }
+
+  test("q_histogram: counts partition the table, bounds inside the bucket") {
+    import graft.ops.Relational4
+    val h = Relational4.qHistogram(spark, sf)
+    assert(h.agg(sum("n")).head.getLong(0) ==
+      graft.tables.Tables.orders(spark, sf).count())
+    val bad = h.filter(col("min_cents") < col("bucket") * 2000000L ||
+      col("max_cents") >= (col("bucket") + 1) * 2000000L)
+    assert(bad.isEmpty)
+  }
+
   test("q_percentile_disc and f_robust_scale agree on p25/p50") {
     // both derive the same discrete quantiles — cross-check the cut tables
     val pd = Relational2.qPercentileDisc(spark, sf)
