@@ -1,0 +1,165 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+import graft.ops.{DistRank, OracleRound}
+import graft.tables.Tables
+
+/** ML extensions (round 3, wave 3) — SURVEY.md §2.C13-C14.
+  *
+  * C13 makes the k-means HEART of E3's IVF fully oracle-able: the reason
+  * `ann_centroid_ivf` is rows-only is float-mean centroids whose partial
+  * sums merge in nondeterministic order. Here the Lloyd update sums
+  * QUANTIZED INTEGERS (floor(x·10⁶+0.5) as long) — order-independent and
+  * exact — so one real assignment→update→reassignment iteration replays
+  * bit-for-bit in DuckDB. Reference analog: modeling.ipynb's
+  * NearestCentroid (cell 31-34) is exactly the assignment step with
+  * label-given centroids; C13 is the unsupervised form.
+  *
+  * C14 is the model-bench reporting table the reference builds per model
+  * (modeling.ipynb cell 12/123): decile lift — rank by score, cut into 10
+  * equal tiles, per-tile response rate and cumulative lift.
+  */
+object Ml3 {
+
+  /** C13 — one exact k-means (Lloyd) iteration over `embeddings`:
+    * seeds = the 8 lowest-id vectors; assign all 500·SF vectors by max
+    * cosine (tie → lowest seed id); update centroids as quantized-integer
+    * means per (cluster, dim); reassign against the updated centroids.
+    *
+    * Scale shape: seeds and updated centroids are k·dim doubles — always
+    * broadcast; the data side is scanned twice (assign passes) plus one
+    * explode-aggregate (k·dim groups, map-side partials), never shuffled
+    * on the full rows. At 100 TB the same plan holds with k in the
+    * thousands; further iterations are the same three stages looped.
+    */
+  def mlKmeansAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val seeds = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("sid"), col("emb").as("s_emb"))
+    val w1 = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("sid"))
+    val asg1 = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("emb"), col("sid"),
+        cosine(col("emb"), col("s_emb")).as("sim"))
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("sid").as("c1"))
+
+    // Lloyd update: exact integer sums of quantized components.
+    val cents = asg1
+      .select(col("c1"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .select(col("c1"), (col("pos") + 1).as("dim"),
+        floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+      .groupBy("c1", "dim")
+      .agg(sum("q").as("sq"), count(lit(1)).as("cnt"))
+      .select(col("c1"),  col("dim"),
+        (col("sq").cast("double") / (col("cnt") * lit(1000000L)).cast("double")).as("c"))
+      .groupBy("c1")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("c1").as("cid2"), expr("transform(pairs, p -> p.c)").as("c_emb"))
+
+    val w2 = Window.partitionBy("vec_id").orderBy(col("sim2").desc, col("cid2"))
+    asg1.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c1"), col("cid2"),
+        cosine(col("emb"), col("c_emb")).as("sim2"))
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c1").as("cluster_seed"),
+        col("cid2").as("cluster_lloyd"), OracleRound.r4b(col("sim2")).as("sim"))
+      .orderBy("vec_id")
+  }
+
+  /** C14 — decile lift table: rank by score desc via `DistRank` (full
+    * cluster parallelism, no single-partition window over the facts),
+    * decile from the global rank by the exact ntile() assignment rule
+    * (first n%10 tiles get one extra row), then per-decile counts and
+    * cumulative lift over the 10-row aggregate. The only driver-width
+    * state is the 10-row result.
+    */
+  def mlLiftDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val base = Metrics.labeled(spark, dir).select("o_orderkey", "score", "truth")
+    val ranked = DistRank.withGlobalRank(base, "rank", col("score").desc, col("o_orderkey"))
+    val tot = base.agg(count(lit(1)).as("tot"))
+    val tiled = ranked.crossJoin(broadcast(tot))
+      .withColumn("q", expr("tot div 10"))
+      .withColumn("m", col("tot") % 10)
+      .withColumn("decile", ntileFromRank(col("rank"), col("q"), col("m")).cast("int"))
+    val wc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    tiled.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("truth").as("n_pos"))
+      .withColumn("cum_n", sum("n").over(wc))
+      .withColumn("cum_pos", sum("n_pos").over(wc))
+      .withColumn("tot_n", sum("n").over(wAll))
+      .withColumn("tot_pos", sum("n_pos").over(wAll))
+      .select(col("decile"), col("n"), col("n_pos"),
+        OracleRound.r4b(col("n_pos").cast("double") / col("n").cast("double")).as("resp_rate"),
+        OracleRound.r4b((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+          (col("tot_pos").cast("double") / col("tot_n").cast("double"))).as("cum_lift"))
+      .orderBy("decile")
+  }
+
+  /** ntile(10)'s exact assignment computed from a 1-based global rank:
+    * with q = n div 10 and m = n mod 10, the first m tiles hold q+1 rows.
+    * Lets ntile ride on `DistRank` instead of a global window.
+    */
+  private[graft] def ntileFromRank(rank: org.apache.spark.sql.Column,
+                                   q: org.apache.spark.sql.Column,
+                                   m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(rank <= m * (q + 1), expr("(rank - 1) div (q + 1) + 1"))
+      .otherwise(expr("m + (rank - m * (q + 1) - 1) div q + 1"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_kmeans_assign" -> ((s, d) => mlKmeansAssign(s, d)),
+    "ml_lift_deciles" -> (mlLiftDeciles _))
+
+  val oracles: Map[String, String] = Map(
+    "ml_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |seeds AS (SELECT vec_id AS sid, emb AS s_emb FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, emb, sid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY list_cosine_similarity(emb, s_emb) DESC, sid) AS rn
+        |  FROM e CROSS JOIN seeds),
+        |asg1 AS (SELECT vec_id, emb, sid AS c1 FROM a1 WHERE rn = 1),
+        |ex AS (SELECT c1, generate_subscripts(emb, 1) AS dim,
+        |         CAST(floor(unnest(emb) * 1000000.0 + 0.5) AS BIGINT) AS q
+        |       FROM asg1),
+        |cent AS (SELECT c1, dim,
+        |           CAST(sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS c
+        |         FROM ex GROUP BY 1, 2),
+        |cents AS (SELECT c1 AS cid2, list(c ORDER BY dim) AS c_emb FROM cent GROUP BY 1),
+        |a2 AS (SELECT g.vec_id, g.c1, c.cid2,
+        |         list_cosine_similarity(g.emb, c.c_emb) AS sim2,
+        |         row_number() OVER (PARTITION BY g.vec_id
+        |           ORDER BY list_cosine_similarity(g.emb, c.c_emb) DESC, c.cid2) AS rn
+        |       FROM asg1 g CROSS JOIN cents c)
+        |SELECT vec_id, c1 AS cluster_seed, cid2 AS cluster_lloyd,
+        |  floor(sim2 * 10000 + 0.5) / 10000 AS sim
+        |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "ml_lift_deciles" ->
+      s"""WITH labeled AS (
+        |  SELECT o_orderkey, o_totalprice AS score,
+        |    CAST(o_orderpriority < '3' AS INT) AS truth
+        |  FROM orders),
+        |tiled AS (
+        |  SELECT truth, ntile(10) OVER (ORDER BY score DESC, o_orderkey) AS decile
+        |  FROM labeled),
+        |per AS (
+        |  SELECT decile, count(*) AS n, sum(truth) AS n_pos
+        |  FROM tiled GROUP BY 1),
+        |cum AS (
+        |  SELECT decile, n, n_pos,
+        |    sum(n) OVER (ORDER BY decile) AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
+        |    sum(n) OVER () AS tot_n, sum(n_pos) OVER () AS tot_pos
+        |  FROM per)
+        |SELECT decile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  ${OracleRound.sql4("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)")} AS resp_rate,
+        |  ${OracleRound.sql4("(CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE))")} AS cum_lift
+        |FROM cum ORDER BY decile""".stripMargin)
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Feature-engineering extensions (round 3, wave 2) — SURVEY.md §2.B
+  * (B16-B17).
+  *
+  * Winsorization (outlier clipping to per-group percentile fences — the
+  * clip-don't-drop alternative to eda.ipynb's dropna, cell 15/24) and
+  * multiplicative interaction features (the product form of eda cell 20's
+  * derived `k_bb_ratio`; reference: modeling.ipynb feeds raw stat columns,
+  * interactions are the standard widening).
+  */
+object Features3 {
+
+  /** B16 — winsorize: clip `value` into [p05, p95] per event_type.
+    * Percentiles are EXACT DISCRETE values at integer rank
+    * (n·p + 99) div 100 (A21/B13's rank arithmetic) so every output is a
+    * RAW input double — zero float drift, no rounding needed. One window
+    * shuffle for the ranks + a 5-row broadcast back onto the facts; the
+    * 100 TB path swaps the exact window for approx_percentile fences.
+    */
+  def fWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_type", "event_id", "value")
+    val wOrd = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy("event_type")
+    val fences = e.withColumn("r", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("r") === expr("(n * 5 + 99) div 100"), col("value"))).as("p05"),
+        max(when(col("r") === expr("(n * 95 + 99) div 100"), col("value"))).as("p95"))
+    e.join(broadcast(fences), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("p05")), col("p95")).as("value_w"))
+      .orderBy("event_id")
+  }
+
+  /** B17 — interaction features: per-row products over lineitem (net and
+    * gross revenue, quantity×discount). A pure projection — shuffle-free,
+    * whole-stage-codegen'd, the parquet scan reads only the 7 referenced
+    * columns. Each output is a FIXED left-associated IEEE op sequence, so
+    * Spark and DuckDB produce identical bits before the r4b round.
+    */
+  def fInteraction(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        OracleRound.r4b(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        OracleRound.r4b(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("gross_price"),
+        OracleRound.r4b(col("l_quantity") * col("l_discount")).as("qty_disc"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_winsorize" -> (fWinsorize _),
+    "f_interaction" -> (fInteraction _))
+
+  val oracles: Map[String, String] = Map(
+    "f_winsorize" ->
+      """WITH ranked AS (
+        | SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |fences AS (
+        | SELECT event_type,
+        |  max(CASE WHEN r = (n * 5 + 99) // 100 THEN value END) AS p05,
+        |  max(CASE WHEN r = (n * 95 + 99) // 100 THEN value END) AS p95
+        | FROM ranked GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        | least(greatest(e.value, f.p05), f.p95) AS value_w
+        |FROM events e JOIN fences f USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+    "f_interaction" ->
+      s"""SELECT l_orderkey, l_linenumber,
+        | ${OracleRound.sql4("l_extendedprice * (1.0 - l_discount)")} AS net_price,
+        | ${OracleRound.sql4("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS gross_price,
+        | ${OracleRound.sql4("l_quantity * l_discount")} AS qty_disc
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}

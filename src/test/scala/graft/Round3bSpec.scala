@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-3 wave-3 operators (SURVEY.md §2 B16-B17,
+  * C13-C14). Oracle hash-matching is the driver's gate; these pin the
+  * semantic properties that survive refactors.
+  */
+class Round3bSpec extends AnyFunSuite {
+  import graft.ml.Ml3
+  import graft.ops.Features3
+  lazy val spark = TestSpark.spark
+  lazy val sf = TestSpark.sf
+
+  test("f_winsorize: outputs clipped into [p05,p95], interior values untouched") {
+    val w = Features3.fWinsorize(spark, sf).cache()
+    // row count preserved, and clipping actually fired on both tails
+    val n = graft.tables.Tables.events(spark, sf).count()
+    assert(w.count() == n)
+    assert(w.filter(col("value_w") > col("value")).count() > 0, "low tail clipped")
+    assert(w.filter(col("value_w") < col("value")).count() > 0, "high tail clipped")
+    // winsorized values are always RAW input values (exact discrete fences)
+    val vals = w.select(col("value").as("v")).distinct()
+    val outs = w.select(col("value_w").as("v")).distinct()
+    assert(outs.join(vals, Seq("v"), "left_anti").isEmpty)
+    w.unpersist()
+  }
+
+  test("f_interaction: product ordering invariants hold, row count preserved") {
+    val f = Features3.fInteraction(spark, sf).cache()
+    val li = graft.tables.Tables.lineitem(spark, sf)
+    assert(f.count() == li.count())
+    // tax >= 0 and discount in [0,1) in the data, so net <= gross and both >= 0
+    assert(f.filter(col("net_price") > col("gross_price")).isEmpty)
+    assert(f.filter(col("net_price") < 0 || col("qty_disc") < 0).isEmpty)
+    f.unpersist()
+  }
+
+  test("ml_kmeans_assign: total coverage, k clusters, assignment is the argmax") {
+    val a = Ml3.mlKmeansAssign(spark, sf).cache()
+    val n = graft.tables.Tables.embeddings(spark, sf).count()
+    assert(a.count() == n)
+    assert(a.select("cluster_seed").distinct().count() == 8)
+    assert(a.select("cluster_lloyd").distinct().count() == 8)
+    // seeds stay home in pass 1: vec_id i<8 has cluster_seed == i
+    val seeds = a.filter(col("vec_id") < 8).collect()
+    assert(seeds.forall(r => r.getLong(0) == r.getLong(1)))
+    // the update must actually move some assignments (else it's a no-op)
+    assert(a.filter(col("cluster_seed") =!= col("cluster_lloyd")).count() > 0)
+    a.unpersist()
+  }
+
+  test("ml_lift_deciles: 10 tiles partition the table, lift ends at 1.0") {
+    val d = Ml3.mlLiftDeciles(spark, sf).collect()
+    assert(d.length == 10 && d.map(_.getInt(0)).toSeq == (1 to 10))
+    val tot = graft.tables.Tables.orders(spark, sf).count()
+    assert(d.map(_.getLong(1)).sum == tot)
+    // tile sizes differ by at most 1 (ntile contract)
+    val sizes = d.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    // cumulative lift over the whole population is exactly 1
+    assert(d.last.getDouble(4) == 1.0)
+  }
+
+  test("ntileFromRank matches native ntile on an uneven-sized input") {
+    import spark.implicits._
+    val base = graft.tables.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("score"))
+    val native = base.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("score").desc, col("o_orderkey"))))
+    val tot = base.agg(count(lit(1)).as("tot"))
+    val viaRank = graft.ops.DistRank.withGlobalRank(base, "rank", col("score").desc, col("o_orderkey"))
+      .crossJoin(broadcast(tot))
+      .withColumn("q", expr("tot div 10"))
+      .withColumn("m", col("tot") % 10)
+      .withColumn("decile", Ml3.ntileFromRank(col("rank"), col("q"), col("m")).cast("int"))
+      .select("o_orderkey", "score", "decile")
+    assert(native.select("o_orderkey", "decile").exceptAll(
+      viaRank.select("o_orderkey", "decile")).isEmpty)
+    assert(viaRank.select("o_orderkey", "decile").exceptAll(
+      native.select("o_orderkey", "decile")).isEmpty)
+  }
+}
