@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Event-analytics operators (round 3, wave 4) — SURVEY.md §2 A39-A41.
+  *
+  * The reference's daily cycle (function.py:462-649) is an event log:
+  * games appear, then their outcomes. These are the standard analytics
+  * shapes over such a log — time-bounded rolling state, ordered
+  * conversion funnels, cohort retention — all at MICROSECOND resolution
+  * (`ts div 1000` ⟷ `epoch_us(ts)`, both floor) per the §4 timestamp
+  * rule, with every aggregate an exact integer so window-frame summation
+  * order (DuckDB segment trees vs Spark sliding state) cannot drift.
+  */
+object Analytics {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("ts div 1000").as("ts_us"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("value_q"))
+
+  /** A39 — time-RANGE window frame: per-user rolling 1-hour event count
+    * and quantized-cents value sum (`RANGE BETWEEN 3600s PRECEDING AND
+    * CURRENT ROW` — peers included per the SQL standard on both
+    * engines). The rows-frame sibling is A25; the range frame is the one
+    * that expresses "last hour", not "last 7 rows". One shuffle on
+    * user_id; frame state is incremental within each sorted partition.
+    */
+  def qRangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    ev(spark, dir)
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum_q", sum("value_q").over(w))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("roll_n"), col("roll_sum_q"))
+      .orderBy("event_id")
+  }
+
+  /** A40 — ordered conversion funnel signup → click → purchase: each
+    * stage's timestamp is the MIN event STRICTLY AFTER the previous
+    * stage (not min-per-type — the order constraint is the funnel).
+    * Three key-equi aggregates chained on user_id: one shuffle
+    * partitioning reused across the cascade, no windows over the raw
+    * log. Null stage timestamps mean the user never converted.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("t_signup"))
+    val c = e.filter(col("event_type") === "click")
+      .join(s, "user_id").filter(col("ts_us") > col("t_signup"))
+      .groupBy("user_id").agg(min("ts_us").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_us") > col("t_click"))
+      .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+    s.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** A41 — cohort retention: cohort = the user's first-activity
+    * epoch-week; one output row per (cohort_week, week_offset) with the
+    * count of cohort users active that week. Two aggregates (per-user
+    * first week, per-user-week activity) joined on user_id then
+    * re-aggregated — the classic triangle matrix, rows bounded by
+    * weeks², never by users.
+    */
+  def qRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = ev(spark, dir)
+      .select(col("user_id"), expr("ts_us div 604800000000").as("week"))
+      .distinct()
+    val first = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weeks.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_window" -> (qRangeWindow _),
+    "q_funnel" -> (qFunnel _),
+    "q_retention_cohort" -> (qRetentionCohort _))
+
+  val oracles: Map[String, String] = Map(
+    "q_range_window" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_q
+        | FROM events)
+        |SELECT event_id, user_id, ts_us,
+        | count(*) OVER w AS roll_n,
+        | CAST(sum(value_q) OVER w AS BIGINT) AS roll_sum_q
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s AS (SELECT user_id, min(ts_us) AS t_signup
+        |      FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS t_click
+        |      FROM e JOIN s USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts_us > s.t_signup GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS t_purchase
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click GROUP BY 1)
+        |SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase
+        |FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY s.user_id""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH weeks AS (
+        | SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        | FROM events),
+        |first AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1)
+        |SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+        | CAST(count(*) AS BIGINT) AS n_users
+        |FROM weeks w JOIN first f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
+}

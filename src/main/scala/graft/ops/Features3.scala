@@ -55,9 +55,34 @@ object Features3 {
         OracleRound.r4b(col("l_quantity") * col("l_discount")).as("qty_disc"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** B18 — feature hashing (the hashing trick): each categorical maps to
+    * a bucket in [0,64) via the native codegen [[graft.functions.RollHash64]]
+    * over "name=value" (bit 6 gives the ±1 collision-cancelling sign).
+    * No vocabulary pass, no fit state, fixed output width — THE encoder
+    * for high-cardinality categoricals at 100 TB (vs B11's explicit
+    * one-hot list). Pure shuffle-free projection; DuckDB replays the
+    * polynomial in HUGEINT (divisors 64/2 divide 2⁶⁴, so signed pmod ==
+    * unsigned mod).
+    */
+  def fHashedFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.rollhash64
+    def hf(name: String, c: org.apache.spark.sql.Column) = {
+      val h = rollhash64(concat(lit(name + "="), c))
+      Seq(pmod(h, lit(64L)).as(s"b_$name"),
+        (shiftrightunsigned(h, 6).bitwiseAND(lit(1L)) * 2 - 1).as(s"s_$name"))
+    }
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey") +:
+        (hf("pri", col("o_orderpriority")) ++
+         hf("st", col("o_orderstatus")) ++
+         hf("cust", col("o_custkey").cast("string"))): _*)
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f_winsorize" -> (fWinsorize _),
-    "f_interaction" -> (fInteraction _))
+    "f_interaction" -> (fInteraction _),
+    "f_hashed_features" -> (fHashedFeatures _))
 
   val oracles: Map[String, String] = Map(
     "f_winsorize" ->
@@ -81,5 +106,17 @@ object Features3 {
         | ${OracleRound.sql4("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS gross_price,
         | ${OracleRound.sql4("l_quantity * l_discount")} AS qty_disc
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f_hashed_features" -> {
+      def hf(name: String, c: String): String = {
+        val h = Dedup.rollSql(s"('$name=' || $c)")
+        s"CAST($h % 64 AS BIGINT) AS b_$name,\n CAST(($h // 64) % 2 AS BIGINT) * 2 - 1 AS s_$name"
+      }
+      s"""SELECT o_orderkey,
+        | ${hf("pri", "o_orderpriority")},
+        | ${hf("st", "o_orderstatus")},
+        | ${hf("cust", "CAST(o_custkey AS VARCHAR)")}
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+    })
 }

@@ -64,6 +64,57 @@ class Round3bSpec extends AnyFunSuite {
     assert(d.last.getDouble(4) == 1.0)
   }
 
+  test("q_range_window: singleton frames equal own value, frame never exceeds user total") {
+    import graft.ops.Analytics
+    val r = Analytics.qRangeWindow(spark, sf).cache()
+    assert(r.filter(col("roll_n") < 1).isEmpty)
+    val perUser = r.groupBy("user_id").agg(count(lit(1)).as("tot"), max("roll_n").as("mx"))
+    assert(perUser.filter(col("mx") > col("tot")).isEmpty)
+    // a frame of one row sums to exactly that row's quantized value
+    val singles = r.filter(col("roll_n") === 1)
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_id"), floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+    assert(singles.join(ev, "event_id").filter(col("roll_sum_q") =!= col("vq")).isEmpty)
+    r.unpersist()
+  }
+
+  test("q_funnel: stage timestamps strictly ordered, monotone stage counts") {
+    import graft.ops.Analytics
+    val f = Analytics.qFunnel(spark, sf).cache()
+    assert(f.filter(col("t_click").isNotNull && col("t_click") <= col("t_signup")).isEmpty)
+    assert(f.filter(col("t_purchase").isNotNull && col("t_purchase") <= col("t_click")).isEmpty)
+    // purchase implies click
+    assert(f.filter(col("t_purchase").isNotNull && col("t_click").isNull).isEmpty)
+    val n = f.count()
+    val nc = f.filter(col("t_click").isNotNull).count()
+    val np = f.filter(col("t_purchase").isNotNull).count()
+    assert(n >= nc && nc >= np && np > 0)
+    f.unpersist()
+  }
+
+  test("q_retention_cohort: offset-0 equals cohort size, later offsets never exceed it") {
+    import graft.ops.Analytics
+    val rc = Analytics.qRetentionCohort(spark, sf).cache()
+    val base = rc.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    assert(rc.join(base, "cohort_week").filter(col("n_users") > col("cohort_size")).isEmpty)
+    assert(rc.filter(col("week_offset") < 0).isEmpty)
+    rc.unpersist()
+  }
+
+  test("f_hashed_features: buckets in [0,64), signs in {-1,1}, hash is a function of the value") {
+    val h = Features3.fHashedFeatures(spark, sf).cache()
+    for (c <- Seq("b_pri", "b_st", "b_cust"))
+      assert(h.filter(col(c) < 0 || col(c) >= 64).isEmpty, c)
+    for (c <- Seq("s_pri", "s_st", "s_cust"))
+      assert(h.filter(col(c) =!= -1 && col(c) =!= 1).isEmpty, c)
+    // same priority value always lands in the same (bucket, sign)
+    val o = graft.tables.Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+    val pairs = h.join(o, "o_orderkey").select("o_orderpriority", "b_pri", "s_pri").distinct()
+    assert(pairs.count() == o.select("o_orderpriority").distinct().count())
+    h.unpersist()
+  }
+
   test("ntileFromRank matches native ntile on an uneven-sized input") {
     import spark.implicits._
     val base = graft.tables.Tables.orders(spark, sf)
