@@ -102,6 +102,57 @@ object Ml3 {
       .orderBy("decile")
   }
 
+  /** C15 — calibration (reliability) bins: min-max-normalize the score to
+    * a [0,1] pseudo-probability, cut into 10 fixed-width bins, compare
+    * mean predicted probability against the observed positive rate per
+    * bin. Mean-of-doubles crosses engines via quantized-integer sums
+    * (floor(p·10⁶+0.5) as long — order-independent); the normalization
+    * itself is two IEEE ops on raw values, bit-identical both sides.
+    * One tiny min/max aggregate broadcast back + one 10-group aggregate.
+    */
+  def mlCalibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val l = Metrics.labeled(spark, dir).select("o_orderkey", "score", "truth")
+    val mm = l.agg(min("score").as("lo"), max("score").as("hi"))
+    l.crossJoin(broadcast(mm))
+      .withColumn("p", (col("score") - col("lo")) / (col("hi") - col("lo")))
+      .select(
+        least(floor(col("p") * 10).cast("int"), lit(9)).as("bin"),
+        col("truth"),
+        floor(col("p") * 1000000 + lit(0.5)).cast("long").as("pq"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("truth").as("n_pos"), sum("pq").as("spq"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        OracleRound.r4b(col("spq").cast("double") / (col("n") * lit(1000000L)).cast("double")).as("mean_p"),
+        OracleRound.r4b(col("n_pos").cast("double") / col("n").cast("double")).as("obs_rate"))
+      .orderBy("bin")
+  }
+
+  /** C16 — sliced evaluation: the C6 confusion matrix and derived
+    * metrics PER SEGMENT (order status) — the fairness/drift view every
+    * model report needs. Still one conditional-aggregation pass; ratio
+    * denominators go through nullif so empty cells surface as null, not
+    * a crash, on both engines.
+    */
+  def mlConfusionByGroup(spark: SparkSession, dir: String): DataFrame = {
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      OracleRound.r4b(num.cast("double") / when(den === 0, lit(null)).otherwise(den).cast("double"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        (col("o_totalprice") > lit(150000.0)).cast("int").as("pred"),
+        (col("o_orderpriority") < lit("3")).cast("int").as("truth"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(when(col("pred") === 1 && col("truth") === 1, 1)).as("tp"),
+        count(when(col("pred") === 1 && col("truth") === 0, 1)).as("fp"),
+        count(when(col("pred") === 0 && col("truth") === 1, 1)).as("fn"),
+        count(when(col("pred") === 0 && col("truth") === 0, 1)).as("tn"))
+      .select(col("o_orderstatus"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp") + col("tn"), col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision_"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall_"))
+      .orderBy("o_orderstatus")
+  }
+
   /** ntile(10)'s exact assignment computed from a 1-based global rank:
     * with q = n div 10 and m = n mod 10, the first m tiles hold q+1 rows.
     * Lets ntile ride on `DistRank` instead of a global window.
@@ -114,7 +165,9 @@ object Ml3 {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_kmeans_assign" -> ((s, d) => mlKmeansAssign(s, d)),
-    "ml_lift_deciles" -> (mlLiftDeciles _))
+    "ml_lift_deciles" -> (mlLiftDeciles _),
+    "ml_calibration_bins" -> (mlCalibrationBins _),
+    "ml_confusion_by_group" -> (mlConfusionByGroup _))
 
   val oracles: Map[String, String] = Map(
     "ml_kmeans_assign" ->
@@ -161,5 +214,40 @@ object Ml3 {
         |SELECT decile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
         |  ${OracleRound.sql4("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)")} AS resp_rate,
         |  ${OracleRound.sql4("(CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE))")} AS cum_lift
-        |FROM cum ORDER BY decile""".stripMargin)
+        |FROM cum ORDER BY decile""".stripMargin,
+    "ml_calibration_bins" ->
+      s"""WITH l AS (
+        |  SELECT o_totalprice AS score,
+        |    CAST(o_orderpriority < '3' AS INT) AS truth
+        |  FROM orders),
+        |mm AS (SELECT min(score) AS lo, max(score) AS hi FROM l),
+        |p AS (SELECT truth, (score - lo) / (hi - lo) AS p FROM l, mm),
+        |b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, truth,
+        |        CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS pq
+        |      FROM p)
+        |SELECT bin, count(*) AS n, CAST(sum(truth) AS BIGINT) AS n_pos,
+        |  ${OracleRound.sql4("CAST(sum(pq) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE)")} AS mean_p,
+        |  ${OracleRound.sql4("CAST(sum(truth) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS obs_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "ml_confusion_by_group" -> {
+      def ratio(num: String, den: String) =
+        OracleRound.sql4(s"CAST($num AS DOUBLE) / CAST(nullif($den, 0) AS DOUBLE)")
+      s"""WITH l AS (
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice > 150000.0 AS INT) AS pred,
+        |    CAST(o_orderpriority < '3' AS INT) AS truth
+        |  FROM orders),
+        |cm AS (
+        |  SELECT o_orderstatus,
+        |    count(CASE WHEN pred = 1 AND truth = 1 THEN 1 END) AS tp,
+        |    count(CASE WHEN pred = 1 AND truth = 0 THEN 1 END) AS fp,
+        |    count(CASE WHEN pred = 0 AND truth = 1 THEN 1 END) AS fn,
+        |    count(CASE WHEN pred = 0 AND truth = 0 THEN 1 END) AS tn
+        |  FROM l GROUP BY 1)
+        |SELECT o_orderstatus, tp, fp, fn, tn,
+        |  ${ratio("tp + tn", "tp + fp + fn + tn")} AS accuracy,
+        |  ${ratio("tp", "tp + fp")} AS precision_,
+        |  ${ratio("tp", "tp + fn")} AS recall_
+        |FROM cm ORDER BY o_orderstatus""".stripMargin
+    })
 }

@@ -283,12 +283,54 @@ object Dedup {
       .limit(10)
   }
 
+  /** D7 — near-dup CLUSTERS: connected components over the verified
+    * MinHash-LSH pair graph (jaccard ≥ 0.5), labels = component-min
+    * doc_id. D2/D6 stop at pairwise edges; transitive closure is what
+    * actually groups a 3-chain A~B~C into one keep-one cluster.
+    *
+    * Distributed min-label propagation: each round joins labels onto the
+    * (symmetrized) edge list and takes the per-node min — the monotone
+    * label-sum is the convergence witness (strictly decreases until the
+    * fixpoint, so equal sums == done). Rounds = component diameter;
+    * near-dup components are tiny by construction (band-bucket
+    * collisions), so this is 2-3 rounds of key-equi shuffles at any
+    * scale, the same loop GraphX/GraphFrames CC runs. DuckDB replays it
+    * as a recursive CTE over the identical edge set.
+    */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashCandidatePairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("a", "b").persist()
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+      .persist()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id").as("node"), col("doc_id").as("lab")).persist()
+    var labSum = labels.agg(sum("lab")).head.getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lab"))
+      val next = labels.union(prop).groupBy("node").agg(min("lab").as("lab"))
+        .persist()
+      val nextSum = next.agg(sum("lab")).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == labSum
+      labSum = nextSum
+      rounds += 1
+    }
+    pairs.unpersist(); edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(s, d)),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_cluster" -> (dedupCluster _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -368,7 +410,20 @@ object Dedup {
          | floor(list_cosine_similarity(l.emb, r.emb) * 10000 + 0.5) / 10000 AS cos_sim
          |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
          |ORDER BY cos_sim DESC, a, b LIMIT 10""".stripMargin
-    })
+    },
+    // transitive closure of the same verified pair graph as a recursive
+    // CTE: seed (node, node), propagate labels along symmetrized edges,
+    // keep the per-node min — identical fixpoint to the Spark loop
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashJacCtes,
+         |edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.5
+         |          UNION ALL SELECT b, a FROM jac WHERE jaccard >= 0.5),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node)
+         |SELECT node AS doc_id, min(lab) AS cluster
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
 }
 
 /** D6 — the operators composed into the actual corpus-cleaning flow a

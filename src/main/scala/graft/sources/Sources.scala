@@ -44,6 +44,16 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Plain text-lines sink/source (`spark.read.text`) — the raw-corpus
+    * interchange format every text pipeline starts from. One line per
+    * record; structure is the reader's problem (here: key TAB payload).
+    */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** Date-partitioned parquet sink: `partitionBy` lands one directory per
     * day so date-filtered reads prune at the file-listing level (the
     * daily-batch layout every large pipeline uses).
@@ -130,6 +140,24 @@ object SourceQueries {
       .orderBy("p_date")
   }
 
+  /** I5 — raw text-lines round-trip: documents serialized "id TAB text"
+    * (the corpus has no tabs/newlines — spec-asserted), read back with
+    * `spark.read.text` and re-split on the FIRST tab only. Order and
+    * file boundaries don't survive a text sink; keys must ride in the
+    * payload — exactly what this exercises.
+    */
+  def srcTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val path = scratch("text")
+    Sources.writeText(
+      docs.select(concat_ws("\t", col("doc_id"), col("text")).as("value")), path)
+    Sources.readText(spark, path)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(col("kv").getItem(0).cast("long").as("doc_id"),
+        col("kv").getItem(1).as("text"))
+      .orderBy("doc_id")
+  }
+
   def srcIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
     val path = scratch("merge")
     val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
@@ -145,6 +173,7 @@ object SourceQueries {
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
+    "src_text_roundtrip" -> (srcTextRoundtrip _),
     "src_partitioned_sink" -> (srcPartitionedSink _),
     "src_incremental_merge" -> (srcIncrementalMerge _))
 
@@ -163,6 +192,8 @@ object SourceQueries {
     "src_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "src_text_roundtrip" ->
+      """SELECT doc_id, text FROM documents ORDER BY doc_id""".stripMargin,
     "src_partitioned_sink" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS p_date,
         |       COUNT(*) AS n_orders

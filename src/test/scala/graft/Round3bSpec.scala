@@ -115,6 +115,52 @@ class Round3bSpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("dedup_cluster: labels are component minima consistent with the pair graph") {
+    import graft.ops.Dedup
+    val labels = Dedup.dedupCluster(spark, sf).cache()
+    val n = graft.tables.Tables.documents(spark, sf).count()
+    assert(labels.count() == n)
+    // cluster label never exceeds the member id (component-min labeling)
+    assert(labels.filter(col("cluster") > col("doc_id")).isEmpty)
+    // every edge's endpoints share a cluster
+    val pairs = Dedup.minhashCandidatePairs(spark, sf).filter(col("jaccard") >= 0.5)
+      .select("a", "b")
+    val la = labels.select(col("doc_id").as("a"), col("cluster").as("ca"))
+    val lb = labels.select(col("doc_id").as("b"), col("cluster").as("cb"))
+    assert(pairs.join(la, "a").join(lb, "b").filter(col("ca") =!= col("cb")).isEmpty)
+    // non-trivial: at least one real multi-doc cluster exists
+    assert(labels.filter(col("cluster") =!= col("doc_id")).count() > 0)
+    labels.unpersist()
+  }
+
+  test("ml_calibration_bins: bins partition the table, rates and mean_p in [0,1]") {
+    val b = Ml3.mlCalibrationBins(spark, sf).collect()
+    assert(b.map(_.getInt(0)).toSet.subsetOf((0 to 9).toSet))
+    assert(b.map(_.getLong(1)).sum == graft.tables.Tables.orders(spark, sf).count())
+    assert(b.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(b.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    // mean predicted p grows with the bin index (it's the bin's own range)
+    val means = b.sortBy(_.getInt(0)).map(_.getDouble(3))
+    assert(means.zip(means.tail).forall { case (a, c) => a < c })
+  }
+
+  test("ml_confusion_by_group: slices sum to the global confusion matrix") {
+    import graft.ml.Metrics
+    val g = Ml3.mlConfusionByGroup(spark, sf).collect()
+    val global = Metrics.mlEvalMetrics(spark, sf).collect().head
+    for (i <- 1 to 4) // tp, fp, fn, tn are cols 1-4 per slice, 0-3 globally
+      assert(g.map(_.getLong(i)).sum == global.getLong(i - 1))
+  }
+
+  test("src_text_roundtrip: text survives the sink byte-for-byte") {
+    import graft.sources.SourceQueries
+    val rt = SourceQueries.srcTextRoundtrip(spark, sf)
+    val docs = graft.tables.Tables.documents(spark, sf).select("doc_id", "text")
+    // corpus precondition for the TAB framing
+    assert(docs.filter(col("text").contains("\t") || col("text").contains("\n")).isEmpty)
+    assert(rt.exceptAll(docs).isEmpty && docs.exceptAll(rt).isEmpty)
+  }
+
   test("ntileFromRank matches native ntile on an uneven-sized input") {
     import spark.implicits._
     val base = graft.tables.Tables.orders(spark, sf)
