@@ -106,10 +106,46 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** E4 — product quantization: 64 dims → 8 subspaces × 8 dims, each
+    * subvector coded to its nearest of 16 codewords (the sub-slices of
+    * the 16 lowest-id vectors), plus the total quantization error. A
+    * vector compresses 64 floats → 8 nibbles; ANN then scans codes with
+    * a per-query distance lookup table instead of raw vectors.
+    *
+    * Classic PQ is rows-only (float L2, trained codebooks); here the
+    * geometry lives in QUANTIZED INTEGER space — components floor to
+    * 10⁻⁶ ticks, subspace L2 is an exact bigint sum of squared tick
+    * diffs — so assignment and error replay bit-for-bit in DuckDB.
+    * Scale shape: the codebook is S·K·D ints (always broadcast); codes
+    * come from one explode + broadcast-join + two-level aggregate over
+    * (vec, sub, code) — map-side partials, no full-row shuffle.
+    */
+  def annPq(spark: SparkSession, dir: String, subs: Int = 8, k: Int = 16): DataFrame = {
+    val dimsPerSub = 64 / subs
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") / dimsPerSub).cast("int").as("sub"),
+        (col("pos") % dimsPerSub).as("dimin"),
+        floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+    val cb = ex.filter(col("vec_id") < k)
+      .select(col("sub"), col("dimin"), col("vec_id").as("code"), col("q").as("cq"))
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))
+    val codeCols = (0 until subs).map(i =>
+      max(when(col("sub") === i, col("code"))).as(s"code_$i"))
+    ex.join(broadcast(cb), Seq("sub", "dimin"))
+      .groupBy("vec_id", "sub", "code")
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(codeCols.head, codeCols.tail :+ sum("d2").as("err_q"): _*)
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> ((s, d) => annBruteforce(s, d)),
     "ann_lsh" -> ((s, d) => annLsh(s, d)),
-    "ann_centroid_ivf" -> ((s, d) => annCentroidIvf(s, d)))
+    "ann_centroid_ivf" -> ((s, d) => annCentroidIvf(s, d)),
+    "ann_pq" -> ((s, d) => annPq(s, d)))
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" ->
@@ -142,5 +178,26 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
          |      FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    // integer-exact PQ replay: same 10^-6 tick quantization, same
+    // bigint L2, same (d2, code) tie-break
+    "ann_pq" -> {
+      val codeSelects = (0 until 8).map(i =>
+        s"max(CASE WHEN sub = $i THEN code END) AS code_$i").mkString(",\n ")
+      s"""WITH ex0 AS (
+         | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
+         | FROM embeddings),
+         |ex AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
+         |        (dim - 1) % 8 AS dimin, q FROM ex0),
+         |cb AS (SELECT sub, dimin, vec_id AS code, q AS cq FROM ex WHERE vec_id < 16),
+         |d AS (SELECT e.vec_id, e.sub, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+         |      FROM ex e JOIN cb c USING (sub, dimin) GROUP BY 1, 2, 3),
+         |best AS (SELECT vec_id, sub, code, d2,
+         |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM d)
+         |SELECT vec_id,
+         | $codeSelects,
+         | CAST(sum(d2) AS BIGINT) AS err_q
+         |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
     })
 }

@@ -282,6 +282,7 @@ object StreamingUpsert {
 case class EventRow(event_id: Long, ts: Long, user_id: Long,
                     event_type: String, value: Double)
 case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
+case class FunnelOut(user_id: Long, t_signup_us: Long, t_click_us: Long)
 
 /** G3b — sessionization as a STATEFUL streaming computation:
   * `groupByKey(user).flatMapGroupsWithState` carrying (last event ts,
@@ -332,5 +333,75 @@ object StatefulSessionize {
       .queryName(queryName)
       .outputMode("append")
       .start()
+  }
+}
+
+/** G7 — CEP-style pattern detection as a stateful stream: emit
+  * (user, t_signup, t_click) the first time a click follows the user's
+  * FIRST signup within 7 days — the "A followed-by B within T"
+  * primitive every event-correlation pipeline needs (fraud, alerting,
+  * attribution). State per key is two longs (earliest signup μs, done
+  * flag); production adds an event-time timeout at T to expire keys that
+  * never convert, keeping the store bounded exactly like G6's interval
+  * join state.
+  */
+object StreamingFunnel {
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+  val windowUs: Long = 7L * 24 * 3600 * 1000 * 1000
+
+  /** (earliestSignupUs or MinValue, matched already?) */
+  type FunnelState = (Long, Boolean)
+
+  def detect(uid: Long, events: Iterator[EventRow],
+             state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+    var (tSignup, done) = state.getOption.getOrElse((Long.MinValue, false))
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+    sorted.foreach { e =>
+      val us = Math.floorDiv(e.ts, 1000L)
+      e.event_type match {
+        case "signup" if tSignup == Long.MinValue => tSignup = us
+        case "click" if !done && tSignup != Long.MinValue &&
+          us > tSignup && us - tSignup <= windowUs =>
+          out += FunnelOut(uid, tSignup, us); done = true
+        case _ => ()
+      }
+    }
+    state.update((tSignup, done))
+    out.iterator
+  }
+
+  def start(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = Tables.events(spark, dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(detect)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+  }
+
+  /** The batch twin: first signup per user, then the first click inside
+    * (t_signup, t_signup + 7 days] — what the stream must reproduce.
+    */
+  def batch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("t_signup_us"))
+    e.filter(col("event_type") === "click")
+      .join(s, "user_id")
+      .filter(col("us") > col("t_signup_us") &&
+        col("us") - col("t_signup_us") <= windowUs)
+      .groupBy("user_id", "t_signup_us").agg(min("us").as("t_click_us"))
+      .select("user_id", "t_signup_us", "t_click_us")
   }
 }

@@ -121,6 +121,24 @@ class StatefulStreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("G7: streaming funnel pattern detection matches the batch twin") {
+    import org.apache.spark.sql.functions._
+    val q = graft.streaming.StreamingFunnel.start(spark, sf, "funnel_sink")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM funnel_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.streaming.StreamingFunnel.batch(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+      // at most one match per user, click strictly inside (0, 7 days]
+      assert(streamed.groupBy(_._1).forall(_._2.size == 1))
+      assert(streamed.forall { case (_, s, c) =>
+        c > s && c - s <= graft.streaming.StreamingFunnel.windowUs })
+    } finally q.stop()
+  }
 }
 
 class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
