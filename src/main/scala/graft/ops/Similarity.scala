@@ -120,32 +120,80 @@ object Similarity {
     * come from one explode + broadcast-join + two-level aggregate over
     * (vec, sub, code) — map-side partials, no full-row shuffle.
     */
-  def annPq(spark: SparkSession, dir: String, subs: Int = 8, k: Int = 16): DataFrame = {
+  /** (vec_id, sub, dimin, q): every embedding exploded to 10⁻⁶-tick
+    * integer components, keyed by subspace. Shared by E4/E5.
+    */
+  private def pqQuantized(spark: SparkSession, dir: String, subs: Int): DataFrame = {
     val dimsPerSub = 64 / subs
-    val ex = Tables.embeddings(spark, dir)
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") / dimsPerSub).cast("int").as("sub"),
         (col("pos") % dimsPerSub).as("dimin"),
         floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+  }
+
+  /** (vec_id, sub, code, d2): each vector's nearest codeword per
+    * subspace under exact integer L2, ties to the lowest code.
+    */
+  private def pqCodesLong(ex: DataFrame, k: Int): DataFrame = {
     val cb = ex.filter(col("vec_id") < k)
       .select(col("sub"), col("dimin"), col("vec_id").as("code"), col("q").as("cq"))
     val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))
-    val codeCols = (0 until subs).map(i =>
-      max(when(col("sub") === i, col("code"))).as(s"code_$i"))
     ex.join(broadcast(cb), Seq("sub", "dimin"))
       .groupBy("vec_id", "sub", "code")
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "sub", "code", "d2")
+  }
+
+  def annPq(spark: SparkSession, dir: String, subs: Int = 8, k: Int = 16): DataFrame = {
+    val codeCols = (0 until subs).map(i =>
+      max(when(col("sub") === i, col("code"))).as(s"code_$i"))
+    pqCodesLong(pqQuantized(spark, dir, subs), k)
       .groupBy("vec_id")
       .agg(codeCols.head, codeCols.tail :+ sum("d2").as("err_q"): _*)
       .orderBy("vec_id")
+  }
+
+  /** E5 — ANN search OVER the PQ codes (asymmetric distance
+    * computation): each probe precomputes its exact integer L2 to every
+    * codeword per subspace — an S·K distance table, here 8·16 longs —
+    * and a vector's approximate distance is 8 table lookups summed,
+    * never a touch of the raw floats. THE 100 TB retrieval pattern: the
+    * corpus is scanned as nibble codes (16 B/vector instead of 256 B),
+    * the tables are probe-local broadcast state, and the only shuffle is
+    * the final per-probe top-k. Integer end to end ⇒ exact oracle.
+    */
+  def annPqSearch(spark: SparkSession, dir: String, subs: Int = 8, k: Int = 16,
+                  topK: Int = 5): DataFrame = {
+    val ex = pqQuantized(spark, dir, subs)
+    val codes = pqCodesLong(ex, k).select("vec_id", "sub", "code")
+    val cb = ex.filter(col("vec_id") < k)
+      .select(col("sub"), col("dimin"), col("vec_id").as("code"), col("q").as("cq"))
+    // probe × codeword distance tables (probes are the small side, E1/E2's set)
+    val dt = ex.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("sub"), col("dimin"), col("q"))
+      .join(broadcast(cb), Seq("sub", "dimin"))
+      .groupBy("qid", "sub", "code")
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dt"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
+    codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum("dt").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("adc_dist"))
+      .orderBy("query_id", "rank")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> ((s, d) => annBruteforce(s, d)),
     "ann_lsh" -> ((s, d) => annLsh(s, d)),
     "ann_centroid_ivf" -> ((s, d) => annCentroidIvf(s, d)),
-    "ann_pq" -> ((s, d) => annPq(s, d)))
+    "ann_pq" -> ((s, d) => annPq(s, d)),
+    "ann_pq_search" -> ((s, d) => annPqSearch(s, d)))
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" ->
@@ -199,5 +247,33 @@ object Similarity {
          | $codeSelects,
          | CAST(sum(d2) AS BIGINT) AS err_q
          |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
-    })
+    },
+    // ADC replay: same codes, probe-side distance tables, 8 lookups
+    // summed — integer end to end
+    "ann_pq_search" ->
+      s"""WITH ex0 AS (
+         | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
+         | FROM embeddings),
+         |ex AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
+         |        (dim - 1) % 8 AS dimin, q FROM ex0),
+         |cb AS (SELECT sub, dimin, vec_id AS code, q AS cq FROM ex WHERE vec_id < 16),
+         |d AS (SELECT e.vec_id, e.sub, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+         |      FROM ex e JOIN cb c USING (sub, dimin) GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM d)
+         | WHERE rn = 1),
+         |dt AS (SELECT p.vec_id AS qid, p.sub, c.code,
+         |        sum((p.q - c.cq) * (p.q - c.cq)) AS dt
+         |       FROM ex p JOIN cb c USING (sub, dimin)
+         |       WHERE p.vec_id % 100 = 0 GROUP BY 1, 2, 3),
+         |adc AS (SELECT d.qid, k.vec_id AS nid, CAST(sum(d.dt) AS BIGINT) AS adc_dist
+         |        FROM codes k JOIN dt d ON d.sub = k.sub AND d.code = k.code
+         |         AND k.vec_id <> d.qid
+         |        GROUP BY 1, 2)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id, adc_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY adc_dist, nid) AS rank FROM adc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

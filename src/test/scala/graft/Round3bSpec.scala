@@ -177,6 +177,25 @@ class Round3bSpec extends AnyFunSuite {
     pq.unpersist()
   }
 
+  test("ann_pq_search: 5 ranked rows per probe, never self, nonzero brute-force recall") {
+    import graft.ops.Similarity
+    val pq = Similarity.annPqSearch(spark, sf).cache()
+    val probes = graft.tables.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 100 === 0).count()
+    assert(pq.count() == probes * 5)
+    assert(pq.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    val perProbe = pq.groupBy("query_id").agg(count(lit(1)).as("n"))
+    assert(perProbe.filter(col("n") =!= 5).isEmpty)
+    // Recall floor: synthetic embeddings are uniform (no cluster
+    // structure), PQ's adversarial case — assert non-degeneracy, not a
+    // production recall bar (trained codebooks + real data raise it).
+    val exact = Similarity.annBruteforce(spark, sf)
+      .select("query_id", "neighbor_id")
+    val overlap = pq.select("query_id", "neighbor_id").intersect(exact).count()
+    assert(overlap >= 1, s"PQ search found nothing from the exact top-5")
+    pq.unpersist()
+  }
+
   test("ntileFromRank matches native ntile on an uneven-sized input") {
     import spark.implicits._
     val base = graft.tables.Tables.orders(spark, sf)
