@@ -82,10 +82,52 @@ object Analytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** A42 — snapshot diff (CDC reconciliation): classify every key across
+    * two extracts as added / removed / changed / unchanged with ONE
+    * full-outer key join — the daily-re-extract comparison the
+    * reference's INSERT-then-UPDATE cycle implies. The two "snapshots"
+    * are deterministic derivations of orders (old missing keys ≡ 0 mod
+    * 97, new missing keys ≡ 0 mod 101 and mutating status on ≡ 0 mod
+    * 89), so the diff logic — not data loading — is what's exercised.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    val s1 = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("v1"))
+    val s2 = o.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 89 === 0, lit("X")).otherwise(col("o_orderstatus")).as("v2"))
+    s1.join(s2, Seq("k"), "full_outer")
+      .select(
+        when(col("v1").isNull, lit("added"))
+          .when(col("v2").isNull, lit("removed"))
+          .when(col("v1") =!= col("v2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"))
+      .groupBy("change_type").agg(count(lit(1)).as("n"))
+      .orderBy("change_type")
+  }
+
+  /** A43 — approximate per-group quantiles via `approx_percentile`
+    * (GK sketch): the 100 TB path for A21/B13, where the exact-rank
+    * window would sort every group. Sketches merge associatively —
+    * map-side partials, one tiny result. Approximate output ⇒ rows-only
+    * (spec bounds the rank error against the exact A21 values).
+    */
+  def qApproxQuantile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("q"))
+      .select(col("l_returnflag"), col("q").getItem(0).as("p25"),
+        col("q").getItem(1).as("p50"), col("q").getItem(2).as("p75"))
+      .orderBy("l_returnflag")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_window" -> (qRangeWindow _),
     "q_funnel" -> (qFunnel _),
-    "q_retention_cohort" -> (qRetentionCohort _))
+    "q_retention_cohort" -> (qRetentionCohort _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_approx_quantile" -> (qApproxQuantile _))
 
   val oracles: Map[String, String] = Map(
     "q_range_window" ->
@@ -123,5 +165,20 @@ object Analytics {
         | CAST(count(*) AS BIGINT) AS n_users
         |FROM weeks w JOIN first f USING (user_id)
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH s1 AS (
+        | SELECT o_orderkey AS k, o_orderstatus AS v1
+        | FROM orders WHERE o_orderkey % 97 <> 0),
+        |s2 AS (
+        | SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS v2
+        | FROM orders WHERE o_orderkey % 101 <> 0)
+        |SELECT CASE WHEN v1 IS NULL THEN 'added'
+        |            WHEN v2 IS NULL THEN 'removed'
+        |            WHEN v1 <> v2 THEN 'changed'
+        |            ELSE 'unchanged' END AS change_type,
+        |       count(*) AS n
+        |FROM s1 FULL OUTER JOIN s2 USING (k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

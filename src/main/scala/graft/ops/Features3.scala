@@ -79,10 +79,27 @@ object Features3 {
       .orderBy("o_orderkey")
   }
 
+  /** B19 — deterministic k-fold assignment: fold = Knuth-multiplicative
+    * key hash mod 5 (B6's split arithmetic generalized from 80/20 to k
+    * folds — reproducible with no RNG state, stable under reruns and
+    * repartitions). Output is the per-fold class profile a CV driver
+    * consumes; the fold column itself is a shuffle-free projection.
+    */
+  def fCvFolds(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        pmod(col("o_orderkey") * lit(2654435761L), lit(k.toLong)).as("fold"),
+        (col("o_orderpriority") < lit("3")).cast("int").as("label"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), sum("label").as("n_pos"),
+        OracleRound.r4b(sum("label").cast("double") / count(lit(1)).cast("double")).as("pos_rate"))
+      .orderBy("fold")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f_winsorize" -> (fWinsorize _),
     "f_interaction" -> (fInteraction _),
-    "f_hashed_features" -> (fHashedFeatures _))
+    "f_hashed_features" -> (fHashedFeatures _),
+    "f_cv_folds" -> ((s, d) => fCvFolds(s, d)))
 
   val oracles: Map[String, String] = Map(
     "f_winsorize" ->
@@ -118,5 +135,11 @@ object Features3 {
         | ${hf("cust", "CAST(o_custkey AS VARCHAR)")}
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin
-    })
+    },
+    "f_cv_folds" ->
+      s"""SELECT (o_orderkey * 2654435761) % 5 AS fold,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_orderpriority < '3' AS INT)) AS BIGINT) AS n_pos,
+        | ${OracleRound.sql4("CAST(sum(CAST(o_orderpriority < '3' AS INT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS pos_rate
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -73,4 +73,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"LSH candidate generation degenerated to a cross product in:\n$plan")
   }
+
+  test("f_hashed_features is a shuffle-free projection (sort excepted)") {
+    val plan = executedPlan("f_hashed_features")
+    // the only exchange allowed is the output ORDER BY's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"hashing-trick projection shuffled in:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
+  test("ml_kmeans_assign broadcasts seeds and centroids, never shuffles the full rows") {
+    val plan = executedPlan("ml_kmeans_assign")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroids not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"assignment degenerated to a cartesian shuffle in:\n$plan")
+  }
+
+  test("ann_pq_search broadcasts the codebook and distance tables") {
+    val plan = executedPlan("ann_pq_search")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook/distance-table joins not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ADC join degenerated in:\n$plan")
+  }
+
+  test("q_range_window shuffles once on user_id and prunes events columns") {
+    val plan = executedPlan("q_range_window")
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected exactly 1 user_id exchange, plan:\n$plan")
+    assert(!plan.contains("props"), s"scan reads unreferenced column props in:\n$plan")
+  }
+
+  test("q_funnel reuses one user_id partitioning across the stage cascade") {
+    val plan = executedPlan("q_funnel")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel joins degenerated in:\n$plan")
+    assert(!plan.contains("props") && !plan.contains("value"),
+      s"scan reads unreferenced events columns in:\n$plan")
+  }
 }

@@ -196,6 +196,41 @@ class Round3bSpec extends AnyFunSuite {
     pq.unpersist()
   }
 
+  test("f_cv_folds: k folds partition the table with balanced sizes") {
+    val f = Features3.fCvFolds(spark, sf).collect()
+    assert(f.map(_.getLong(0)).toSet == (0L to 4L).toSet)
+    val tot = graft.tables.Tables.orders(spark, sf).count()
+    assert(f.map(_.getLong(1)).sum == tot)
+    val sizes = f.map(_.getLong(1))
+    assert(sizes.max < 2 * sizes.min, s"folds unbalanced: ${sizes.mkString(",")}")
+  }
+
+  test("q_snapshot_diff: classes partition the key union, all four appear") {
+    import graft.ops.Analytics
+    val d = Analytics.qSnapshotDiff(spark, sf).collect()
+    assert(d.map(_.getString(0)).toSet ==
+      Set("added", "removed", "changed", "unchanged"))
+    val o = graft.tables.Tables.orders(spark, sf)
+    val unionKeys = o.filter(col("o_orderkey") % 97 =!= 0 || col("o_orderkey") % 101 =!= 0).count()
+    assert(d.map(_.getLong(1)).sum == unionKeys)
+  }
+
+  test("q_approx_quantile: sketch medians land within 1% of the exact rank values") {
+    import graft.ops.Analytics
+    val approx = Analytics.qApproxQuantile(spark, sf)
+      .select("l_returnflag", "p50").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.tables.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e) / e < 0.01, s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("ntileFromRank matches native ntile on an uneven-sized input") {
     import spark.implicits._
     val base = graft.tables.Tables.orders(spark, sf)
