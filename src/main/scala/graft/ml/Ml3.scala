@@ -153,6 +153,38 @@ object Ml3 {
       .orderBy("o_orderstatus")
   }
 
+  /** C17 — operating-threshold sweep: the precision/recall/F1 table
+    * behind the reference's model pick (modeling.ipynb cell 12 evaluates
+    * ONE threshold; a real bench sweeps them). Score → C15's min-max
+    * pseudo-probability, exploded against 9 fixed thresholds, then one
+    * conditional-agg pass: the fact table is scanned once, the 9× blow-up
+    * happens map-side on projected ints, and the result is 9 rows.
+    * Threshold literals are exact decimal-parsed doubles — identical IEEE
+    * values on both engines, so `p >= t` never straddles an ulp.
+    */
+  def mlThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      OracleRound.r4b(num.cast("double") / when(den === 0, lit(null)).otherwise(den).cast("double"))
+    val l = Metrics.labeled(spark, dir).select("o_orderkey", "score", "truth")
+    val mm = l.agg(min("score").as("lo"), max("score").as("hi"))
+    l.crossJoin(broadcast(mm))
+      .withColumn("p", (col("score") - col("lo")) / (col("hi") - col("lo")))
+      .select(col("p"), col("truth"),
+        explode(expr("array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)")).as("threshold"))
+      .select(col("threshold"), col("truth"), (col("p") >= col("threshold")).cast("int").as("pred"))
+      .groupBy("threshold")
+      .agg(
+        count(when(col("pred") === 1 && col("truth") === 1, 1)).as("tp"),
+        count(when(col("pred") === 1 && col("truth") === 0, 1)).as("fp"),
+        count(when(col("pred") === 0 && col("truth") === 1, 1)).as("fn"),
+        count(when(col("pred") === 0 && col("truth") === 0, 1)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision_"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall_"),
+        ratio(lit(2) * col("tp"), lit(2) * col("tp") + col("fp") + col("fn")).as("f1"))
+      .orderBy("threshold")
+  }
+
   /** ntile(10)'s exact assignment computed from a 1-based global rank:
     * with q = n div 10 and m = n mod 10, the first m tiles hold q+1 rows.
     * Lets ntile ride on `DistRank` instead of a global window.
@@ -167,7 +199,8 @@ object Ml3 {
     "ml_kmeans_assign" -> ((s, d) => mlKmeansAssign(s, d)),
     "ml_lift_deciles" -> (mlLiftDeciles _),
     "ml_calibration_bins" -> (mlCalibrationBins _),
-    "ml_confusion_by_group" -> (mlConfusionByGroup _))
+    "ml_confusion_by_group" -> (mlConfusionByGroup _),
+    "ml_threshold_sweep" -> (mlThresholdSweep _))
 
   val oracles: Map[String, String] = Map(
     "ml_kmeans_assign" ->
@@ -249,5 +282,32 @@ object Ml3 {
         |  ${ratio("tp", "tp + fp")} AS precision_,
         |  ${ratio("tp", "tp + fn")} AS recall_
         |FROM cm ORDER BY o_orderstatus""".stripMargin
+    },
+    "ml_threshold_sweep" -> {
+      def ratio(num: String, den: String) =
+        OracleRound.sql4(s"CAST($num AS DOUBLE) / CAST(nullif($den, 0) AS DOUBLE)")
+      s"""WITH l AS (
+        |  SELECT o_totalprice AS score,
+        |    CAST(o_orderpriority < '3' AS INT) AS truth
+        |  FROM orders),
+        |mm AS (SELECT min(score) AS lo, max(score) AS hi FROM l),
+        |p AS (SELECT truth, (score - lo) / (hi - lo) AS p FROM l, mm),
+        |x AS (SELECT p.truth,
+        |        CAST(t.threshold AS DOUBLE) AS threshold,
+        |        CAST(p.p >= t.threshold AS INT) AS pred
+        |      FROM p CROSS JOIN (
+        |        SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold) t),
+        |cm AS (
+        |  SELECT threshold,
+        |    count(CASE WHEN pred = 1 AND truth = 1 THEN 1 END) AS tp,
+        |    count(CASE WHEN pred = 1 AND truth = 0 THEN 1 END) AS fp,
+        |    count(CASE WHEN pred = 0 AND truth = 1 THEN 1 END) AS fn,
+        |    count(CASE WHEN pred = 0 AND truth = 0 THEN 1 END) AS tn
+        |  FROM x GROUP BY 1)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  ${ratio("tp", "tp + fp")} AS precision_,
+        |  ${ratio("tp", "tp + fn")} AS recall_,
+        |  ${ratio("2 * tp", "2 * tp + fp + fn")} AS f1
+        |FROM cm ORDER BY threshold""".stripMargin
     })
 }

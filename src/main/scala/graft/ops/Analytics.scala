@@ -122,12 +122,63 @@ object Analytics {
         col("q").getItem(1).as("p50"), col("q").getItem(2).as("p75"))
       .orderBy("l_returnflag")
 
+  /** A44 — incremental aggregate maintenance: yesterday's per-group
+    * partials (count + exact-cents sum) merged with today's delta batch
+    * by RE-AGGREGATING THE UNION of partials — never rescanning history.
+    * This is the 100 TB daily-ETL answer to "recompute the season-to-date
+    * table" (the reference recomputes per game day, function.py:83-87):
+    * history is touched once ever; each day costs O(delta) + a k-row
+    * merge. Merge correctness is algebraic (counts and integer sums are
+    * commutative monoids), so the oracle IS the full recompute — the
+    * incrementality is result-invisible, like A27's salting.
+    */
+  def qIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority"), col("o_orderdate"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val cut = lit("1997-01-01").cast("timestamp")
+    val state = partial(o.filter(col("o_orderdate") < cut))   // history, computed once
+    val delta = partial(o.filter(col("o_orderdate") >= cut))  // today's batch
+    state.unionAll(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum("n").as("n_orders"), sum("sum_cents").as("sc"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        (col("sc") / 100.0).as("revenue"),
+        OracleRound.r4b(col("sc").cast("double") / (col("n_orders") * lit(100L)).cast("double")).as("avg_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** A45 — event-type transition matrix (first-order Markov counts): per
+    * user, each consecutive (prev → curr) event-type pair via one lag
+    * window, then a tiny type×type aggregate. Output is O(|types|²)
+    * regardless of row count; the only wide op is the per-user window's
+    * single hash shuffle. Ordering is (ts_us, event_id) — microsecond
+    * floor per the §4 rule, event_id making the sort total so nanosecond
+    * ties (invisible to DuckDB's micros scan) cannot reorder pairs.
+    */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("curr_type"))
+      .groupBy("prev_type", "curr_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "curr_type")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_window" -> (qRangeWindow _),
     "q_funnel" -> (qFunnel _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
-    "q_approx_quantile" -> (qApproxQuantile _))
+    "q_approx_quantile" -> (qApproxQuantile _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_event_transitions" -> (qEventTransitions _))
 
   val oracles: Map[String, String] = Map(
     "q_range_window" ->
@@ -180,5 +231,22 @@ object Analytics {
         |            ELSE 'unchanged' END AS change_type,
         |       count(*) AS n
         |FROM s1 FULL OUTER JOIN s2 USING (k)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_incremental_agg" ->
+      s"""SELECT o_orderpriority,
+        | count(*) AS n_orders,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+        | ${OracleRound.sql4("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE)")} AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_event_transitions" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        | FROM events),
+        |p AS (
+        | SELECT event_type AS curr_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        | FROM e)
+        |SELECT prev_type, curr_type, count(*) AS n
+        |FROM p WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

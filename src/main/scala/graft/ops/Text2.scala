@@ -44,8 +44,34 @@ object Text2 {
       .orderBy(col("doc_id"), col("tfidf_q").desc, col("term"))
   }
 
+  /** F7 — readability scoring: a Flesch-reading-ease-shaped composite
+    * from three regex counts (sentence terminator runs, whitespace
+    * tokens, vowel-group "syllables" — the standard no-dictionary
+    * syllable proxy). Quality filters for pretraining corpora gate on
+    * exactly this family of scores. Pure codegen'd projection — zero
+    * shuffles at any scale. The score is two IEEE divisions of exact
+    * integers and a fixed-order linear combine of decimal literals, so
+    * both engines produce bit-identical doubles before the §4 rounding.
+    */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val nSent = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1)).cast("double")
+    val nWords = size(split(trim(col("text")), "\\s+")).cast("double")
+    val nSyll = greatest(size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))), lit(1)).cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nSent.cast("long").as("n_sent"),
+        nWords.cast("long").as("n_words"),
+        nSyll.cast("long").as("n_syll"),
+        OracleRound.r4b(nWords / nSent).as("words_per_sent"),
+        OracleRound.r4b(nSyll / nWords).as("syll_per_word"),
+        OracleRound.r4b(lit(206.835) - lit(1.015) * (nWords / nSent) - lit(84.6) * (nSyll / nWords)).as("flesch"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_tfidf" -> (textTfidf _))
+    "text_tfidf" -> (textTfidf _),
+    "text_readability" -> (textReadability _))
 
   val oracles: Map[String, String] = Map(
     "text_tfidf" ->
@@ -64,5 +90,20 @@ object Text2 {
         | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_q DESC, term) AS rn
         | FROM scored)
         |WHERE rn <= 3
-        |ORDER BY doc_id, tfidf_q DESC, term""".stripMargin)
+        |ORDER BY doc_id, tfidf_q DESC, term""".stripMargin,
+    "text_readability" ->
+      s"""WITH c AS (
+        | SELECT doc_id,
+        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
+        |  len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        |  greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syll
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(n_sent AS BIGINT) AS n_sent,
+        | CAST(n_words AS BIGINT) AS n_words,
+        | CAST(n_syll AS BIGINT) AS n_syll,
+        | ${OracleRound.sql4("CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE)")} AS words_per_sent,
+        | ${OracleRound.sql4("CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)")} AS syll_per_word,
+        | ${OracleRound.sql4("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE)) - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))")} AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin)
 }
