@@ -58,24 +58,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Each query is timed SPARK_GRAFT_BENCH_PASSES times (default 2) and
+    // Each query is timed SPARK_GRAFT_BENCH_PASSES times (default 3) and
     // the per-query MINIMUM is reported: best-of-N is the standard way to
     // measure the operator rather than whatever else the host was doing
     // during one pass (the machine is shared while rounds are judged).
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to passes).map { _ =>
-          val t0 = System.nanoTime()
-          try materialize(fn(spark, sfDir))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
+    // Passes are ROUND-ROBIN (all queries in pass 1, then all in pass 2,
+    // ...) so a multi-minute contention spike on the shared host lands on
+    // different queries in different passes and the min survives it —
+    // back-to-back passes of one query both die inside the same spike.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val named = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val samples = (1 to passes).flatMap { _ =>
+      named.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> times.min
+        name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    val best = samples.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).min }
+    val results = named.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
