@@ -95,11 +95,46 @@ object Features3 {
         OracleRound.r4b(sum("label").cast("double") / count(lit(1)).cast("double")).as("pos_rate"))
       .orderBy("fold")
 
+  /** B20 — point-in-time lag features per entity: previous two event
+    * values and the running mean of all STRICTLY PRIOR values. This is
+    * the reference's core feature semantic — "stats going into the game"
+    * (function.py pulls season-to-date pitcher stats as of the morning
+    * of each game) — packaged as a reusable per-key windowed feature op:
+    * no row ever sees its own value in its features, so there is no
+    * label/feature leakage by construction.
+    *
+    * One shuffle on user_id; the running mean accumulates QUANTIZED
+    * integer ticks (round(value·10⁴) as long) so the growing-frame sum
+    * is order-independent and exact on both engines — a double running
+    * sum would drift between Spark's incremental frame evaluation and
+    * DuckDB's segment tree.
+    */
+  def fLagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        col("value"), round(col("value") * 10000).cast("long").as("vq"))
+      .withColumn("lag1", lag("value", 1).over(w))
+      .withColumn("lag2", lag("value", 2).over(w))
+      .withColumn("prior_n", count(col("vq")).over(prior))
+      .withColumn("prior_sum_q", sum(col("vq")).over(prior))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("lag1"), col("lag2"),
+        OracleRound.r4b(col("value") - col("lag1")).as("delta1"),
+        col("prior_n"),
+        when(col("prior_n") > 0,
+          OracleRound.r4b(col("prior_sum_q").cast("double") /
+            (lit(10000.0) * col("prior_n")))).as("prior_avg"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f_winsorize" -> (fWinsorize _),
     "f_interaction" -> (fInteraction _),
     "f_hashed_features" -> (fHashedFeatures _),
-    "f_cv_folds" -> ((s, d) => fCvFolds(s, d)))
+    "f_cv_folds" -> ((s, d) => fCvFolds(s, d)),
+    "f_lag_features" -> (fLagFeatures _))
 
   val oracles: Map[String, String] = Map(
     "f_winsorize" ->
@@ -141,5 +176,25 @@ object Features3 {
         | count(*) AS n,
         | CAST(sum(CAST(o_orderpriority < '3' AS INT)) AS BIGINT) AS n_pos,
         | ${OracleRound.sql4("CAST(sum(CAST(o_orderpriority < '3' AS INT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS pos_rate
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f_lag_features" ->
+      s"""WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |  CAST(round(value * 10000) AS BIGINT) AS vq
+        | FROM events),
+        |w AS (
+        | SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER win AS lag1,
+        |  lag(value, 2) OVER win AS lag2,
+        |  count(vq) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_n,
+        |  sum(vq) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_sum_q
+        | FROM e
+        | WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT event_id, user_id, value, lag1, lag2,
+        | ${OracleRound.sql4("value - lag1")} AS delta1,
+        | CAST(prior_n AS BIGINT) AS prior_n,
+        | CASE WHEN prior_n > 0 THEN
+        |  ${OracleRound.sql4("CAST(prior_sum_q AS DOUBLE) / (10000.0 * prior_n)")}
+        | END AS prior_avg
+        |FROM w ORDER BY event_id""".stripMargin)
 }

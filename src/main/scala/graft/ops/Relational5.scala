@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Relational extensions (round 3, wave 9) — SURVEY.md §2.A46-A47.
+  *
+  * A46 chi-squared independence is the categorical-feature-selection
+  * test the reference's model bench implies (it benches "old-school" vs
+  * "modern" feature SUBSETS — modeling.ipynb cell 123; a χ² screen is how
+  * such subsets get chosen from data). A47 per-group mode is the
+  * categorical summary statistic `describe()` omits.
+  */
+object Relational5 {
+  import OracleRound.r4b
+
+  /** A46 — χ² contingency of market segment × urgent-priority label over
+    * orders ⋈ customer. Observed counts are exact integers from ONE
+    * conditional-aggregate pass; expected counts and per-cell
+    * contributions are fixed-order IEEE expressions from those integers
+    * (identical text on both engines), rounded via OracleRound. Output is
+    * one row per segment with its χ² contribution — Σ(contrib) is the
+    * statistic, df = (|seg|−1)·1.
+    *
+    * Plan shape: fact⋈dim equi-join (dim broadcast at test scale;
+    * bucket-compatible plain keys at 100 TB), then a ≤|segments|-group
+    * aggregate with map-side partials and a 1-row totals broadcast — no
+    * window, no second fact scan.
+    */
+  def qChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), (col("o_orderpriority") < "3").cast("int").as("urgent"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val cells = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(sum(col("urgent")).as("obs_pos"),
+        count(lit(1)).as("row_tot"))
+      .withColumn("obs_neg", col("row_tot") - col("obs_pos"))
+    val tot = cells.agg(sum("obs_pos").as("g_pos"), sum("row_tot").as("g_tot"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("exp_pos",
+        col("row_tot") * col("g_pos").cast("double") / col("g_tot"))
+      .withColumn("exp_neg",
+        col("row_tot") * (col("g_tot") - col("g_pos")).cast("double") / col("g_tot"))
+      .select(col("segment"), col("obs_pos"), col("obs_neg"),
+        r4b(col("exp_pos")).as("exp_pos"),
+        r4b(col("exp_neg")).as("exp_neg"),
+        r4b((col("obs_pos") - col("exp_pos")) * (col("obs_pos") - col("exp_pos")) / col("exp_pos") +
+          (col("obs_neg") - col("exp_neg")) * (col("obs_neg") - col("exp_neg")) / col("exp_neg"))
+          .as("chi2_term"))
+      .orderBy("segment")
+  }
+
+  /** A47 — per-group mode with a deterministic tie-break (most frequent
+    * return flag per line status; ties → lexicographically smallest).
+    * Two bounded aggregates: counts on (group, value) — map-side
+    * partials, |groups|·|domain| rows — then a row_number window over
+    * that TINY aggregate, never over the facts.
+    */
+  def qModePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_linestatus")
+      .orderBy(col("cnt").desc, col("l_returnflag"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_linestatus").as("linestatus"),
+        col("l_returnflag").as("mode_returnflag"), col("cnt").as("mode_count"))
+      .orderBy("linestatus")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chi_square" -> (qChiSquare _),
+    "q_mode_per_group" -> (qModePerGroup _))
+
+  val oracles: Map[String, String] = Map(
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |         sum(CAST(o.o_orderpriority < '3' AS INT)) AS obs_pos,
+        |         count(*) AS row_tot
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment),
+        |tot AS (
+        |  SELECT sum(obs_pos) AS g_pos, sum(row_tot) AS g_tot FROM cells)
+        |SELECT segment,
+        |  CAST(obs_pos AS BIGINT) AS obs_pos,
+        |  CAST(row_tot - obs_pos AS BIGINT) AS obs_neg,
+        |  floor((row_tot * CAST(g_pos AS DOUBLE) / g_tot) * 10000 + 0.5) / 10000 AS exp_pos,
+        |  floor((row_tot * CAST(g_tot - g_pos AS DOUBLE) / g_tot) * 10000 + 0.5) / 10000 AS exp_neg,
+        |  floor(((obs_pos - row_tot * CAST(g_pos AS DOUBLE) / g_tot) *
+        |         (obs_pos - row_tot * CAST(g_pos AS DOUBLE) / g_tot) /
+        |         (row_tot * CAST(g_pos AS DOUBLE) / g_tot) +
+        |         ((row_tot - obs_pos) - row_tot * CAST(g_tot - g_pos AS DOUBLE) / g_tot) *
+        |         ((row_tot - obs_pos) - row_tot * CAST(g_tot - g_pos AS DOUBLE) / g_tot) /
+        |         (row_tot * CAST(g_tot - g_pos AS DOUBLE) / g_tot)) * 10000 + 0.5) / 10000
+        |    AS chi2_term
+        |FROM cells CROSS JOIN tot
+        |ORDER BY segment""".stripMargin,
+    "q_mode_per_group" ->
+      """WITH counts AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_linestatus AS linestatus, l_returnflag AS mode_returnflag,
+        |       CAST(cnt AS BIGINT) AS mode_count
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_linestatus
+        |            ORDER BY cnt DESC, l_returnflag) AS rn
+        |  FROM counts)
+        |WHERE rn = 1 ORDER BY linestatus""".stripMargin)
+}

@@ -188,9 +188,46 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** E6 — multi-probe LSH with exact re-rank: a probe searches its own
+    * sign-bucket PLUS the 4 Hamming-1 neighbor buckets (flip one plane
+    * bit), then candidates are re-ranked by EXACT cosine. This is the
+    * production two-stage retrieval shape: multi-probe recovers most of
+    * the recall single-bucket LSH (E2) loses at bucket boundaries, for
+    * 5/16 of the scan cost instead of 16/16 (brute force E1); at real
+    * scale more planes + a fixed probe budget keep the scanned fraction
+    * tiny while the exact re-rank stage keeps precision at 1.
+    *
+    * Plan shape: the probe expansion is an explode of the TINY probe set
+    * (5 rows per probe), broadcast against the bucketed corpus — an
+    * equi-join on bucket, never a Hamming-distance theta-join; a vector
+    * lives in exactly one bucket so no candidate dedup is needed.
+    */
+  def annRerank(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val planes = Dedup.hyperplanes(4, 64)
+    val e = emb(spark, dir)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val bucketed = e.withColumn("bucket", bucket)
+    val probes = bucketed.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("q_emb"), col("bucket"))
+    val expanded = probes.select(col("qid"), col("q_emb"),
+      explode(array(col("bucket"),
+        col("bucket").bitwiseXOR(lit(1)), col("bucket").bitwiseXOR(lit(2)),
+        col("bucket").bitwiseXOR(lit(4)), col("bucket").bitwiseXOR(lit(8))))
+        .as("bucket"))
+    val scored = bucketed.join(broadcast(expanded), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("q_emb"), col("emb")).as("cos_sim"))
+    topK(scored, k)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> ((s, d) => annBruteforce(s, d)),
     "ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "ann_rerank" -> ((s, d) => annRerank(s, d)),
     "ann_centroid_ivf" -> ((s, d) => annCentroidIvf(s, d)),
     "ann_pq" -> ((s, d) => annPq(s, d)),
     "ann_pq_search" -> ((s, d) => annPqSearch(s, d)))
@@ -209,6 +246,28 @@ object Similarity {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // same deterministic hyperplane literals as the Spark plan (see
     // Dedup.bucketSql); probes search only their own sign-bucket
+    "ann_rerank" -> {
+      val planes = Dedup.hyperplanes(4, 64)
+      s"""WITH b AS (
+         | SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  ${Dedup.bucketSql(planes)} AS bucket
+         | FROM embeddings),
+         |probes AS (
+         | SELECT vec_id AS qid, emb AS q_emb, bucket FROM b WHERE vec_id % 100 = 0),
+         |pexp AS (
+         | SELECT qid, q_emb, unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+         |                            xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         | FROM probes),
+         |scored AS (
+         | SELECT p.qid, e.vec_id AS nid,
+         |  list_cosine_similarity(p.q_emb, e.emb) AS cos_sim
+         | FROM b e JOIN pexp p USING (bucket) WHERE e.vec_id <> p.qid)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id,
+         | floor((cos_sim) * 10000 + 0.5) / 10000 AS cos_sim
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |      FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "ann_lsh" -> {
       val planes = Dedup.hyperplanes(4, 64)
       s"""WITH b AS (

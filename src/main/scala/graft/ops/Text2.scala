@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,11 +69,76 @@ object Text2 {
       .orderBy("doc_id")
   }
 
+  /** F8 — character-class Shannon entropy: the distribution of
+    * {lowercase, uppercase, digit, whitespace, other} characters per
+    * document, H = −Σ p·ln(p) over non-empty classes. Low-entropy
+    * documents (all caps, digit dumps, single-class runs) are classic
+    * corpus-quality rejects; this complements F2's ratio gates with a
+    * single scalar.
+    *
+    * Class counts are exact integers (length minus the class-stripped
+    * length); each ln() term is the identical fixed-order IEEE
+    * expression on both engines, rounded via OracleRound — the same §4
+    * treatment as every computed double. Shuffle-free projection.
+    */
+  def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text"))
+    def cnt(re: String): Column =
+      n - length(regexp_replace(col("text"), re, ""))
+    val lo = cnt("[a-z]"); val up = cnt("[A-Z]")
+    val di = cnt("[0-9]"); val sp = cnt("\\s")
+    def term(c: Column): Column = {
+      val p = c.cast("double") / col("n_chars_t").cast("double")
+      when(c > 0, p * log(p)).otherwise(lit(0.0))
+    }
+    Tables.documents(spark, dir)
+      .withColumn("n_chars_t", n)
+      .withColumn("c_lo", lo).withColumn("c_up", up)
+      .withColumn("c_di", di).withColumn("c_sp", sp)
+      .withColumn("c_ot", col("n_chars_t") - col("c_lo") - col("c_up") - col("c_di") - col("c_sp"))
+      .select(col("doc_id"),
+        col("n_chars_t").cast("long").as("n"),
+        col("c_lo").cast("long").as("n_lower"),
+        col("c_up").cast("long").as("n_upper"),
+        col("c_di").cast("long").as("n_digit"),
+        col("c_sp").cast("long").as("n_space"),
+        col("c_ot").cast("long").as("n_other"),
+        when(col("n_chars_t") > 0,
+          OracleRound.r4b(-(term(col("c_lo")) + term(col("c_up")) + term(col("c_di")) +
+            term(col("c_sp")) + term(col("c_ot")))))
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (textTfidf _),
-    "text_readability" -> (textReadability _))
+    "text_readability" -> (textReadability _),
+    "text_char_entropy" -> (textCharEntropy _))
+
+  private def entropyTermSql(c: String): String =
+    s"(CASE WHEN $c > 0 THEN (CAST($c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      s"ln(CAST($c AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "text_char_entropy" -> {
+      val sum = Seq("c_lo", "c_up", "c_di", "c_sp", "c_ot")
+        .map(entropyTermSql).mkString(" + ")
+      s"""WITH c AS (
+         | SELECT doc_id, length(text) AS n,
+         |  length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS c_lo,
+         |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS c_up,
+         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS c_di,
+         |  length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS c_sp
+         | FROM documents),
+         |c2 AS (SELECT *, n - c_lo - c_up - c_di - c_sp AS c_ot FROM c)
+         |SELECT doc_id,
+         | CAST(n AS BIGINT) AS n,
+         | CAST(c_lo AS BIGINT) AS n_lower, CAST(c_up AS BIGINT) AS n_upper,
+         | CAST(c_di AS BIGINT) AS n_digit, CAST(c_sp AS BIGINT) AS n_space,
+         | CAST(c_ot AS BIGINT) AS n_other,
+         | CASE WHEN n > 0 THEN ${OracleRound.sql4(s"-($sum)")} END AS entropy
+         |FROM c2 ORDER BY doc_id""".stripMargin
+    },
     "text_tfidf" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

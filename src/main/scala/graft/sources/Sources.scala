@@ -169,7 +169,31 @@ object SourceQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** I6 — schema-evolution read: batch 1 lands with the v1 schema
+    * (key, price), batch 2 adds a column (status). `mergeSchema` unions
+    * the footers so one read spans both layouts, v1 rows null-filling
+    * the late column — the drift every long-lived 100 TB layout
+    * accumulates (the reference itself ALTERed its games table between
+    * seasons). Never the default at scale: schema merging scans every
+    * file footer, so production pins the superset schema in a catalog;
+    * the option is for the migration read that builds it.
+    */
+  def srcSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("evolve")
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/b1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$path/b2")
+    spark.read.option("mergeSchema", "true").parquet(s"$path/b1", s"$path/b2")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_schema_evolution" -> (srcSchemaEvolution _),
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
@@ -183,6 +207,10 @@ object SourceQueries {
     * surfaces as a hash mismatch.
     */
   val oracles: Map[String, String] = Map(
+    "src_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "src_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,

@@ -112,4 +112,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("props") && !plan.contains("value"),
       s"scan reads unreferenced events columns in:\n$plan")
   }
+
+  test("q_chi_square broadcasts the totals, one fact aggregation pass") {
+    val plan = executedPlan("q_chi_square")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"1-row totals not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"totals join degenerated to a cartesian shuffle in:\n$plan")
+  }
+
+  test("ann_rerank expands probes and equi-joins on bucket (no theta join)") {
+    val plan = executedPlan("ann_rerank")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expanded probe set not broadcast-equi-joined in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe join degenerated past the bucket equi-join in:\n$plan")
+  }
+
+  test("dedup_doc_chunk pairs via hash equi-join, never doc×doc") {
+    val plan = executedPlan("dedup_doc_chunk")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"chunk-pair join degenerated in:\n$plan")
+    Seq("lang", "source", "n_chars").foreach { c =>
+      assert(!plan.contains(s"$c#"), s"scan reads unreferenced documents column $c")
+    }
+  }
+
+  test("text_char_entropy is a shuffle-free projection (sort excepted)") {
+    val plan = executedPlan("text_char_entropy")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 0, s"entropy projection should not hash-shuffle:\n$plan")
+  }
 }

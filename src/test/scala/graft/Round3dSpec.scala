@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-3 wave-9 operators (SURVEY.md §2 A46-A47,
+  * C18-C20, D8, E6, F8). Oracle hash-matching is the driver's gate;
+  * these pin the semantic properties that survive refactors.
+  */
+class Round3dSpec extends AnyFunSuite {
+  import graft.ml.Ml4
+  import graft.ops.{Dedup2, Relational5, Similarity, Text2}
+  lazy val spark = TestSpark.spark
+  lazy val sf = TestSpark.sf
+
+  test("ml_ks_statistic: KS in [0,1] and equals AUC-consistent separation on this data") {
+    val r = Ml4.mlKsStatistic(spark, sf).head()
+    val (p, n, ks) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+    assert(p > 0 && n > 0)
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(r.getLong(2) <= p * n, "integer numerator bounded by P*N")
+  }
+
+  test("ml_auc_pr: AP within the exact attainable bounds for (P, N)") {
+    val r = Ml4.mlAucPr(spark, sf).head()
+    val (p, n, ap) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(ap <= 1.0)
+    // worst attainable AP: every positive ranked after every negative,
+    // AP_min = (1/P) Σ_{i=1..P} i/(N+i); quantization only lowers by <1e-6
+    val apMin = (1L to p).map(i => i.toDouble / (n + i)).sum / p
+    assert(ap >= apMin - 1e-4, s"AP $ap below attainable floor $apMin")
+  }
+
+  test("ml_psi: fractions sum to 1 per split, identical split ⇒ psi 0") {
+    val rows = Ml4.mlPsi(spark, sf).collect()
+    val trainTot = rows.map(_.getLong(1)).sum
+    val testTot = rows.map(_.getLong(2)).sum
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-3)
+    // B6's 80/20 hash split is uniform: both splits see every bin here
+    assert(rows.forall(r => !r.isNullAt(5)))
+    assert(trainTot > testTot, "80/20 split direction")
+  }
+
+  test("q_chi_square: observed totals recompose, contributions non-negative") {
+    val rows = Relational5.qChiSquare(spark, sf).collect()
+    val nOrders = graft.tables.Tables.orders(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == nOrders)
+    assert(rows.forall(_.getDouble(5) >= 0.0))
+    // expected counts recompose to the row totals (within rounding)
+    rows.foreach { r =>
+      val obs = r.getLong(1) + r.getLong(2)
+      assert(math.abs(r.getDouble(3) + r.getDouble(4) - obs) < 2e-4)
+    }
+  }
+
+  test("q_mode_per_group: the mode really is the max count in its group") {
+    val counts = graft.tables.Tables.lineitem(spark, sf)
+      .groupBy("l_linestatus", "l_returnflag").count()
+      .collect().groupBy(_.getString(0))
+    Relational5.qModePerGroup(spark, sf).collect().foreach { r =>
+      val grp = counts(r.getString(0))
+      assert(r.getLong(2) == grp.map(_.getLong(2)).max)
+    }
+  }
+
+  test("ann_rerank: recall ⊇ single-bucket LSH, ⊆ brute force per query") {
+    val bf = Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val multi = Similarity.annRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // multi-probe recall (fraction of brute-force top-k recovered) must
+    // be at least single-bucket recall: its candidate set is a superset
+    val lshRecall = lsh.count(bf.contains).toDouble / bf.size
+    val multiRecall = multi.count(bf.contains).toDouble / bf.size
+    assert(multiRecall >= lshRecall)
+    assert(multiRecall > 0.5, s"multi-probe recall $multiRecall too low")
+  }
+
+  test("dedup_doc_chunk: pairs symmetric-free (a<b) and counts positive") {
+    val rows = Dedup2.dedupDocChunk(spark, sf).collect()
+    assert(rows.nonEmpty, "synthetic corpus contains duplicated passages")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getLong(2) > 0))
+  }
+
+  test("f_lag_features: no leakage — prior stats never include the row itself") {
+    val f = graft.ops.Features3.fLagFeatures(spark, sf).cache()
+    // first event per user: no lag, no prior average
+    assert(f.filter(col("prior_n") === 0 && !col("lag1").isNull).isEmpty)
+    assert(f.filter(col("prior_n") === 0 && !col("prior_avg").isNull).isEmpty)
+    // second event: prior average IS lag1 (single prior value, quantized)
+    val second = f.filter(col("prior_n") === 1)
+      .filter(abs(col("prior_avg") - col("lag1")) > 1e-4)
+    assert(second.isEmpty, "prior_avg over one value must equal lag1")
+    f.unpersist()
+  }
+
+  test("ml_bootstrap_ci: CI brackets the pooled accuracy") {
+    val ci = Ml4.mlBootstrapCi(spark, sf).head()
+    val (mean, sd, lo, hi) = (ci.getDouble(1), ci.getDouble(2), ci.getDouble(3), ci.getDouble(4))
+    assert(ci.getLong(0) == 10)
+    assert(sd >= 0 && lo <= mean && mean <= hi)
+    val pooled = graft.ml.Metrics.mlEvalMetrics(spark, sf).head().getDouble(4)
+    assert(lo <= pooled && pooled <= hi,
+      s"pooled accuracy $pooled outside fold CI [$lo, $hi]")
+  }
+
+  test("src_schema_evolution: v1 rows null-fill the late column, v2 keep it") {
+    val r = graft.sources.SourceQueries.srcSchemaEvolution(spark, sf).cache()
+    assert(r.filter(col("o_orderkey") % 2 === 0 && !col("o_orderstatus").isNull).isEmpty)
+    assert(r.filter(col("o_orderkey") % 2 === 1 && col("o_orderstatus").isNull).isEmpty)
+    assert(r.count() == graft.tables.Tables.orders(spark, sf).count())
+    r.unpersist()
+  }
+
+  test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
+    val rows = Text2.textCharEntropy(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6)
+        == r.getLong(1), "class counts must partition the characters")
+      if (!r.isNullAt(7)) {
+        val h = r.getDouble(7)
+        assert(h >= 0.0 && h <= math.log(5.0) + 1e-4)
+      }
+    }
+  }
+}
