@@ -73,9 +73,30 @@ object Relational5 {
       .orderBy("linestatus")
   }
 
+  /** A48 — share-of-total: each group's fraction of the grand total
+    * (the "% of league revenue" reporting shape). Exact integer cents
+    * through both the group and grand aggregates; the grand total is a
+    * 1-row broadcast back onto the ≤|groups| aggregate — NOT a
+    * partition-less window over the facts, which is the common
+    * anti-pattern this operator exists to replace at scale.
+    */
+  def qPercentTotal(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val tot = grouped.agg(sum("cents").as("g_cents"))
+    grouped.crossJoin(broadcast(tot))
+      .select(col("priority"), col("n_orders"),
+        (col("cents") / 100.0).as("revenue"),
+        r4b(col("cents").cast("double") / col("g_cents")).as("pct_of_total"))
+      .orderBy("priority")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chi_square" -> (qChiSquare _),
-    "q_mode_per_group" -> (qModePerGroup _))
+    "q_mode_per_group" -> (qModePerGroup _),
+    "q_percent_total" -> (qPercentTotal _))
 
   val oracles: Map[String, String] = Map(
     "q_chi_square" ->
@@ -101,6 +122,16 @@ object Relational5 {
         |    AS chi2_term
         |FROM cells CROSS JOIN tot
         |ORDER BY segment""".stripMargin,
+    "q_percent_total" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS g_cents FROM g)
+        |SELECT priority, n_orders, cents / 100.0 AS revenue,
+        |       floor((CAST(cents AS DOUBLE) / g_cents) * 10000 + 0.5) / 10000 AS pct_of_total
+        |FROM g CROSS JOIN tot ORDER BY priority""".stripMargin,
     "q_mode_per_group" ->
       """WITH counts AS (
         |  SELECT l_returnflag, l_linestatus, count(*) AS cnt

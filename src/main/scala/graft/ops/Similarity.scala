@@ -224,7 +224,43 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** E7 — k-NN GRAPH join: every vector's top-3 neighbors (not just a
+    * probe set's — E1/E2/E6 answer queries, this materializes the whole
+    * graph). The KNN graph is the backbone primitive for near-dup
+    * clustering, diversity sampling, and graph-based ANN indexes
+    * (HNSW-style builds start exactly here).
+    *
+    * Scale shape: candidate pairs are within-bucket only (same LSH
+    * sign-bucket — n²/2^planes per bucket, geometrically shrinkable with
+    * more planes), ranked by a per-vector window INSIDE the bucket join
+    * output. The full n² never materializes; the shuffle key is the
+    * bucket, then the per-vector top-k is a bounded window. Isolated
+    * vectors (alone in their bucket) drop out — at scale multi-probe
+    * (E6) fills those in.
+    */
+  def annKnnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val planes = Dedup.hyperplanes(4, 64)
+    val e = emb(spark, dir)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val bucketed = e.withColumn("bucket", bucket)
+    val scored = bucketed.as("l")
+      .join(bucketed.as("r"), Seq("bucket"))
+      .filter(col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("src"), col("r.vec_id").as("nid"),
+        cosine(col("l.emb"), col("r.emb")).as("cos_sim"))
+    val w = Window.partitionBy("src").orderBy(col("cos_sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("nid").as("neighbor_id"),
+        OracleRound.r4b(col("cos_sim")).as("cos_sim"))
+      .orderBy("src", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_knn_join" -> ((s, d) => annKnnJoin(s, d)),
     "ann_bruteforce" -> ((s, d) => annBruteforce(s, d)),
     "ann_lsh" -> ((s, d) => annLsh(s, d)),
     "ann_rerank" -> ((s, d) => annRerank(s, d)),
@@ -246,6 +282,22 @@ object Similarity {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // same deterministic hyperplane literals as the Spark plan (see
     // Dedup.bucketSql); probes search only their own sign-bucket
+    "ann_knn_join" -> {
+      val planes = Dedup.hyperplanes(4, 64)
+      s"""WITH b AS (
+         | SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  ${Dedup.bucketSql(planes)} AS bucket
+         | FROM embeddings),
+         |scored AS (
+         | SELECT l.vec_id AS src, r.vec_id AS nid,
+         |  list_cosine_similarity(l.emb, r.emb) AS cos_sim
+         | FROM b l JOIN b r USING (bucket) WHERE l.vec_id <> r.vec_id)
+         |SELECT src, rank, nid AS neighbor_id,
+         | floor((cos_sim) * 10000 + 0.5) / 10000 AS cos_sim
+         |FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, nid) AS rank
+         |      FROM scored)
+         |WHERE rank <= 3 ORDER BY src, rank""".stripMargin
+    },
     "ann_rerank" -> {
       val planes = Dedup.hyperplanes(4, 64)
       s"""WITH b AS (

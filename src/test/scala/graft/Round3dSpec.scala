@@ -116,6 +116,27 @@ class Round3dSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("ann_knn_join: ranks contiguous per source, graph covers the non-isolated corpus") {
+    val g = Similarity.annKnnJoin(spark, sf).cache()
+    val n = graft.tables.Tables.embeddings(spark, sf).count()
+    // contiguous ranks 1..k per src
+    val perSrc = g.groupBy("src").agg(count(lit(1)).as("deg"), max("rank").as("mx"))
+    assert(perSrc.filter(col("deg") =!= col("mx")).isEmpty, "rank gaps within a source")
+    assert(perSrc.filter(col("deg") > 3).isEmpty)
+    // 4-plane buckets on this corpus leave few isolated vectors
+    assert(g.select("src").distinct().count() > n * 9 / 10)
+    g.unpersist()
+  }
+
+  test("q_percent_total: shares sum to 1, revenues recompose the grand total") {
+    val rows = Relational5.qPercentTotal(spark, sf).collect()
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    val total = rows.map(_.getDouble(2)).sum
+    val expect = graft.tables.Tables.orders(spark, sf)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0) / 100.0
+    assert(math.abs(total - expect) < 1e-6)
+  }
+
   test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
     val rows = Text2.textCharEntropy(spark, sf).collect()
     rows.foreach { r =>
