@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -155,13 +155,177 @@ object Ml4 {
             (col("k") * (col("k") - 1))) / lit(1000000.0))).as("ci_hi"))
   }
 
+  /** C22 — decision-tree STUMP trained exactly, the histogram-split way
+    * (the binned candidate-split algorithm XGBoost/LightGBM/Spark's own
+    * GBT use at scale): melt 3 lineitem features long, bin each value
+    * into 10 fixed-width buckets between the feature's min/max (one tiny
+    * broadcast), aggregate per-(feature, bin) class histograms — 60
+    * groups regardless of fact size — then evaluate all 27 candidate
+    * splits from bin-cumulative counts and pick the min weighted Gini
+    * with a deterministic tie-break. The reference benches
+    * HistGradientBoostingClassifier (modeling.ipynb cell 45-48); this is
+    * its single-split learning step made fully oracle-replayable:
+    * training a real model, hash-verified cross-engine.
+    *
+    * Plan: one fact scan (melt is a projection ×3 generate), a 6-row
+    * min/max broadcast, a 60-row aggregate, windows only over those 60
+    * rows. The same plan trains every node of a depth-d tree at 100 TB.
+    */
+  def mlTreeStump(spark: SparkSession, dir: String): DataFrame = {
+    val melted = Tables.lineitem(spark, dir).select(
+      expr("stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)")
+        .as(Seq("feature", "value")),
+      (col("l_returnflag") === "R").cast("int").as("label"))
+    val mm = melted.groupBy("feature")
+      .agg(min("value").as("vmin"), max("value").as("vmax"))
+    val binned = melted.join(broadcast(mm), Seq("feature"))
+      .select(col("feature"), col("label"),
+        least(floor((col("value") - col("vmin")) / (col("vmax") - col("vmin")) * 10), lit(9.0))
+          .cast("int").as("bin"))
+    val hist = binned.groupBy("feature", "bin")
+      .agg(count(lit(1)).as("n"), sum("label").as("pos"))
+    val wOrd = Window.partitionBy("feature").orderBy("bin")
+    val wAll = Window.partitionBy("feature")
+    val cand = hist
+      .withColumn("cum_n", sum("n").over(wOrd))
+      .withColumn("cum_pos", sum("pos").over(wOrd))
+      .withColumn("n_tot", sum("n").over(wAll))
+      .withColumn("pos_tot", sum("pos").over(wAll))
+      .filter(col("bin") < 9 && col("cum_n") > 0 && col("n_tot") > col("cum_n"))
+      .join(broadcast(mm), Seq("feature"))
+      .select(col("feature"), col("bin"),
+        (col("vmin") + (col("bin") + 1) * (col("vmax") - col("vmin")) / 10).as("threshold"),
+        col("cum_n").as("nl"), col("cum_pos").as("pl"),
+        (col("n_tot") - col("cum_n")).as("nr"), (col("pos_tot") - col("cum_pos")).as("pr"))
+    def gini(p: Column, n: Column): Column = {
+      val q = p.cast("double") / n
+      lit(1.0) - q * q - (lit(1.0) - q) * (lit(1.0) - q)
+    }
+    cand
+      .withColumn("wgini",
+        (col("nl") * gini(col("pl"), col("nl")) + col("nr") * gini(col("pr"), col("nr"))) /
+          (col("nl") + col("nr")))
+      .orderBy(col("wgini"), col("feature"), col("bin"))
+      .limit(1)
+      .select(col("feature"), col("bin"), r4b(col("threshold")).as("threshold"),
+        col("nl"), col("pl"), col("nr"), col("pr"), r4b(col("wgini")).as("wgini"))
+  }
+
+  /** C23 — one EXACT power-iteration step toward the top principal
+    * direction of the embedding Gram matrix: v₁ ∝ Σᵢ xᵢ·(xᵢ·v₀), v₀ the
+    * all-ones probe. PCA at 100 TB is exactly this loop — each iteration
+    * one scan, one d-row aggregate — and the nondeterminism that keeps
+    * float-mean ops (E3) rows-only is killed the same way as C13: the
+    * per-row double work (the dot, the component product) is
+    * deterministic, and every CROSS-ROW sum is quantized to integer
+    * ticks first, so partial-merge order cannot change a bit. The final
+    * normalization is one portable sqrt.
+    *
+    * Plan: scan → posexplode to (dim, contribution) → 64-group integer
+    * aggregate (map-side partials) → two 1-row broadcasts (count, norm).
+    * Further iterations loop the same plan with v₀ := result.
+    */
+  def mlPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.{asDouble, dot}
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val ones = array(Seq.fill(64)(lit(1.0)): _*)
+    val withS = e.select(col("emb"), dot(col("emb"), ones).as("s"))
+    val contrib = withS
+      .select(posexplode(col("emb")).as(Seq("dim0", "x")), col("s"))
+      .select((col("dim0") + 1).as("dim"),
+        floor(col("x") * col("s") * lit(1000000.0) + lit(0.5)).cast("long").as("cq"))
+    val sums = contrib.groupBy("dim").agg(sum("cq").as("sumq"))
+    val cnt = e.agg(count(lit(1)).as("n"))
+    val v = sums.crossJoin(broadcast(cnt))
+      .select(col("dim"),
+        (col("sumq").cast("double") / (lit(1000000.0) * col("n"))).as("v"))
+    val normq = v
+      .select(floor(col("v") * col("v") * lit(1.0e12) + lit(0.5)).cast("long").as("nq"))
+      .agg(sum("nq").as("nq_tot"))
+    v.crossJoin(broadcast(normq))
+      .select(col("dim"),
+        r4b(col("v") / sqrt(col("nq_tot").cast("double") / lit(1.0e12))).as("loading"))
+      .orderBy("dim")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_ks_statistic" -> (mlKsStatistic _),
     "ml_auc_pr" -> (mlAucPr _),
     "ml_psi" -> (mlPsi _),
-    "ml_bootstrap_ci" -> ((s, d) => mlBootstrapCi(s, d)))
+    "ml_bootstrap_ci" -> ((s, d) => mlBootstrapCi(s, d)),
+    "ml_tree_stump" -> (mlTreeStump _),
+    "ml_pca_power" -> (mlPcaPower _))
 
   val oracles: Map[String, String] = Map(
+    "ml_pca_power" -> {
+      val ones = Seq.fill(64)("1.0").mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |withs AS (
+         |  SELECT emb, list_dot_product(emb, $ones) AS s FROM e),
+         |ex AS (
+         |  SELECT generate_subscripts(emb, 1) AS dim, unnest(emb) AS x, s FROM withs),
+         |sums AS (
+         |  SELECT CAST(dim AS INT) AS dim,
+         |         CAST(sum(CAST(floor(x * s * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sumq
+         |  FROM ex GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM e),
+         |v AS (
+         |  SELECT dim, CAST(sumq AS DOUBLE) / (1000000.0 * n.n) AS v
+         |  FROM sums CROSS JOIN n),
+         |nq AS (
+         |  SELECT CAST(sum(CAST(floor(v * v * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS nq_tot
+         |  FROM v)
+         |SELECT dim,
+         |  floor((v / sqrt(CAST(nq_tot AS DOUBLE) / 1000000000000.0)) * 10000 + 0.5) / 10000 AS loading
+         |FROM v CROSS JOIN nq ORDER BY dim""".stripMargin
+    },
+    "ml_tree_stump" -> {
+      def gini(p: String, n: String): String = {
+        val q = s"(CAST($p AS DOUBLE) / $n)"
+        s"(1.0 - $q * $q - (1.0 - $q) * (1.0 - $q))"
+      }
+      val wg = s"(nl * ${gini("pl", "nl")} + nr * ${gini("pr", "nr")}) / (nl + nr)"
+      s"""WITH melted AS (
+         |  SELECT 'disc' AS feature, l_discount AS value,
+         |         CAST(l_returnflag = 'R' AS INT) AS label FROM lineitem
+         |  UNION ALL
+         |  SELECT 'price', l_extendedprice, CAST(l_returnflag = 'R' AS INT) FROM lineitem
+         |  UNION ALL
+         |  SELECT 'qty', l_quantity, CAST(l_returnflag = 'R' AS INT) FROM lineitem),
+         |mm AS (
+         |  SELECT feature, min(value) AS vmin, max(value) AS vmax
+         |  FROM melted GROUP BY 1),
+         |binned AS (
+         |  SELECT m.feature, m.label,
+         |         CAST(least(floor((m.value - x.vmin) / (x.vmax - x.vmin) * 10), 9.0) AS INT) AS bin
+         |  FROM melted m JOIN mm x USING (feature)),
+         |hist AS (
+         |  SELECT feature, bin, count(*) AS n, sum(label) AS pos
+         |  FROM binned GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT feature, bin,
+         |         x.vmin + (bin + 1) * (x.vmax - x.vmin) / 10 AS threshold,
+         |         CAST(cum_n AS BIGINT) AS nl, CAST(cum_pos AS BIGINT) AS pl,
+         |         CAST(n_tot - cum_n AS BIGINT) AS nr,
+         |         CAST(pos_tot - cum_pos AS BIGINT) AS pr
+         |  FROM (
+         |    SELECT feature, bin,
+         |           sum(n) OVER (PARTITION BY feature ORDER BY bin) AS cum_n,
+         |           sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS cum_pos,
+         |           sum(n) OVER (PARTITION BY feature) AS n_tot,
+         |           sum(pos) OVER (PARTITION BY feature) AS pos_tot
+         |    FROM hist) h JOIN mm x USING (feature)
+         |  WHERE bin < 9 AND cum_n > 0 AND n_tot > cum_n)
+         |SELECT feature, bin,
+         |       floor((threshold) * 10000 + 0.5) / 10000 AS threshold,
+         |       nl, pl, nr, pr,
+         |       floor(($wg) * 10000 + 0.5) / 10000 AS wgini
+         |FROM cand
+         |ORDER BY $wg, feature, bin
+         |LIMIT 1""".stripMargin
+    },
     "ml_bootstrap_ci" -> {
       val mean = "CAST(s1 AS DOUBLE) / (1000000.0 * k)"
       val sd = "sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE) / (k * (k - 1))) / 1000000.0"

@@ -137,6 +137,28 @@ class Round3dSpec extends AnyFunSuite {
     assert(math.abs(total - expect) < 1e-6)
   }
 
+  test("ml_tree_stump: split partitions the facts and can't increase impurity") {
+    val s = Ml4.mlTreeStump(spark, sf).head()
+    val (nl, pl, nr, pr) = (s.getLong(3), s.getLong(4), s.getLong(5), s.getLong(6))
+    val li = graft.tables.Tables.lineitem(spark, sf)
+    val n = li.count()
+    val pos = li.filter(col("l_returnflag") === "R").count()
+    assert(nl + nr == n, "children must partition the rows")
+    assert(pl + pr == pos, "children must partition the positives")
+    // weighted child Gini never exceeds the parent's (impurity concavity)
+    val p = pos.toDouble / n
+    val parentGini = 1.0 - p * p - (1 - p) * (1 - p)
+    assert(s.getDouble(7) <= parentGini + 1e-4)
+  }
+
+  test("ml_pca_power: unit-norm 64-dim loading vector") {
+    val rows = Ml4.mlPcaPower(spark, sf).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 64))
+    val norm2 = rows.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-2, s"norm^2 $norm2 far from 1")
+  }
+
   test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
     val rows = Text2.textCharEntropy(spark, sf).collect()
     rows.foreach { r =>
