@@ -171,7 +171,16 @@ object Ml4 {
     * min/max broadcast, a 60-row aggregate, windows only over those 60
     * rows. The same plan trains every node of a depth-d tree at 100 TB.
     */
-  def mlTreeStump(spark: SparkSession, dir: String): DataFrame = {
+  private def gini(p: Column, n: Column): Column = {
+    val q = p.cast("double") / n
+    lit(1.0) - q * q - (lit(1.0) - q) * (lit(1.0) - q)
+  }
+
+  /** The shared candidate-split frame: (feature, bin, threshold, child
+    * counts, weighted child Gini — unrounded) for all 27 histogram
+    * splits. C22 takes the global argmin; C24 the per-feature argmin.
+    */
+  private def stumpCandidates(spark: SparkSession, dir: String): DataFrame = {
     val melted = Tables.lineitem(spark, dir).select(
       expr("stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)")
         .as(Seq("feature", "value")),
@@ -186,7 +195,7 @@ object Ml4 {
       .agg(count(lit(1)).as("n"), sum("label").as("pos"))
     val wOrd = Window.partitionBy("feature").orderBy("bin")
     val wAll = Window.partitionBy("feature")
-    val cand = hist
+    hist
       .withColumn("cum_n", sum("n").over(wOrd))
       .withColumn("cum_pos", sum("pos").over(wOrd))
       .withColumn("n_tot", sum("n").over(wAll))
@@ -197,18 +206,39 @@ object Ml4 {
         (col("vmin") + (col("bin") + 1) * (col("vmax") - col("vmin")) / 10).as("threshold"),
         col("cum_n").as("nl"), col("cum_pos").as("pl"),
         (col("n_tot") - col("cum_n")).as("nr"), (col("pos_tot") - col("cum_pos")).as("pr"))
-    def gini(p: Column, n: Column): Column = {
-      val q = p.cast("double") / n
-      lit(1.0) - q * q - (lit(1.0) - q) * (lit(1.0) - q)
-    }
-    cand
       .withColumn("wgini",
         (col("nl") * gini(col("pl"), col("nl")) + col("nr") * gini(col("pr"), col("nr"))) /
           (col("nl") + col("nr")))
+  }
+
+  def mlTreeStump(spark: SparkSession, dir: String): DataFrame =
+    stumpCandidates(spark, dir)
       .orderBy(col("wgini"), col("feature"), col("bin"))
       .limit(1)
       .select(col("feature"), col("bin"), r4b(col("threshold")).as("threshold"),
         col("nl"), col("pl"), col("nr"), col("pr"), r4b(col("wgini")).as("wgini"))
+
+  /** C24 — split-gain feature ranking: each feature's best histogram
+    * split and its Gini gain over the unsplit parent — the
+    * feature-selection screen behind the reference's "old-school vs
+    * modern" subset experiments (modeling.ipynb cell 123), computed from
+    * the SAME 60-row histogram as C22 (zero extra fact scans). Gain ≥ 0
+    * by impurity concavity; ranking is deterministic because every
+    * double is bit-identical cross-engine.
+    */
+  def mlFeatureImportance(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val parent = li.agg(count(lit(1)).as("n_tot"),
+      sum((col("l_returnflag") === "R").cast("int")).as("pos_tot"))
+    val wBest = Window.partitionBy("feature").orderBy(col("wgini"), col("bin"))
+    stumpCandidates(spark, dir)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(parent))
+      .select(col("feature"), col("bin"), r4b(col("threshold")).as("threshold"),
+        r4b(col("wgini")).as("wgini"),
+        r4b(gini(col("pos_tot"), col("n_tot")) - col("wgini")).as("gain"))
+      .orderBy("feature")
   }
 
   /** C23 — one EXACT power-iteration step toward the top principal
@@ -255,7 +285,51 @@ object Ml4 {
     "ml_psi" -> (mlPsi _),
     "ml_bootstrap_ci" -> ((s, d) => mlBootstrapCi(s, d)),
     "ml_tree_stump" -> (mlTreeStump _),
+    "ml_feature_importance" -> (mlFeatureImportance _),
     "ml_pca_power" -> (mlPcaPower _))
+
+  /** The C22/C24 shared SQL twin of [[stumpCandidates]] — CTE chain
+    * ending in `candw(feature, bin, threshold, nl, pl, nr, pr, wgini)`.
+    */
+  private lazy val stumpCtes: String = {
+    def giniSql(p: String, n: String): String = {
+      val q = s"(CAST($p AS DOUBLE) / $n)"
+      s"(1.0 - $q * $q - (1.0 - $q) * (1.0 - $q))"
+    }
+    val wg = s"(nl * ${giniSql("pl", "nl")} + nr * ${giniSql("pr", "nr")}) / (nl + nr)"
+    s"""melted AS (
+       |  SELECT 'disc' AS feature, l_discount AS value,
+       |         CAST(l_returnflag = 'R' AS INT) AS label FROM lineitem
+       |  UNION ALL
+       |  SELECT 'price', l_extendedprice, CAST(l_returnflag = 'R' AS INT) FROM lineitem
+       |  UNION ALL
+       |  SELECT 'qty', l_quantity, CAST(l_returnflag = 'R' AS INT) FROM lineitem),
+       |mm AS (
+       |  SELECT feature, min(value) AS vmin, max(value) AS vmax
+       |  FROM melted GROUP BY 1),
+       |binned AS (
+       |  SELECT m.feature, m.label,
+       |         CAST(least(floor((m.value - x.vmin) / (x.vmax - x.vmin) * 10), 9.0) AS INT) AS bin
+       |  FROM melted m JOIN mm x USING (feature)),
+       |hist AS (
+       |  SELECT feature, bin, count(*) AS n, sum(label) AS pos
+       |  FROM binned GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT feature, bin,
+       |         x.vmin + (bin + 1) * (x.vmax - x.vmin) / 10 AS threshold,
+       |         CAST(cum_n AS BIGINT) AS nl, CAST(cum_pos AS BIGINT) AS pl,
+       |         CAST(n_tot - cum_n AS BIGINT) AS nr,
+       |         CAST(pos_tot - cum_pos AS BIGINT) AS pr
+       |  FROM (
+       |    SELECT feature, bin,
+       |           sum(n) OVER (PARTITION BY feature ORDER BY bin) AS cum_n,
+       |           sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS cum_pos,
+       |           sum(n) OVER (PARTITION BY feature) AS n_tot,
+       |           sum(pos) OVER (PARTITION BY feature) AS pos_tot
+       |    FROM hist) h JOIN mm x USING (feature)
+       |  WHERE bin < 9 AND cum_n > 0 AND n_tot > cum_n),
+       |candw AS (SELECT *, $wg AS wgini FROM cand)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ml_pca_power" -> {
@@ -281,50 +355,36 @@ object Ml4 {
          |  floor((v / sqrt(CAST(nq_tot AS DOUBLE) / 1000000000000.0)) * 10000 + 0.5) / 10000 AS loading
          |FROM v CROSS JOIN nq ORDER BY dim""".stripMargin
     },
-    "ml_tree_stump" -> {
-      def gini(p: String, n: String): String = {
-        val q = s"(CAST($p AS DOUBLE) / $n)"
-        s"(1.0 - $q * $q - (1.0 - $q) * (1.0 - $q))"
-      }
-      val wg = s"(nl * ${gini("pl", "nl")} + nr * ${gini("pr", "nr")}) / (nl + nr)"
-      s"""WITH melted AS (
-         |  SELECT 'disc' AS feature, l_discount AS value,
-         |         CAST(l_returnflag = 'R' AS INT) AS label FROM lineitem
-         |  UNION ALL
-         |  SELECT 'price', l_extendedprice, CAST(l_returnflag = 'R' AS INT) FROM lineitem
-         |  UNION ALL
-         |  SELECT 'qty', l_quantity, CAST(l_returnflag = 'R' AS INT) FROM lineitem),
-         |mm AS (
-         |  SELECT feature, min(value) AS vmin, max(value) AS vmax
-         |  FROM melted GROUP BY 1),
-         |binned AS (
-         |  SELECT m.feature, m.label,
-         |         CAST(least(floor((m.value - x.vmin) / (x.vmax - x.vmin) * 10), 9.0) AS INT) AS bin
-         |  FROM melted m JOIN mm x USING (feature)),
-         |hist AS (
-         |  SELECT feature, bin, count(*) AS n, sum(label) AS pos
-         |  FROM binned GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT feature, bin,
-         |         x.vmin + (bin + 1) * (x.vmax - x.vmin) / 10 AS threshold,
-         |         CAST(cum_n AS BIGINT) AS nl, CAST(cum_pos AS BIGINT) AS pl,
-         |         CAST(n_tot - cum_n AS BIGINT) AS nr,
-         |         CAST(pos_tot - cum_pos AS BIGINT) AS pr
-         |  FROM (
-         |    SELECT feature, bin,
-         |           sum(n) OVER (PARTITION BY feature ORDER BY bin) AS cum_n,
-         |           sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS cum_pos,
-         |           sum(n) OVER (PARTITION BY feature) AS n_tot,
-         |           sum(pos) OVER (PARTITION BY feature) AS pos_tot
-         |    FROM hist) h JOIN mm x USING (feature)
-         |  WHERE bin < 9 AND cum_n > 0 AND n_tot > cum_n)
+    // NOTE the subquery: ORDER BY in the outer scope would bind to the
+    // ROUNDED output alias `wgini` (SQL prefers output names), which
+    // ties at 4 decimals and picks a different argmin than Spark's
+    // unrounded sort. The inner ORDER BY ... LIMIT binds the raw column.
+    "ml_tree_stump" ->
+      s"""WITH $stumpCtes
          |SELECT feature, bin,
          |       floor((threshold) * 10000 + 0.5) / 10000 AS threshold,
          |       nl, pl, nr, pr,
-         |       floor(($wg) * 10000 + 0.5) / 10000 AS wgini
-         |FROM cand
-         |ORDER BY $wg, feature, bin
-         |LIMIT 1""".stripMargin
+         |       floor((wgini) * 10000 + 0.5) / 10000 AS wgini
+         |FROM (SELECT * FROM candw ORDER BY wgini, feature, bin LIMIT 1)""".stripMargin,
+    "ml_feature_importance" -> {
+      val parentGini = {
+        val q = "(CAST(pos_tot AS DOUBLE) / n_tot)"
+        s"(1.0 - $q * $q - (1.0 - $q) * (1.0 - $q))"
+      }
+      s"""WITH $stumpCtes,
+         |parent AS (
+         |  SELECT count(*) AS n_tot,
+         |         CAST(sum(CAST(l_returnflag = 'R' AS INT)) AS BIGINT) AS pos_tot
+         |  FROM lineitem),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY feature ORDER BY wgini, bin) AS rn
+         |  FROM candw)
+         |SELECT feature, bin,
+         |       floor((threshold) * 10000 + 0.5) / 10000 AS threshold,
+         |       floor((wgini) * 10000 + 0.5) / 10000 AS wgini,
+         |       floor(($parentGini - wgini) * 10000 + 0.5) / 10000 AS gain
+         |FROM best CROSS JOIN parent
+         |WHERE rn = 1 ORDER BY feature""".stripMargin
     },
     "ml_bootstrap_ci" -> {
       val mean = "CAST(s1 AS DOUBLE) / (1000000.0 * k)"

@@ -151,6 +151,17 @@ class Round3dSpec extends AnyFunSuite {
     assert(s.getDouble(7) <= parentGini + 1e-4)
   }
 
+  test("ml_feature_importance: one row per feature, gains non-negative, global best has max gain") {
+    val imp = Ml4.mlFeatureImportance(spark, sf).collect()
+    assert(imp.map(_.getString(0)).sorted.toSeq == Seq("disc", "price", "qty"))
+    assert(imp.forall(_.getDouble(4) >= -1e-4), "split gain must be >= 0 (concavity)")
+    val stump = Ml4.mlTreeStump(spark, sf).head()
+    val bestOfBest = imp.minBy(_.getDouble(3))
+    assert(bestOfBest.getString(0) == stump.getString(0) &&
+      bestOfBest.getInt(1) == stump.getInt(1),
+      "global stump must be the per-feature best with minimal wgini")
+  }
+
   test("ml_pca_power: unit-norm 64-dim loading vector") {
     val rows = Ml4.mlPcaPower(spark, sf).collect()
     assert(rows.length == 64)
