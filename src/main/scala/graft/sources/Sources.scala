@@ -192,8 +192,37 @@ object SourceQueries {
       .orderBy("o_orderkey")
   }
 
+  /** I7 — NESTED JSON round-trip: the shape REST payloads actually have
+    * (the reference's statsapi pulls return games nested under dates).
+    * Orders nest per customer as an array of structs on write
+    * (`collect_list(struct(..))`, sorted for determinism), come back
+    * through an explicit nested schema (never inferSchema at scale —
+    * saves the inference pass and pins types), and explode back to rows.
+    * The oracle is the flat original: any nesting/unnesting loss, field
+    * reordering, or JSON number-formatting drift breaks the hash.
+    */
+  def srcJsonNested(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("jsonnest")
+    val o = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val nested = o.groupBy("o_custkey")
+      .agg(sort_array(collect_list(struct(col("o_orderkey"), col("o_totalprice"))))
+        .as("orders"))
+    Sources.writeJson(nested, path)
+    val schema = new StructType()
+      .add("o_custkey", "long")
+      .add("orders", org.apache.spark.sql.types.ArrayType(
+        new StructType().add("o_orderkey", "long").add("o_totalprice", "double")))
+    Sources.readJson(spark, path, schema)
+      .select(col("o_custkey"), explode(col("orders")).as("o"))
+      .select(col("o_custkey"), col("o.o_orderkey").as("o_orderkey"),
+        col("o.o_totalprice").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_schema_evolution" -> (srcSchemaEvolution _),
+    "src_json_nested" -> (srcJsonNested _),
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
@@ -210,6 +239,9 @@ object SourceQueries {
     "src_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "src_json_nested" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "src_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice

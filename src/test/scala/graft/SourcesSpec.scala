@@ -58,6 +58,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("p_date"))
   }
 
+  test("I7: nested JSON round-trip recovers the flat rows exactly") {
+    val sf = TestSpark.sf
+    val back = graft.sources.SourceQueries.srcJsonNested(spark, sf)
+    val orig = graft.tables.Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    assert(back.collect().toSeq == orig.collect().toSeq)
+  }
+
   test("I4: incremental append + latest-wins merge resolves late labels") {
     import spark.implicits._
     val path = tmp("merge")
