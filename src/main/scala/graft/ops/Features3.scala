@@ -129,12 +129,28 @@ object Features3 {
       .orderBy("event_id")
   }
 
+  /** B21 — embedding L2 norms: the vector hygiene check every embedding
+    * pipeline runs before cosine math (zero vectors poison similarity;
+    * norm drift flags a bad encoder batch). Per-row work only — the dot
+    * is a sequential fold, sqrt is IEEE-correctly-rounded, both
+    * portable; zero shuffles at any scale.
+    */
+  def fEmbeddingNorm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.{asDouble, dot}
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), size(col("emb")).as("dim"),
+        OracleRound.r4b(sqrt(dot(col("emb"), col("emb")))).as("l2_norm"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f_winsorize" -> (fWinsorize _),
     "f_interaction" -> (fInteraction _),
     "f_hashed_features" -> (fHashedFeatures _),
     "f_cv_folds" -> ((s, d) => fCvFolds(s, d)),
-    "f_lag_features" -> (fLagFeatures _))
+    "f_lag_features" -> (fLagFeatures _),
+    "f_embedding_norm" -> (fEmbeddingNorm _))
 
   val oracles: Map[String, String] = Map(
     "f_winsorize" ->
@@ -177,6 +193,10 @@ object Features3 {
         | CAST(sum(CAST(o_orderpriority < '3' AS INT)) AS BIGINT) AS n_pos,
         | ${OracleRound.sql4("CAST(sum(CAST(o_orderpriority < '3' AS INT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS pos_rate
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f_embedding_norm" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |  floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000 + 0.5) / 10000 AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "f_lag_features" ->
       s"""WITH e AS (
         | SELECT user_id, event_id, epoch_us(ts) AS us, value,

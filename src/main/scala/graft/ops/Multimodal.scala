@@ -85,9 +85,31 @@ object Multimodal {
   private def decodeFrame(bytes: Array[Byte]): Long =
     bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + (b & 0xff))
 
+  /** H3 — per-type payload statistics: the corpus-composition report a
+    * multimodal ingest runs first (how many assets per sniffed type, how
+    * many bytes, size distribution). Exact integer byte counts through a
+    * ≤|types|-group aggregate with map-side partials; the only doubles
+    * are two final divisions.
+    */
+  def mmPayloadStats(spark: SparkSession, dir: String): DataFrame =
+    withPayload(spark, dir)
+      .select(
+        when(length(col("payload")) > 300, lit("large"))
+          .when(length(col("payload")) > 150, lit("medium"))
+          .otherwise(lit("small")).as("size_class"),
+        length(col("payload")).cast("long").as("sz"))
+      .groupBy("size_class")
+      .agg(count(lit(1)).as("n_assets"),
+        sum("sz").as("total_bytes"),
+        min("sz").as("min_bytes"),
+        max("sz").as("max_bytes"),
+        OracleRound.r4b(sum("sz").cast("double") / count(lit(1))).as("avg_bytes"))
+      .orderBy("size_class")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_payload_stats" -> (mmPayloadStats _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -114,5 +136,18 @@ object Multimodal {
          |FROM (
          | SELECT doc_id, frame_idx, f, ${Dedup.rollSql("f")} AS h
          | FROM sampled)
-         |ORDER BY doc_id, frame_idx""".stripMargin)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_payload_stats" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN octet_length(encode(text)) > 300 THEN 'large'
+        |              WHEN octet_length(encode(text)) > 150 THEN 'medium'
+        |              ELSE 'small' END AS size_class,
+        |         octet_length(encode(text)) AS sz
+        |  FROM documents)
+        |SELECT size_class, count(*) AS n_assets,
+        |       CAST(sum(sz) AS BIGINT) AS total_bytes,
+        |       CAST(min(sz) AS BIGINT) AS min_bytes,
+        |       CAST(max(sz) AS BIGINT) AS max_bytes,
+        |       floor((CAST(sum(sz) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_bytes
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)
 }

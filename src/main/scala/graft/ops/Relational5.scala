@@ -93,10 +93,25 @@ object Relational5 {
       .orderBy("priority")
   }
 
+  /** A49 — long-form unpivot (the inverse of A19's pivot): four lineitem
+    * measures melt to (key, metric, value) rows via `stack` — a pure
+    * shuffle-free Generate projection (4 output rows per input row, no
+    * wide-to-long shuffle), the feed shape for the melted-feature
+    * pipelines (C22's histogram trainer starts exactly like this).
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("""stack(4, 'disc', l_discount, 'price', l_extendedprice,
+               |         'qty', l_quantity, 'tax', l_tax)""".stripMargin)
+          .as(Seq("metric", "value")))
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chi_square" -> (qChiSquare _),
     "q_mode_per_group" -> (qModePerGroup _),
-    "q_percent_total" -> (qPercentTotal _))
+    "q_percent_total" -> (qPercentTotal _),
+    "q_unpivot" -> (qUnpivot _))
 
   val oracles: Map[String, String] = Map(
     "q_chi_square" ->
@@ -122,6 +137,16 @@ object Relational5 {
         |    AS chi2_term
         |FROM cells CROSS JOIN tot
         |ORDER BY segment""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'disc' AS metric, l_discount AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q_percent_total" ->
       """WITH g AS (
         |  SELECT o_orderpriority AS priority,

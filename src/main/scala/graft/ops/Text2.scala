@@ -110,16 +110,62 @@ object Text2 {
       .orderBy("doc_id")
   }
 
+  /** F9 — corpus bigram language-model statistics: the top-20 bigrams by
+    * count with their conditional probability P(w₂|w₁) — the first pass
+    * of every statistical LM and the basis of collocation scoring. The
+    * conditional is quantized to the integer `(c₁₂·10⁶) div c₁` (TF-IDF's
+    * F6 trick) so it replays exactly; c₁ is the count of bigrams
+    * STARTING with w₁ (the proper LM denominator — per-document last
+    * tokens don't emit).
+    *
+    * Plan shape: one tokenize+explode scan → (w₁,w₂) partial-aggregated
+    * shuffle → per-w₁ totals as a window over the ALREADY-AGGREGATED
+    * bigram table (vocabulary-sized, not corpus-sized) → global top-20.
+    */
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .select(split(trim(col("text")), "\\s+").as("tokens"))
+      .filter(size(col("tokens")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(tokens) - 2),
+          |          i -> named_struct('w1', tokens[i], 'w2', tokens[i + 1]))""".stripMargin))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val w1Tot = Window.partitionBy("w1")
+    counts
+      .withColumn("c1", sum("c12").over(w1Tot))
+      .withColumn("p_q6", expr("c12 * 1000000 div c1"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (textTfidf _),
     "text_readability" -> (textReadability _),
-    "text_char_entropy" -> (textCharEntropy _))
+    "text_char_entropy" -> (textCharEntropy _),
+    "text_bigram_lm" -> (textBigramLm _))
+
+  private val bigramLmSql: String =
+    """WITH tok AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS tokens FROM documents),
+      |bg AS (
+      |  SELECT unnest(tokens[1 : len(tokens) - 1]) AS w1,
+      |         unnest(tokens[2 : len(tokens)]) AS w2
+      |  FROM tok WHERE len(tokens) >= 2),
+      |c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |t AS (SELECT *, sum(c12) OVER (PARTITION BY w1) AS c1 FROM c)
+      |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+      |       CAST(c12 * 1000000 // c1 AS BIGINT) AS p_q6
+      |FROM (SELECT * FROM t ORDER BY c12 DESC, w1, w2 LIMIT 20)
+      |ORDER BY c12 DESC, w1, w2""".stripMargin
 
   private def entropyTermSql(c: String): String =
     s"(CASE WHEN $c > 0 THEN (CAST($c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
       s"ln(CAST($c AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END)"
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_lm" -> bigramLmSql,
     "text_char_entropy" -> {
       val sum = Seq("c_lo", "c_up", "c_di", "c_sp", "c_ot")
         .map(entropyTermSql).mkString(" + ")

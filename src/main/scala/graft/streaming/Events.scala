@@ -117,9 +117,38 @@ object Events {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
-    "stream_session_window" -> (streamSessionWindow _))
+    "stream_session_window" -> (streamSessionWindow _),
+    "stream_window_topk" -> (streamWindowTopk _))
+
+  /** G9 — windowed heavy hitters: top-3 event types per tumbling hour
+    * (the live "what's trending this hour" report). The per-window rank
+    * runs over the TINY (windows × types) aggregate, never the events;
+    * in streaming form the same plan hangs off G1's windowed aggregate
+    * with the rank in `foreachBatch` — counts are the only state.
+    */
+  def streamWindowTopk(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(date_trunc("hour", tsCol).as("hour"), col("event_type"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("hour").orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("rank"), col("event_type"), col("n_events"))
+      .orderBy("window_start", "rank")
+  }
 
   val oracles: Map[String, String] = Map(
+    "stream_window_topk" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       rank, event_type, n_events
+        |FROM (SELECT *, row_number() OVER (PARTITION BY hour
+        |        ORDER BY n_events DESC, event_type) AS rank FROM c)
+        |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n_events, floor((sum(CAST(floor(value * 100000000 + 0.5) AS BIGINT)) / 100000000.0) * 10000 + 0.5) / 10000 AS sum_value

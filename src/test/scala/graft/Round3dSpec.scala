@@ -170,6 +170,41 @@ class Round3dSpec extends AnyFunSuite {
     assert(math.abs(norm2 - 1.0) < 1e-2, s"norm^2 $norm2 far from 1")
   }
 
+  test("f_embedding_norm: positive norms, one row per vector") {
+    val n = graft.ops.Features3.fEmbeddingNorm(spark, sf).cache()
+    assert(n.count() == graft.tables.Tables.embeddings(spark, sf).count())
+    assert(n.filter(col("l2_norm") <= 0 || col("dim") =!= 64).isEmpty)
+    n.unpersist()
+  }
+
+  test("text_bigram_lm: conditional probabilities within (0, 1e6] quantized") {
+    val rows = graft.ops.Text2.textBigramLm(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "c12 must not exceed c1")
+      assert(r.getLong(4) > 0 && r.getLong(4) <= 1000000L)
+    }
+  }
+
+  test("stream_window_topk: at most 3 per window, counts non-increasing in rank") {
+    val rows = graft.streaming.Events.streamWindowTopk(spark, sf).collect()
+      .groupBy(_.getString(0))
+    rows.values.foreach { grp =>
+      assert(grp.length <= 3)
+      val byRank = grp.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("mm_payload_stats: byte totals recompose the corpus") {
+    val rows = graft.ops.Multimodal.mmPayloadStats(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val expect = graft.tables.Tables.documents(spark, sf)
+      .agg(sum(length(col("text").cast("binary")))).head.getLong(0)
+    assert(total == expect, "per-class byte totals must sum to the corpus bytes")
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+  }
+
   test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
     val rows = Text2.textCharEntropy(spark, sf).collect()
     rows.foreach { r =>
