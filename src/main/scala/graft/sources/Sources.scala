@@ -220,8 +220,25 @@ object SourceQueries {
       .orderBy("o_orderkey")
   }
 
+  /** I8 — the custom DataSourceV2 connector end to end (see
+    * [[RangeStatsSource]]): `spark.read.format(<class>)` plans 8
+    * disjoint id-range partitions, executor tasks generate their slices
+    * in parallel, and the aggregate downstream is an ordinary Spark plan
+    * over the connector scan. The oracle replays the deterministic
+    * generator from DuckDB's `range()` — connector decode bugs, dropped
+    * slices, or double-formatting drift all break the hash.
+    */
+  def srcCustomSource(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.RangeStatsSource")
+      .option("rows", "100000").option("slices", "8").load()
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("score") * 1000000).cast("long")).as("score_ticks"))
+      .orderBy("bucket")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_schema_evolution" -> (srcSchemaEvolution _),
+    "src_custom_source" -> (srcCustomSource _),
     "src_json_nested" -> (srcJsonNested _),
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
     "src_csv_roundtrip" -> (srcCsvRoundtrip _),
@@ -240,6 +257,11 @@ object SourceQueries {
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "src_custom_source" ->
+      """SELECT CAST((i * 2654435761) % 16 AS INT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum((i * 1103515245 + 12345) % 1000000) AS BIGINT) AS score_ticks
+        |FROM range(100000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_json_nested" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,

@@ -66,6 +66,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.collect().toSeq == orig.collect().toSeq)
   }
 
+  test("I8: DSv2 connector plans parallel slices and covers the keyspace exactly") {
+    val df = spark.read.format("graft.sources.RangeStatsSource")
+      .option("rows", "1000").option("slices", "4").load()
+    // partition planning reaches the RDD: 4 disjoint slices
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 1000)
+    // no dropped/duplicated ids across slice boundaries
+    assert(df.select("id").distinct().count() == 1000)
+    import org.apache.spark.sql.functions._
+    assert(df.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(0L, 999L))
+  }
+
   test("I4: incremental append + latest-wins merge resolves late labels") {
     import spark.implicits._
     val path = tmp("merge")
