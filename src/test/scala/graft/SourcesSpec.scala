@@ -79,6 +79,19 @@ class SourcesSpec extends AnyFunSuite {
       org.apache.spark.sql.Row(0L, 999L))
   }
 
+  test("I8: id-range filters push into the connector — out-of-range rows never generated") {
+    import org.apache.spark.sql.functions._
+    val src = graft.sources.RangeStatsSource.rowsGenerated
+    val df = spark.read.format("graft.sources.RangeStatsSource")
+      .option("rows", "10000").option("slices", "4").load()
+      .filter(col("id") >= 9000L && col("id") < 9500L)
+    src.set(0)
+    assert(df.count() == 500)
+    val generated = src.get()
+    assert(generated == 500,
+      s"pushdown should generate exactly the 500 in-range rows, generated $generated")
+  }
+
   test("I4: incremental append + latest-wins merge resolves late labels") {
     import spark.implicits._
     val path = tmp("merge")
