@@ -92,6 +92,17 @@ class SourcesSpec extends AnyFunSuite {
       s"pushdown should generate exactly the 500 in-range rows, generated $generated")
   }
 
+  test("I8: column pruning reaches the connector scan") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft.sources.RangeStatsSource")
+      .option("rows", "1000").option("slices", "2").load()
+      .select(count(col("bucket")))
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("cols=bucket"),
+      s"scan should read only the bucket column:\n$scan")
+  }
+
   test("I4: incremental append + latest-wins merge resolves late labels") {
     import spark.implicits._
     val path = tmp("merge")
