@@ -279,7 +279,37 @@ object Ml4 {
       .orderBy("dim")
   }
 
+  /** C25 — item co-occurrence with lift: the market-basket/recommender
+    * primitive (parts bought together in one order, scored by lift =
+    * P(ab)/(P(a)P(b))). Candidate pairs come from a self-join ON THE
+    * ORDER KEY, so the blow-up is bounded by (items per order)² — a
+    * per-basket constant — never |parts|²; supports are exact distinct
+    * counts and lift is the quantized integer (s_ab·N·10⁶) div (s_a·s_b)
+    * (F6's monotone-transform trick). Top-20 by support, deterministic
+    * tie-break.
+    */
+  def mlItemCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val oi = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("n_orders"))
+    val itemCount = oi.groupBy("part").agg(count(lit(1)).as("s_item"))
+    val pairs = oi.as("l").join(oi.as("r"), Seq("okey"))
+      .filter(col("l.part") < col("r.part"))
+      .groupBy(col("l.part").as("a"), col("r.part").as("b"))
+      .agg(count(lit(1)).as("s_ab"))
+    pairs
+      .join(itemCount.select(col("part").as("a"), col("s_item").as("s_a")), Seq("a"))
+      .join(itemCount.select(col("part").as("b"), col("s_item").as("s_b")), Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("s_ab"), col("s_a"), col("s_b"),
+        expr("s_ab * n_orders * 1000000 div (s_a * s_b)").as("lift_q6"))
+      .orderBy(col("s_ab").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_item_cooccurrence" -> (mlItemCooccurrence _),
     "ml_ks_statistic" -> (mlKsStatistic _),
     "ml_auc_pr" -> (mlAucPr _),
     "ml_psi" -> (mlPsi _),
@@ -332,6 +362,20 @@ object Ml4 {
   }
 
   val oracles: Map[String, String] = Map(
+    "ml_item_cooccurrence" ->
+      """WITH oi AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |n AS (SELECT count(*) AS n_orders FROM orders),
+        |ic AS (SELECT part, count(*) AS s_item FROM oi GROUP BY 1),
+        |pairs AS (
+        |  SELECT l.part AS a, r.part AS b, count(*) AS s_ab
+        |  FROM oi l JOIN oi r ON l.okey = r.okey AND l.part < r.part
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(s_ab AS BIGINT) AS s_ab,
+        |       CAST(ia.s_item AS BIGINT) AS s_a, CAST(ib.s_item AS BIGINT) AS s_b,
+        |       CAST(s_ab * n.n_orders * 1000000 // (ia.s_item * ib.s_item) AS BIGINT) AS lift_q6
+        |FROM pairs JOIN ic ia ON ia.part = a JOIN ic ib ON ib.part = b CROSS JOIN n
+        |ORDER BY s_ab DESC, a, b LIMIT 20""".stripMargin,
     "ml_pca_power" -> {
       val ones = Seq.fill(64)("1.0").mkString("[", ", ", "]")
       s"""WITH e AS (

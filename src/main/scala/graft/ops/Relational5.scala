@@ -107,11 +107,35 @@ object Relational5 {
           .as(Seq("metric", "value")))
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** A50 — key-sequence gap detection over an extract: the 20 widest
+    * runs of orderkeys missing from the urgent-priority extract (the
+    * "which batch did the export drop" check — a dense upstream keyspace
+    * is exactly when holes in a slice are meaningful). The filter
+    * reaches the scan; the ordered lead() pass runs over the extract
+    * (already a fraction of the facts), and DistRank's range-repartition
+    * is the 100 TB path (C7b's proven technique). Top-20 by exact
+    * integer width, deterministic tie-break.
+    */
+  def qSequenceGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("k")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"))
+      .withColumn("next_key", lead("k", 1).over(w))
+      .filter(col("next_key") > col("k") + 1)
+      .select((col("k") + 1).as("gap_start"),
+        (col("next_key") - 1).as("gap_end"),
+        (col("next_key") - col("k") - 1).as("n_missing"))
+      .orderBy(col("n_missing").desc, col("gap_start"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chi_square" -> (qChiSquare _),
     "q_mode_per_group" -> (qModePerGroup _),
     "q_percent_total" -> (qPercentTotal _),
-    "q_unpivot" -> (qUnpivot _))
+    "q_unpivot" -> (qUnpivot _),
+    "q_sequence_gaps" -> (qSequenceGaps _))
 
   val oracles: Map[String, String] = Map(
     "q_chi_square" ->
@@ -137,6 +161,15 @@ object Relational5 {
         |    AS chi2_term
         |FROM cells CROSS JOIN tot
         |ORDER BY segment""".stripMargin,
+    "q_sequence_gaps" ->
+      """WITH d AS (
+        |  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |g AS (
+        |  SELECT k, lead(k, 1) OVER (ORDER BY k) AS next_key FROM d)
+        |SELECT k + 1 AS gap_start, next_key - 1 AS gap_end,
+        |       next_key - k - 1 AS n_missing
+        |FROM g WHERE next_key > k + 1
+        |ORDER BY n_missing DESC, gap_start LIMIT 20""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
         |  SELECT l_orderkey, l_linenumber, 'disc' AS metric, l_discount AS value FROM lineitem

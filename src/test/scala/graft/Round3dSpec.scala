@@ -205,6 +205,30 @@ class Round3dSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
   }
 
+  test("q_sequence_gaps: gaps contain no urgent keys and widths recompose") {
+    val urgent = graft.tables.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val gaps = Relational5.qSequenceGaps(spark, sf).collect()
+    assert(gaps.length == 20)
+    gaps.foreach { g =>
+      val (s, e, w) = (g.getLong(0), g.getLong(1), g.getLong(2))
+      assert(e - s + 1 == w)
+      assert(!(s to e).exists(urgent.contains), "a gap may not contain extract keys")
+    }
+  }
+
+  test("ml_item_cooccurrence: supports consistent and lift bounded") {
+    val rows = Ml4.mlItemCooccurrence(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (sab, sa, sb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sab <= math.min(sa, sb), "pair support cannot exceed item support")
+      assert(r.getLong(5) > 0)
+    }
+  }
+
   test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
     val rows = Text2.textCharEntropy(spark, sf).collect()
     rows.foreach { r =>
