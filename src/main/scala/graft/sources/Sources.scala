@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -236,8 +236,41 @@ object SourceQueries {
         sum(round(col("score") * 1000000).cast("long")).as("score_ticks"))
       .orderBy("bucket")
 
+  /** I9 — malformed-record accounting: a feed with broken lines (wrong
+    * arity, unparseable types, junk) read PERMISSIVE with a corrupt-
+    * record column — rows survive, garbage is quarantined and COUNTED
+    * instead of killing the job (DROPMALFORMED silently shrinks the
+    * dataset; FAILFAST turns one bad API page into a dead 100 TB run).
+    * Three deliberately-broken lines ride along with the real rows.
+    */
+  def srcCsvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("badcsv")
+    val good = Tables.orders(spark, dir)
+      .select(concat_ws(",", col("o_orderkey"), col("o_orderstatus")).as("value"))
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(Row("xyz,P,extra,fields"), Row("notanumber,F"), Row("garbage")),
+      new StructType().add("value", "string"))
+    Sources.writeText(good.unionByName(bad), path)
+    val schema = new StructType()
+      .add("o_orderkey", "long").add("o_orderstatus", "string")
+      .add("_corrupt", "string")
+    // Spark refuses corrupt-column-only queries against the raw file
+    // (the parser would have to re-run per column reference with
+    // inconsistent visibility); the documented contract is to
+    // materialize the parse once, THEN inspect the quarantine column.
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+      .cache()
+    parsed
+      .agg(count(when(col("_corrupt").isNull, 1)).as("n_good"),
+        count(col("_corrupt")).as("n_corrupt"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_schema_evolution" -> (srcSchemaEvolution _),
+    "src_csv_malformed" -> (srcCsvMalformed _),
     "src_custom_source" -> (srcCustomSource _),
     "src_json_nested" -> (srcJsonNested _),
     "src_json_roundtrip" -> (srcJsonRoundtrip _),
@@ -257,6 +290,9 @@ object SourceQueries {
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "src_csv_malformed" ->
+      """SELECT count(*) AS n_good, CAST(3 AS BIGINT) AS n_corrupt
+        |FROM orders""".stripMargin,
     "src_custom_source" ->
       """SELECT CAST((i * 2654435761) % 16 AS INT) AS bucket,
         |       count(*) AS n,
