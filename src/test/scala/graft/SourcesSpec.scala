@@ -103,6 +103,16 @@ class SourcesSpec extends AnyFunSuite {
       s"scan should read only the bucket column:\n$scan")
   }
 
+  test("I8: count(*) pushes into the connector — zero rows generated") {
+    val src = graft.sources.RangeStatsSource.rowsGenerated
+    val df = spark.read.format("graft.sources.RangeStatsSource")
+      .option("rows", "100000").option("slices", "4").load()
+    src.set(0)
+    assert(df.count() == 100000L)
+    assert(src.get() == 0,
+      s"count(*) should come from slice bounds, generated ${src.get()} rows")
+  }
+
   test("I4: incremental append + latest-wins merge resolves late labels") {
     import spark.implicits._
     val path = tmp("merge")
