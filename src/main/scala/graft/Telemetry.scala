@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
@@ -25,6 +25,20 @@ object Telemetry {
       case other => other.children
     }
     p +: kids.flatMap(flatten)
+  }
+
+  /** In-flight metrics via `Dataset.observe` — aggregate expressions
+    * evaluated WHILE the rows stream through the plan, no second scan
+    * (the production shape for data-quality gates: the write and its
+    * row/null accounting share one pass; in streaming the observation
+    * reports per micro-batch). Returns the instrumented frame and the
+    * handle to read after an action.
+    */
+  def withObservation(df: DataFrame, name: String,
+                      exprs: Seq[Column]): (DataFrame, Observation) = {
+    require(exprs.nonEmpty, "observe needs at least one aggregate")
+    val obs = Observation(name)
+    (df.observe(obs, exprs.head, exprs.tail: _*), obs)
   }
 
   /** Execute `df`'s own QueryExecution (a `write` would build a fresh one

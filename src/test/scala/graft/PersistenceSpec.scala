@@ -28,4 +28,17 @@ class PersistenceSpec extends AnyFunSuite {
     assert(m.wallSec > 0.0)
     assert(m.outputRows > 0L)
   }
+
+  test("Telemetry.withObservation: in-flight metrics match a direct aggregate") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.tables.Tables.orders(spark, sf)
+    val (instrumented, obs) = Telemetry.withObservation(orders, "dq",
+      Seq(count(lit(1)).as("rows"),
+        count(when(col("o_totalprice") <= 0, 1)).as("bad_price")))
+    // one pass: the action below is the ONLY scan; metrics ride along
+    val n = instrumented.count()
+    val row = obs.get
+    assert(row("rows") == n)
+    assert(row("bad_price") == 0L, "synthetic prices are all positive")
+  }
 }
