@@ -31,6 +31,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.broadcastTimeout", "1200")
       // single-file-per-table inputs: smaller split target keeps all
       // cores busy on the scan stage
       .config("spark.sql.files.maxPartitionBytes", "16m")

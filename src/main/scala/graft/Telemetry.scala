@@ -33,6 +33,13 @@ object Telemetry {
     * row/null accounting share one pass; in streaming the observation
     * reports per micro-batch). Returns the instrumented frame and the
     * handle to read after an action.
+    *
+    * CAUTION (Spark 4.1): the first observe on a session initializes its
+    * ObservationManager, a NON-SERIALIZABLE session field — any later
+    * closure that drags the session along (e.g. an MLlib model's
+    * training summary inside CrossValidator) then fails serialization.
+    * Observe on an isolated `spark.newSession()` when the session also
+    * runs MLlib fits.
     */
   def withObservation(df: DataFrame, name: String,
                       exprs: Seq[Column]): (DataFrame, Observation) = {

@@ -19,6 +19,10 @@ object Verify {
       // read as exact Long nanos (converted where queries need a timestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // 140 queries through one JVM: a GC pause during an MLlib parallel
+      // fit can blow the 300s broadcast default — seen once in the test
+      // suite's full sweep, fatal to a round if it hits the driver run
+      .config("spark.sql.broadcastTimeout", "1200")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,10 +30,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // one retry: a transient await/broadcast hiccup deep into the sweep
+      // must not zero a query's correctness for the whole round
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try attempt()
+      catch { case e1: Throwable =>
+        System.err.println(s"[verify] $name failed once: ${e1.getMessage}; retrying")
+        try attempt()
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -48,10 +48,55 @@ object Dedup2 {
       .orderBy("a", "b")
   }
 
+  /** D9 — one integer-exact PageRank iteration over the verified
+    * near-dup graph (D7's edges): rank as centrality of duplicate
+    * clusters — boilerplate hubs score high and make better removal
+    * roots than arbitrary canonical-min picks. The message-passing plan
+    * (edges ⋈ degrees → per-target sum) is THE iterative graph
+    * primitive at scale: one equi-join shuffle + one aggregate per
+    * round, no driver-side graph.
+    *
+    * Determinism: uniform start mass 10⁶ per node; contribution =
+    * 10⁶ div deg (integer), damped rank = 150000 + (85·Σ) div 100 —
+    * every step exact integer arithmetic, no float mass anywhere.
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val contrib = edges.join(deg, "src")
+      .select(col("dst").as("node"), expr("1000000 div deg").as("c"))
+    val sums = contrib.groupBy("node").agg(sum("c").as("s"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(sums.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        (lit(150000L) + expr("85 * coalesce(s, 0) div 100")).as("rank_q"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_doc_chunk" -> (dedupDocChunk _))
+    "dedup_doc_chunk" -> (dedupDocChunk _),
+    "graph_pagerank" -> (graphPagerank _))
 
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH ${Dedup.minhashJacCtes},
+         |p AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+         |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |contrib AS (
+         |  SELECT e.dst AS node, 1000000 // dg.deg AS c FROM e JOIN dg USING (src)),
+         |s AS (SELECT node, sum(c) AS s FROM contrib GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(dg.deg, 0) AS BIGINT) AS degree,
+         |  CAST(150000 + 85 * coalesce(s.s, 0) // 100 AS BIGINT) AS rank_q
+         |FROM documents d
+         |LEFT JOIN s ON s.node = d.doc_id
+         |LEFT JOIN dg ON dg.src = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_doc_chunk" ->
       s"""WITH tok AS (
          | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),

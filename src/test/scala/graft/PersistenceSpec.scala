@@ -31,7 +31,11 @@ class PersistenceSpec extends AnyFunSuite {
 
   test("Telemetry.withObservation: in-flight metrics match a direct aggregate") {
     import org.apache.spark.sql.functions._
-    val orders = graft.tables.Tables.orders(spark, sf)
+    // isolated session: observe initializes the session's non-serializable
+    // ObservationManager, which would poison later MLlib closure
+    // serialization on the shared session (see Telemetry scaladoc)
+    val session = spark.newSession()
+    val orders = graft.tables.Tables.orders(session, sf)
     val (instrumented, obs) = Telemetry.withObservation(orders, "dq",
       Seq(count(lit(1)).as("rows"),
         count(when(col("o_totalprice") <= 0, 1)).as("bad_price")))

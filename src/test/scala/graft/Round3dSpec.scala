@@ -229,6 +229,19 @@ class Round3dSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_pagerank: base mass floor, isolated nodes at exactly the floor, mass bounded") {
+    val r = Dedup2.graphPagerank(spark, sf).cache()
+    assert(r.filter(col("rank_q") < 150000L).isEmpty, "damping floor violated")
+    assert(r.filter(col("degree") === 0 && col("rank_q") =!= 150000L).isEmpty,
+      "isolated nodes receive no propagated mass")
+    // integer division only LOSES mass: total <= N * 10^6
+    val n = r.count()
+    val total = r.agg(sum("rank_q")).head.getLong(0)
+    assert(total <= n * 1000000L)
+    assert(total > n * 150000L, "connected corpus must propagate some mass")
+    r.unpersist()
+  }
+
   test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
     val rows = Text2.textCharEntropy(spark, sf).collect()
     rows.foreach { r =>
