@@ -63,6 +63,26 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
+  test("G10: windowed agg state runs on the RocksDB state store backend") {
+    // RocksDB is the state backend that survives 100 TB streaming state
+    // (bounded heap, incremental checkpoints); the plan must be
+    // backend-agnostic. Isolated session: provider is a session conf.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Events.startStreamingWindowAgg(s2, sf, "rocksdb_sink")
+    try {
+      q.processAllAvailable()
+      val streamed = s2.sql(
+        "SELECT * FROM rocksdb_sink ORDER BY window_start, event_type")
+        .collect().map(_.toSeq)
+      val batch = Events.streamWindowAgg(s2, sf).collect().map(_.toSeq)
+      assert(streamed.nonEmpty)
+      assert(streamed.sameElements(batch),
+        "RocksDB-backed state must produce the same windows as the batch twin")
+    } finally q.stop()
+  }
+
   test("G4: watermarked streaming dedup keeps one row per event_id from a doubled feed") {
     val q = graft.streaming.StreamingDedup.start(spark, sf, "stream_dedup_sink")
     try {
