@@ -308,7 +308,60 @@ object Ml4 {
       .limit(20)
   }
 
+  /** C26 — Kaplan-Meier survival curve for time-to-first-purchase after
+    * signup (censored at a user's last activity): S(tᵢ) = Π_{j≤i}
+    * (nⱼ−dⱼ)/nⱼ over the ordered event times, with nⱼ the at-risk count.
+    * Churn/conversion-time curves are this estimator verbatim.
+    *
+    * The survival product is a SEQUENTIAL recurrence (non-associative —
+    * no aggregate computes it), and float products drift; here the curve
+    * table (≤ distinct event times — thousands at most, by construction
+    * tiny next to the facts) folds ONCE through a sorted-array
+    * `aggregate` higher-order function with an integer accumulator:
+    * S_q(i) = S_q(i−1)·(nᵢ−dᵢ) div nᵢ starting 10⁶ — exact on any
+    * engine; DuckDB replays the same recurrence as a recursive CTE. The
+    * per-user duration extraction stays fully distributed; only the
+    * already-aggregated curve passes through the fold.
+    */
+  def mlSurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("t0"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id").filter(col("us") >= col("t0"))
+      .groupBy("user_id").agg(min("us").as("tp"))
+    val last = ev.join(signup, "user_id")
+      .groupBy("user_id").agg(max("us").as("tl"))
+    val durations = signup
+      .join(purch, Seq("user_id"), "left").join(last, Seq("user_id"))
+      .select(
+        when(col("tp").isNotNull, col("tp") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("dur"),
+        col("tp").isNotNull.cast("int").as("evt"))
+    val grouped = durations.groupBy("dur")
+      .agg(sum("evt").as("d"), count(lit(1)).as("tot"))
+    val nTotal = durations.count()
+    val wPrev = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = grouped
+      .withColumn("n", lit(nTotal) - coalesce(sum("tot").over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      .select(col("dur"), col("d"), col("n"))
+    risk
+      .agg(sort_array(collect_list(struct(col("dur"), col("d"), col("n")))).as("arr"))
+      .select(col("arr"), expr(
+        """aggregate(arr, cast(array(1000000) as array<bigint>),
+          |  (acc, x) -> concat(acc, array(element_at(acc, -1) * (x.n - x.d) div x.n)))"""
+          .stripMargin).as("sq"))
+      .select(posexplode(col("arr")).as(Seq("i", "x")), col("sq"))
+      .select(col("x.dur").as("t_us"), col("x.d").as("d"), col("x.n").as("n_risk"),
+        expr("element_at(sq, i + 2)").as("surv_q"))
+      .orderBy("t_us")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_survival_km" -> (mlSurvivalKm _),
     "ml_item_cooccurrence" -> (mlItemCooccurrence _),
     "ml_ks_statistic" -> (mlKsStatistic _),
     "ml_auc_pr" -> (mlAucPr _),
@@ -362,6 +415,41 @@ object Ml4 {
   }
 
   val oracles: Map[String, String] = Map(
+    "ml_survival_km" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |s AS (
+        |  SELECT user_id, min(us) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.us) AS tp
+        |  FROM ev e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us >= s.t0 GROUP BY 1),
+        |lst AS (
+        |  SELECT e.user_id, max(e.us) AS tl FROM ev e JOIN s USING (user_id) GROUP BY 1),
+        |durs AS (
+        |  SELECT CASE WHEN p.tp IS NOT NULL THEN p.tp - s.t0 ELSE lst.tl - s.t0 END AS dur,
+        |         CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS evt
+        |  FROM s LEFT JOIN p USING (user_id) JOIN lst USING (user_id)),
+        |grp AS (
+        |  SELECT dur, sum(evt) AS d, count(*) AS tot FROM durs GROUP BY 1),
+        |risk AS (
+        |  SELECT dur, d,
+        |         (SELECT count(*) FROM durs) -
+        |         coalesce(sum(tot) OVER (ORDER BY dur
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+        |  FROM grp),
+        |times AS (
+        |  SELECT dur, CAST(d AS BIGINT) AS d, CAST(n AS BIGINT) AS n,
+        |         row_number() OVER (ORDER BY dur) AS i
+        |  FROM risk WHERE d > 0),
+        |km AS (
+        |  SELECT i, dur, d, n, 1000000 * (n - d) // n AS sq
+        |  FROM times WHERE i = 1
+        |  UNION ALL
+        |  SELECT t.i, t.dur, t.d, t.n, km.sq * (t.n - t.d) // t.n
+        |  FROM times t JOIN km ON t.i = km.i + 1)
+        |SELECT dur AS t_us, d, n AS n_risk, CAST(sq AS BIGINT) AS surv_q
+        |FROM km ORDER BY t_us""".stripMargin,
     "ml_item_cooccurrence" ->
       """WITH oi AS (
         |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),

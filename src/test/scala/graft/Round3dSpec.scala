@@ -242,6 +242,20 @@ class Round3dSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("ml_survival_km: survival non-increasing, risk sets shrink, deaths bounded") {
+    val rows = Ml4.mlSurvivalKm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "deaths cannot exceed the risk set")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) < a.getLong(2), "risk set strictly shrinks across event times")
+      assert(b.getLong(3) <= a.getLong(3), "survival is non-increasing")
+    case _ => ()
+    }
+  }
+
   test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
     val rows = Text2.textCharEntropy(spark, sf).collect()
     rows.foreach { r =>
