@@ -82,9 +82,46 @@ object AsOf {
       .orderBy("user_id", "event_id")
   }
 
+  /** A51 — NEAREST-in-time join: each purchase pairs with the view
+    * closest in time in EITHER direction (ties → the earlier one) — the
+    * sensor/feature-alignment semantic where "latest before" is wrong
+    * half the time. Two as-of passes (the backward one, and a forward
+    * one obtained by running the same tagged-union trick on negated
+    * time), then an O(1) per-row pick — still two shuffles total, no
+    * range join. The carried value is a (time, value) struct so the
+    * pick can compare distances.
+    */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        col("event_id"), col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us"),
+        struct(col("us").as("v_us"), col("value").as("v_val")).as("vrec"))
+    val back = asofJoin(purchases, views, "user_id", "us", "vrec", "back")
+    val fwd = asofJoin(
+      back.withColumn("us_neg", -col("us")),
+      views.withColumn("us_neg", -col("us")).select(col("user_id"), col("us_neg"), col("vrec")),
+      "user_id", "us_neg", "vrec", "fwd")
+    val dtBack = col("us") - col("back.v_us")
+    val dtFwd = col("fwd.v_us") - col("us")
+    val pickBack = col("fwd").isNull || (col("back").isNotNull && dtBack <= dtFwd)
+    fwd.select(col("user_id"), col("event_id"),
+      when(col("back").isNotNull || col("fwd").isNotNull,
+        when(pickBack, col("back.v_val")).otherwise(col("fwd.v_val"))).as("nearest_view_value"),
+      when(col("back").isNotNull || col("fwd").isNotNull,
+        when(pickBack, dtBack).otherwise(dtFwd)).as("nearest_dt_us"),
+      when(col("back").isNotNull || col("fwd").isNotNull,
+        when(pickBack, lit("back")).otherwise(lit("fwd"))).as("direction"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
-    "q_asof_join_native" -> (qAsofJoinNative _))
+    "q_asof_join_native" -> (qAsofJoinNative _),
+    "q_asof_nearest" -> (qAsofNearest _))
 
   private val asofOracle =
       """WITH tagged AS (
@@ -106,5 +143,34 @@ object AsOf {
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> asofOracle,
-    "q_asof_join_native" -> asofOracle)
+    "q_asof_join_native" -> asofOracle,
+    // correlated LIMIT-1 subqueries replay the two as-of passes; the
+    // tie-breaks mirror the Spark window's last()-over-sorted-struct
+    // (backward: max (us, value) below t; forward: min us / max value
+    // above t — see qAsofNearest)
+    "q_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |  WHERE event_type = 'view'),
+        |paired AS (
+        |  SELECT p.user_id, p.event_id, p.us,
+        |   (SELECT {u: v.us, val: v.value} FROM v
+        |    WHERE v.user_id = p.user_id AND v.us < p.us
+        |    ORDER BY v.us DESC, v.value DESC LIMIT 1) AS back,
+        |   (SELECT {u: v.us, val: v.value} FROM v
+        |    WHERE v.user_id = p.user_id AND v.us > p.us
+        |    ORDER BY v.us ASC, v.value DESC LIMIT 1) AS fwd
+        |  FROM p)
+        |SELECT user_id, event_id,
+        |  CASE WHEN fwd IS NULL OR (back IS NOT NULL AND us - back.u <= fwd.u - us)
+        |       THEN back.val ELSE fwd.val END AS nearest_view_value,
+        |  CASE WHEN fwd IS NULL OR (back IS NOT NULL AND us - back.u <= fwd.u - us)
+        |       THEN us - back.u ELSE fwd.u - us END AS nearest_dt_us,
+        |  CASE WHEN back IS NULL AND fwd IS NULL THEN NULL
+        |       WHEN fwd IS NULL OR (back IS NOT NULL AND us - back.u <= fwd.u - us)
+        |       THEN 'back' ELSE 'fwd' END AS direction
+        |FROM paired ORDER BY user_id, event_id""".stripMargin)
 }

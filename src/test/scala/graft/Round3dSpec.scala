@@ -256,6 +256,20 @@ class Round3dSpec extends AnyFunSuite {
     }
   }
 
+  test("q_asof_nearest: distance never exceeds the backward as-of distance") {
+    import graft.ops.AsOf
+    val nearest = AsOf.qAsofNearest(spark, sf)
+      .select(col("event_id"), col("nearest_dt_us"), col("direction")).cache()
+    assert(nearest.filter(col("nearest_dt_us") < 0).isEmpty)
+    // every purchase with any view neighbor got one
+    assert(nearest.filter(col("direction").isNull).count() <
+      nearest.count() / 10, "almost all purchases have a view neighbor")
+    // both directions actually occur on this data
+    val dirs = nearest.select("direction").distinct().collect().map(_.getString(0)).toSet
+    assert(dirs.contains("back") && dirs.contains("fwd"))
+    nearest.unpersist()
+  }
+
   test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
     val rows = Text2.textCharEntropy(spark, sf).collect()
     rows.foreach { r =>
