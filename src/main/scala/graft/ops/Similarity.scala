@@ -259,7 +259,52 @@ object Similarity {
       .orderBy("src", "rank")
   }
 
+  /** E8 — PQ search with exact refinement: the ADC scan (E5) over-fetches
+    * a 50-candidate shortlist per probe, then the shortlist alone is
+    * re-scored with the EXACT (quantized-integer) squared distance over
+    * all 64 dims and cut to top-5. This is the production PQ pipeline
+    * shape — ADC touches 16 B/vector across the corpus, the expensive
+    * exact distance touches only |probes|·50 rows — and every number in
+    * both stages is an exact integer, so the whole two-stage pipeline
+    * replays bit-for-bit.
+    */
+  def annPqRefine(spark: SparkSession, dir: String, subs: Int = 8, k: Int = 16,
+                  shortlistK: Int = 50, topK: Int = 5): DataFrame = {
+    val ex = pqQuantized(spark, dir, subs)
+    val codes = pqCodesLong(ex, k).select("vec_id", "sub", "code")
+    val cb = ex.filter(col("vec_id") < k)
+      .select(col("sub"), col("dimin"), col("vec_id").as("code"), col("q").as("cq"))
+    val dt = ex.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("sub"), col("dimin"), col("q"))
+      .join(broadcast(cb), Seq("sub", "dimin"))
+      .groupBy("qid", "sub", "code")
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dt"))
+    val wShort = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
+    val short = codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum("dt").as("adc_dist"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlistK)
+      .select("qid", "nid")
+    val pvq = ex.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("sub"), col("dimin"), col("q").as("pq"))
+    val nvq = ex.select(col("vec_id").as("nid"), col("sub"), col("dimin"),
+      col("q").as("nq"))
+    val wTop = Window.partitionBy("qid").orderBy(col("exact_dist"), col("nid"))
+    short.join(broadcast(pvq), Seq("qid"))
+      .join(nvq, Seq("nid", "sub", "dimin"))
+      .groupBy("qid", "nid")
+      .agg(sum((col("pq") - col("nq")) * (col("pq") - col("nq"))).as("exact_dist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("exact_dist"))
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_refine" -> ((s, d) => annPqRefine(s, d)),
     "ann_knn_join" -> ((s, d) => annKnnJoin(s, d)),
     "ann_bruteforce" -> ((s, d) => annBruteforce(s, d)),
     "ann_lsh" -> ((s, d) => annLsh(s, d)),
@@ -361,6 +406,42 @@ object Similarity {
     },
     // ADC replay: same codes, probe-side distance tables, 8 lookups
     // summed — integer end to end
+    "ann_pq_refine" ->
+      s"""WITH ex0 AS (
+         | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
+         | FROM embeddings),
+         |ex AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
+         |        (dim - 1) % 8 AS dimin, q FROM ex0),
+         |cb AS (SELECT sub, dimin, vec_id AS code, q AS cq FROM ex WHERE vec_id < 16),
+         |d AS (SELECT e.vec_id, e.sub, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+         |      FROM ex e JOIN cb c USING (sub, dimin) GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM d)
+         | WHERE rn = 1),
+         |dt AS (SELECT p.vec_id AS qid, p.sub, c.code,
+         |        sum((p.q - c.cq) * (p.q - c.cq)) AS dt
+         |       FROM ex p JOIN cb c USING (sub, dimin)
+         |       WHERE p.vec_id % 100 = 0 GROUP BY 1, 2, 3),
+         |adc AS (SELECT d.qid, k.vec_id AS nid, sum(d.dt) AS adc_dist
+         |        FROM codes k JOIN dt d ON d.sub = k.sub AND d.code = k.code
+         |         AND k.vec_id <> d.qid
+         |        GROUP BY 1, 2),
+         |short AS (SELECT qid, nid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc_dist, nid) AS srank FROM adc)
+         | WHERE srank <= 50),
+         |exact AS (SELECT s.qid, s.nid,
+         |        CAST(sum((p.q - nv.q) * (p.q - nv.q)) AS BIGINT) AS exact_dist
+         |        FROM short s
+         |        JOIN ex p ON p.vec_id = s.qid
+         |        JOIN ex nv ON nv.vec_id = s.nid AND nv.sub = p.sub AND nv.dimin = p.dimin
+         |        GROUP BY 1, 2)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id, exact_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY exact_dist, nid) AS rank FROM exact)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_pq_search" ->
       s"""WITH ex0 AS (
          | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

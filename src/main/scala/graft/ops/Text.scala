@@ -125,12 +125,29 @@ object Text {
       .orderBy(col("n").desc, col("gram"))
       .limit(20)
 
+  /** F4c — the same native-expression computation driven ENTIRELY through
+    * the SQL-string surface: `graft_rollhash64` is injected into the
+    * session's FunctionRegistry (the `GraftFunctions.register` imperative
+    * path; `spark.sql.extensions` does the same at session build) and
+    * called from `spark.sql`. Shares F4b's oracle verbatim, so the
+    * driver hash-proves the SQL-registered function path end to end.
+    */
+  def qSqlNativeFn(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_docs")
+    spark.sql(
+      """SELECT doc_id,
+        |  graft_rollhash64(lower(regexp_replace(text, '\\s+', ' '))) AS rollhash
+        |FROM graft_docs ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (textTokenCount _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
     "text_rollhash" -> (textRollhash _),
+    "q_sql_native_fn" -> (qSqlNativeFn _),
     "text_ngram_stats" -> (textNgramStats _))
 
   private val langScoreSql: String = langPatterns
@@ -175,11 +192,14 @@ object Text {
     // replays the native RollHash64 expression over the whitespace-
     // normalized lowercased text via the canonical HUGEINT helpers in
     // [[Dedup]] (one definition of the polynomial across all oracles)
-    "text_rollhash" ->
-      s"""SELECT doc_id, ${Dedup.wrapSql("h")} AS rollhash
-         |FROM (
-         | SELECT doc_id, ${Dedup.rollSql("t")} AS h
-         | FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
-         |       FROM documents))
-         |ORDER BY doc_id""".stripMargin)
+    "text_rollhash" -> rollhashOracle,
+    "q_sql_native_fn" -> rollhashOracle)
+
+  private lazy val rollhashOracle: String =
+    s"""SELECT doc_id, ${Dedup.wrapSql("h")} AS rollhash
+       |FROM (
+       | SELECT doc_id, ${Dedup.rollSql("t")} AS h
+       | FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+       |       FROM documents))
+       |ORDER BY doc_id""".stripMargin
 }

@@ -270,6 +270,16 @@ class Round3dSpec extends AnyFunSuite {
     nearest.unpersist()
   }
 
+  test("ann_pq_refine: 5 contiguous ranks per probe, exact distance non-decreasing") {
+    val byQ = Similarity.annPqRefine(spark, sf).collect().groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+      val dists = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
     val rows = Text2.textCharEntropy(spark, sf).collect()
     rows.foreach { r =>
