@@ -360,7 +360,41 @@ object Ml4 {
       .orderBy("t_us")
   }
 
+  /** C27 — two-proportion z-test between the deterministic hash-split
+    * variants (B6's arithmetic as an A/B assignment): the experimentation
+    * readout every reference-style product ships next to its model. All
+    * counts exact integers; z = (p̂_a−p̂_b)/√(p̂(1−p̂)(1/n_a+1/n_b)) is a
+    * fixed-order IEEE expression with one portable sqrt; significance is
+    * reported against the fixed two-sided 5% critical value rather than
+    * a p-value (erf is NOT portably bit-identical across libms — the
+    * judgment "|z| > 1.96" is).
+    */
+  def mlAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .select(
+        when(pmod(col("o_orderkey") * lit(2654435761L), lit(2)) === 0, lit("A"))
+          .otherwise(lit("B")).as("variant"),
+        (col("o_orderpriority") < "3").cast("int").as("converted"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+    val wide = cells.agg(
+      max(when(col("variant") === "A", col("n"))).as("n_a"),
+      max(when(col("variant") === "A", col("conv"))).as("conv_a"),
+      max(when(col("variant") === "B", col("n"))).as("n_b"),
+      max(when(col("variant") === "B", col("conv"))).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val z = (pa - pb) /
+      sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      r4b(pa).as("rate_a"), r4b(pb).as("rate_b"), r4b(z).as("z"),
+      (abs(z) > lit(1.96)).as("significant_5pct"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_ab_test" -> (mlAbTest _),
     "ml_survival_km" -> (mlSurvivalKm _),
     "ml_item_cooccurrence" -> (mlItemCooccurrence _),
     "ml_ks_statistic" -> (mlKsStatistic _),
@@ -415,6 +449,29 @@ object Ml4 {
   }
 
   val oracles: Map[String, String] = Map(
+    "ml_ab_test" -> {
+      val pa = "CAST(conv_a AS DOUBLE) / n_a"
+      val pb = "CAST(conv_b AS DOUBLE) / n_b"
+      val pp = "CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)"
+      val z = s"(($pa) - ($pb)) / sqrt(($pp) * (1.0 - ($pp)) * (1.0 / n_a + 1.0 / n_b))"
+      s"""WITH cells AS (
+         |  SELECT CASE WHEN (o_orderkey * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         |         count(*) AS n,
+         |         sum(CAST(o_orderpriority < '3' AS INT)) AS conv
+         |  FROM orders GROUP BY 1),
+         |wide AS (
+         |  SELECT CAST(max(CASE WHEN variant = 'A' THEN n END) AS BIGINT) AS n_a,
+         |         CAST(max(CASE WHEN variant = 'A' THEN conv END) AS BIGINT) AS conv_a,
+         |         CAST(max(CASE WHEN variant = 'B' THEN n END) AS BIGINT) AS n_b,
+         |         CAST(max(CASE WHEN variant = 'B' THEN conv END) AS BIGINT) AS conv_b
+         |  FROM cells)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  ${OracleRound.sql4(pa)} AS rate_a,
+         |  ${OracleRound.sql4(pb)} AS rate_b,
+         |  ${OracleRound.sql4(z)} AS z,
+         |  abs($z) > 1.96 AS significant_5pct
+         |FROM wide""".stripMargin
+    },
     "ml_survival_km" ->
       """WITH RECURSIVE ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),

@@ -130,12 +130,35 @@ object Relational5 {
       .limit(20)
   }
 
+  /** A52 — cumulative reach: daily active events, NEW users (first-ever
+    * activity that day), and the running distinct-user total. Exact
+    * running COUNT DISTINCT is normally quadratic; the first-seen-flag
+    * trick makes it linear — one per-user window marks each user's first
+    * event, then distinct-so-far = cumulative sum of new-user counts
+    * over the tiny per-day aggregate. One fact shuffle (user_id), one
+    * window over ≤days rows.
+    */
+  def qRunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val flagged = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"))
+      .withColumn("is_new", (row_number().over(w) === 1).cast("int"))
+      .withColumn("day", date_format(expr("timestamp_micros(us)"), "yyyy-MM-dd"))
+    val daily = flagged.groupBy("day")
+      .agg(count(lit(1)).as("n_events"), sum("is_new").as("new_users"))
+    daily
+      .withColumn("cum_users", sum("new_users").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chi_square" -> (qChiSquare _),
     "q_mode_per_group" -> (qModePerGroup _),
     "q_percent_total" -> (qPercentTotal _),
     "q_unpivot" -> (qUnpivot _),
-    "q_sequence_gaps" -> (qSequenceGaps _))
+    "q_sequence_gaps" -> (qSequenceGaps _),
+    "q_running_distinct" -> (qRunningDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q_chi_square" ->
@@ -161,6 +184,21 @@ object Relational5 {
         |    AS chi2_term
         |FROM cells CROSS JOIN tot
         |ORDER BY segment""".stripMargin,
+    "q_running_distinct" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) = 1 AS INT) AS is_new,
+        |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |  FROM events),
+        |daily AS (
+        |  SELECT day, count(*) AS n_events,
+        |         CAST(sum(is_new) AS BIGINT) AS new_users
+        |  FROM f GROUP BY 1)
+        |SELECT day, n_events, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
     "q_sequence_gaps" ->
       """WITH d AS (
         |  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),

@@ -280,6 +280,25 @@ class Round3dSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_ab_test: variants partition the population, rates recompose") {
+    val r = Ml4.mlAbTest(spark, sf).head()
+    val n = graft.tables.Tables.orders(spark, sf).count()
+    assert(r.getLong(0) + r.getLong(2) == n)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    // hash split is near-even: neither arm under 40%
+    assert(math.min(r.getLong(0), r.getLong(2)) > n * 2 / 5)
+  }
+
+  test("q_running_distinct: cumulative reach is monotone and ends at the distinct-user total") {
+    val rows = Relational5.qRunningDistinct(spark, sf).collect()
+    val users = graft.tables.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.last.getLong(3) == users, "final cumulative = distinct users")
+    val cums = rows.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(rows.map(_.getLong(2)).sum == users)
+  }
+
   test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
     val rows = Text2.textCharEntropy(spark, sf).collect()
     rows.foreach { r =>
