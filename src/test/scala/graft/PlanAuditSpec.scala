@@ -143,4 +143,33 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 0, s"entropy projection should not hash-shuffle:\n$plan")
   }
+
+  test("f_lag_features shuffles the facts exactly once, on user_id") {
+    val plan = executedPlan("f_lag_features")
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userEx == 1, s"expected exactly 1 user_id exchange:\n$plan")
+    assert(!plan.contains("props"), "scan reads unreferenced events columns")
+  }
+
+  test("text_bigram_lm windows over the aggregated bigram table, not the corpus") {
+    val plan = executedPlan("text_bigram_lm")
+    assert(!plan.contains("CartesianProduct"))
+    // the w1-totals window must consume the (w1,w2)-aggregate output:
+    // its exchange partitions on w1 AFTER a partial_count aggregate ran
+    assert(plan.contains("partial_count"), s"bigram counts lost map-side partials:\n$plan")
+  }
+
+  test("q_running_distinct: one fact shuffle on user_id, day window over the tiny aggregate") {
+    val plan = executedPlan("q_running_distinct")
+    val userEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userEx == 1, s"expected exactly 1 user_id exchange:\n$plan")
+    assert(!plan.contains("value#") && !plan.contains("props"),
+      "scan reads unreferenced events columns")
+  }
+
+  test("graph_pagerank message passing stays on equi-joins") {
+    val plan = executedPlan("graph_pagerank")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pagerank propagation degenerated:\n$plan")
+  }
 }
