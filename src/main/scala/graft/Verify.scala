@@ -27,22 +27,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Queries run on a small thread pool: they are independent (disjoint
+    // temp-view names, per-call scratch dirs), Spark's scheduler
+    // interleaves concurrent jobs fine, and ~150 sequential queries
+    // would otherwise dominate the round's wall clock on a loaded host.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
+    val tasks = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      // one retry: a transient await/broadcast hiccup deep into the sweep
-      // must not zero a query's correctness for the whole round
-      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      try attempt()
-      catch { case e1: Throwable =>
-        System.err.println(s"[verify] $name failed once: ${e1.getMessage}; retrying")
-        try attempt()
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+      .map { case (name, fn) =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            // one retry: a transient await/broadcast hiccup deep into the
+            // sweep must not zero a query's correctness for the round
+            def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            try attempt()
+            catch { case e1: Throwable =>
+              System.err.println(s"[verify] $name failed once: ${e1.getMessage}; retrying")
+              try attempt()
+              catch { case e: Throwable =>
+                System.err.println(s"[verify] $name failed: ${e.getMessage}")
+              }
+            }
+          }
+        })
       }
-    }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
