@@ -144,13 +144,36 @@ object Features3 {
       .orderBy("vec_id")
   }
 
+  /** B22 — cyclical (sin/cos) encoding of calendar features: day-of-week
+    * and month mapped onto the unit circle so "Sunday is next to
+    * Saturday" and "December is next to January" survive into the
+    * feature space (a linear dow/month column breaks both wrap-arounds).
+    * Shuffle-free projection; the trig arguments are 19 distinct exact
+    * rationals of 2π, the outputs round via OracleRound on both engines.
+    */
+  def fCyclicalEncode(spark: SparkSession, dir: String): DataFrame = {
+    val twoPi = lit(2.0 * math.Pi)
+    val dow = (dayofweek(col("o_orderdate")) - 1).cast("double")
+    val month0 = (month(col("o_orderdate")) - 1).cast("double")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        dow.cast("int").as("dow"),
+        OracleRound.r4b(sin(twoPi * dow / 7.0)).as("dow_sin"),
+        OracleRound.r4b(cos(twoPi * dow / 7.0)).as("dow_cos"),
+        (month0 + 1).cast("int").as("month_"),
+        OracleRound.r4b(sin(twoPi * month0 / 12.0)).as("month_sin"),
+        OracleRound.r4b(cos(twoPi * month0 / 12.0)).as("month_cos"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f_winsorize" -> (fWinsorize _),
     "f_interaction" -> (fInteraction _),
     "f_hashed_features" -> (fHashedFeatures _),
     "f_cv_folds" -> ((s, d) => fCvFolds(s, d)),
     "f_lag_features" -> (fLagFeatures _),
-    "f_embedding_norm" -> (fEmbeddingNorm _))
+    "f_embedding_norm" -> (fEmbeddingNorm _),
+    "f_cyclical_encode" -> (fCyclicalEncode _))
 
   val oracles: Map[String, String] = Map(
     "f_winsorize" ->
@@ -193,6 +216,21 @@ object Features3 {
         | CAST(sum(CAST(o_orderpriority < '3' AS INT)) AS BIGINT) AS n_pos,
         | ${OracleRound.sql4("CAST(sum(CAST(o_orderpriority < '3' AS INT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS pos_rate
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Spark dayofweek is 1..7 Sunday-first; DuckDB dayofweek is 0..6
+    // Sunday-first — so Spark's (dayofweek-1) equals DuckDB's directly.
+    // 2π is interpolated as one shortest-repr double literal so both
+    // engines parse the identical value.
+    "f_cyclical_encode" -> {
+      val twoPi = (2.0 * math.Pi).toString
+      s"""SELECT o_orderkey,
+         |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+         |  ${OracleRound.sql4(s"sin($twoPi * CAST(dayofweek(o_orderdate) AS DOUBLE) / 7.0)")} AS dow_sin,
+         |  ${OracleRound.sql4(s"cos($twoPi * CAST(dayofweek(o_orderdate) AS DOUBLE) / 7.0)")} AS dow_cos,
+         |  CAST(month(o_orderdate) AS INT) AS month_,
+         |  ${OracleRound.sql4(s"sin($twoPi * CAST(month(o_orderdate) - 1 AS DOUBLE) / 12.0)")} AS month_sin,
+         |  ${OracleRound.sql4(s"cos($twoPi * CAST(month(o_orderdate) - 1 AS DOUBLE) / 12.0)")} AS month_cos
+         |FROM orders ORDER BY o_orderkey""".stripMargin
+    },
     "f_embedding_norm" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         |  floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000 + 0.5) / 10000 AS l2_norm

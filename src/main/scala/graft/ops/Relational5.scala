@@ -152,13 +152,35 @@ object Relational5 {
       .orderBy("day")
   }
 
+  /** A53 — Benford first-digit screen: the observed leading-digit
+    * distribution of order totals against Benford's law expectation
+    * log₁₀(1+1/d) — the classic fabricated-numbers / broken-ETL
+    * detector. The digit comes from pure string arithmetic on the
+    * integer part (no log10 on the data path); one ≤9-group
+    * conditional-aggregate pass + a 1-row total broadcast.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+    val counts = Tables.orders(spark, dir)
+      .select(digit.cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("n_tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        r4b(col("n").cast("double") / col("n_tot")).as("observed"),
+        r4b(log((col("digit") + 1).cast("double") / col("digit")) / log(lit(10.0)))
+          .as("benford"))
+      .orderBy("digit")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chi_square" -> (qChiSquare _),
     "q_mode_per_group" -> (qModePerGroup _),
     "q_percent_total" -> (qPercentTotal _),
     "q_unpivot" -> (qUnpivot _),
     "q_sequence_gaps" -> (qSequenceGaps _),
-    "q_running_distinct" -> (qRunningDistinct _))
+    "q_running_distinct" -> (qRunningDistinct _),
+    "q_benford" -> (qBenford _))
 
   val oracles: Map[String, String] = Map(
     "q_chi_square" ->
@@ -184,6 +206,16 @@ object Relational5 {
         |    AS chi2_term
         |FROM cells CROSS JOIN tot
         |ORDER BY segment""".stripMargin,
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM c)
+        |SELECT digit, n,
+        |  floor((CAST(n AS DOUBLE) / n_tot) * 10000 + 0.5) / 10000 AS observed,
+        |  floor((ln(CAST(digit + 1 AS DOUBLE) / digit) / ln(10.0)) * 10000 + 0.5) / 10000 AS benford
+        |FROM c CROSS JOIN tot ORDER BY digit""".stripMargin,
     "q_running_distinct" ->
       """WITH f AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id,

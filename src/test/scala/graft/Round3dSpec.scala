@@ -299,6 +299,23 @@ class Round3dSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == users)
   }
 
+  test("q_benford: digits 1-9 only, shares and expectations each sum to ~1") {
+    val rows = Relational5.qBenford(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+  }
+
+  test("f_cyclical_encode: every point lies on the unit circle") {
+    val rows = graft.ops.Features3.fCyclicalEncode(spark, sf)
+      .select("dow_sin", "dow_cos", "month_sin", "month_cos").distinct().collect()
+    assert(rows.length <= 7 * 12)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) * r.getDouble(0) + r.getDouble(1) * r.getDouble(1) - 1.0) < 1e-3)
+      assert(math.abs(r.getDouble(2) * r.getDouble(2) + r.getDouble(3) * r.getDouble(3) - 1.0) < 1e-3)
+    }
+  }
+
   test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
     val rows = Text2.textCharEntropy(spark, sf).collect()
     rows.foreach { r =>
