@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorOps.rollhash64
 import graft.tables.Tables
 
 /** One sampled frame's extracted features (H2 output row). */
@@ -106,10 +107,33 @@ object Multimodal {
         OracleRound.r4b(sum("sz").cast("double") / count(lit(1))).as("avg_bytes"))
       .orderBy("size_class")
 
+  /** H4 — cross-payload chunk dedup (the storage/backup-dedup
+    * primitive): every 64-byte frame of every payload hashed, pairs of
+    * documents sharing ≥1 identical chunk reported with the shared
+    * count. Same equi-join-on-hash scale shape as D8; on real media this
+    * finds re-encoded containers sharing embedded streams. Pure binary
+    * plumbing — the payload is never interpreted.
+    */
+  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = withPayload(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, (length(payload) - 1) div 64),
+            |  i -> substring(payload, i * 64 + 1, 64))""".stripMargin)).as("frame"))
+      .select(col("doc_id"), rollhash64(col("frame").cast("string")).as("h"))
+      .distinct()
+    frames.as("l").join(frames.as("r"), col("l.h") === col("r.h") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .orderBy("a", "b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_payload_stats" -> (mmPayloadStats _))
+    "mm_payload_stats" -> (mmPayloadStats _),
+    "mm_chunk_dedup" -> (mmChunkDedup _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -137,6 +161,17 @@ object Multimodal {
          | SELECT doc_id, frame_idx, f, ${Dedup.rollSql("f")} AS h
          | FROM sampled)
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_chunk_dedup" ->
+      s"""WITH fr AS (
+         | SELECT doc_id,
+         |  CAST(unnest(range(0, (length(text) - 1) // 64 + 1)) AS INT) AS frame_idx, text
+         | FROM documents),
+         |fs AS (
+         | SELECT DISTINCT doc_id, ${Dedup.wrapSql(Dedup.rollSql("f"))} AS h
+         | FROM (SELECT doc_id, substring(text, frame_idx * 64 + 1, 64) AS f FROM fr))
+         |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_chunks
+         |FROM fs l JOIN fs r ON l.h = r.h AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
     "mm_payload_stats" ->
       """WITH p AS (
         |  SELECT CASE WHEN octet_length(encode(text)) > 300 THEN 'large'

@@ -316,6 +316,19 @@ class Round3dSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_chunk_dedup: pair counts bounded by the smaller document's frame count") {
+    val pairs = graft.ops.Multimodal.mmChunkDedup(spark, sf).cache()
+    assert(pairs.filter(col("a") >= col("b")).isEmpty)
+    val frames = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), ((length(col("text")) - 1) / 64 + 1).cast("long").as("nf"))
+    val bad = pairs
+      .join(frames.withColumnRenamed("doc_id", "a").withColumnRenamed("nf", "nf_a"), "a")
+      .join(frames.withColumnRenamed("doc_id", "b").withColumnRenamed("nf", "nf_b"), "b")
+      .filter(col("shared_chunks") > least(col("nf_a"), col("nf_b")))
+    assert(bad.isEmpty, "shared chunks cannot exceed either document's frame count")
+    pairs.unpersist()
+  }
+
   test("text_char_entropy: bounds [0, ln 5], class counts recompose") {
     val rows = Text2.textCharEntropy(spark, sf).collect()
     rows.foreach { r =>
