@@ -1,11 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.ml.stat.Summarizer
 
 import graft.functions.VectorOps._
 import graft.tables.Tables
@@ -72,33 +69,67 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** E3 — IVF: coarse quantizer = per-label mean vectors (k-means-style
-    * cells seeded from the label partition), every vector assigned to its
-    * nearest cell, probes search their `nprobe` closest cells only.
+  /** Embedding components as 10⁻⁶-tick integers — the shared quantization
+    * of E3/E4/E5/C13 that makes vector geometry exactly replayable.
+    */
+  private def qticks(c: Column): Column =
+    transform(c, x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** E3 — IVF: coarse quantizer = per-label centroids in QUANTIZED
+    * INTEGER space (bigint component sums, round-half tick means via
+    * integer division — order-independent, so the codebook replays
+    * bit-for-bit in DuckDB, same trick as C13 `ml_kmeans_assign`).
+    *
+    * Scale shape: the codebook is |cells|·dim longs — collected once
+    * (bounded by k, the coarse-quantizer size, never by n) and inlined
+    * as a LITERAL array. Cell assignment is then a pure projection: an
+    * `array_min` over per-cell integer-L2 structs, zero shuffle and zero
+    * crossJoin on the data side, fully inside whole-stage codegen. The
+    * probe side picks its `nprobe` closest cells with the same fold
+    * (`array_sort` + `slice`), and the only shuffles in the whole plan
+    * are the codebook's k·dim-group aggregate and the final per-probe
+    * top-k.
     */
   def annCentroidIvf(spark: SparkSession, dir: String, k: Int = 5,
                      nprobe: Int = 2): DataFrame = {
     val e = emb(spark, dir)
-    val cells = Tables.embeddings(spark, dir)
-      .select(col("label"), array_to_vector(asDouble(col("embedding"))).as("fv"))
-      .groupBy(col("label").as("cell")).agg(Summarizer.mean(col("fv")).as("cv"))
-      .select(col("cell"), vector_to_array(col("cv")).as("cell_vec"))
-    // assign every vector to its nearest cell (1 row out per vector)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
-    val assigned = e.crossJoin(broadcast(cells))
-      .select(col("vec_id"), col("emb"), col("cell"),
-        sqDist(col("emb"), col("cell_vec")).as("d"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("cell"))
-    // probes pick their nprobe nearest cells
-    val wProbe = Window.partitionBy("qid").orderBy(col("d"), col("cell"))
-    val probeCells = probesOf(e).crossJoin(broadcast(cells))
-      .select(col("qid"), col("q_emb"), col("cell"),
-        sqDist(col("q_emb"), col("cell_vec")).as("d"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("q_emb"), col("cell"))
+    // per-(cell, dim) integer centroid ticks: cq = round(sum(q)/cnt),
+    // computed as (2·sq + cnt) div (2·cnt) — both engines truncate
+    // integer division identically, so cq is exact cross-engine
+    val cellRows = Tables.embeddings(spark, dir)
+      .select(col("label").as("cell"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos"),
+        floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+      .groupBy("cell", "pos")
+      .agg(sum("q").as("sq"), count(lit(1)).as("cnt"))
+      .select(col("cell"), col("pos"),
+        expr("(2 * sq + cnt) div (2 * cnt)").as("cq"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("pairs"))
+      .select(col("cell"), expr("transform(pairs, p -> p.cq)").as("cv"))
+      .collect()
+      .sortBy(_.getInt(0))
+    val cellsLit = array(cellRows.map { r =>
+      struct(lit(r.getInt(0)).as("cell"),
+        array(r.getSeq[Long](1).map(lit(_)): _*).as("cv"))
+    }: _*)
+    // per-row (d2, cell) structs against every cell; lexicographic
+    // struct ordering makes array_min/array_sort the argmin with the
+    // lowest-cell tie-break built in
+    def cellDists(q: Column): Column = transform(cellsLit, c =>
+      struct(
+        aggregate(zip_with(q, c.getField("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, v) => s + v).as("d2"),
+        c.getField("cell").as("cell")))
+    val assigned = e.withColumn("_q", qticks(col("emb")))
+      .select(col("vec_id"), col("emb"),
+        array_min(cellDists(col("_q"))).getField("cell").as("cell"))
+    val probeCells = probesOf(e).withColumn("_q", qticks(col("q_emb")))
+      .select(col("qid"), col("q_emb"),
+        explode(transform(
+          slice(array_sort(cellDists(col("_q"))), 1, nprobe),
+          p => p.getField("cell"))).as("cell"))
     val scored = assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -314,6 +345,43 @@ object Similarity {
     "ann_pq_search" -> ((s, d) => annPqSearch(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // integer-exact IVF replay: same 10^-6 tick quantization, same
+    // round-half integer-division centroid ticks, same (d2, cell)
+    // assignment tie-break; candidate scoring shares E1's cosine shape
+    "ann_centroid_ivf" ->
+      """WITH ex AS (
+        | SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
+        | FROM embeddings),
+        |cells AS (
+        | SELECT label AS cell, dim,
+        |        CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS BIGINT) AS cq
+        | FROM ex GROUP BY 1, 2),
+        |d AS (
+        | SELECT e.vec_id, c.cell, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+        | FROM ex e JOIN cells c ON c.dim = e.dim GROUP BY 1, 2),
+        |asg AS (
+        | SELECT vec_id, cell FROM (
+        |   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |   FROM d)
+        | WHERE rn = 1),
+        |pc AS (
+        | SELECT vec_id AS qid, cell FROM (
+        |   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |   FROM d WHERE vec_id % 100 = 0)
+        | WHERE rn <= 2),
+        |scored AS (
+        | SELECT p.qid, a.vec_id AS nid,
+        |        list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS cos_sim
+        | FROM asg a JOIN pc p USING (cell)
+        | JOIN embeddings qe ON qe.vec_id = p.qid
+        | JOIN embeddings ne ON ne.vec_id = a.vec_id
+        | WHERE a.vec_id <> p.qid)
+        |SELECT qid AS query_id, rank, nid AS neighbor_id,
+        | floor((cos_sim) * 10000 + 0.5) / 10000 AS cos_sim
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_bruteforce" ->
       """WITH probes AS (
         |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),

@@ -167,6 +167,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "scan reads unreferenced events columns")
   }
 
+  test("ann_centroid_ivf assigns cells as a projection: no Window, no cross join on the data side") {
+    val plan = executedPlan("ann_centroid_ivf")
+    // the codebook is a collected literal — assignment must fold over it
+    // per row, never explode n·cells rows through a Window argmin
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows <= 1, s"expected only the final top-k Window, got $windows in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell assignment degenerated to a cross join in:\n$plan")
+  }
+
   test("graph_pagerank message passing stays on equi-joins") {
     val plan = executedPlan("graph_pagerank")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
