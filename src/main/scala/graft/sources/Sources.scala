@@ -268,7 +268,50 @@ object SourceQueries {
         count(col("_corrupt")).as("n_corrupt"))
   }
 
+  /** I10 — JDBC round-trip against embedded Derby: the full write path
+    * (CREATE TABLE + batched INSERTs through the Derby dialect) then a
+    * RANGE-PARTITIONED parallel read back — 8 concurrent connections
+    * each scanning a `c_custkey` stride, the only read shape that
+    * survives a big table. Oracle = select on the original: any type
+    * mapping loss (VARCHAR/CLOB, DOUBLE), row drop, or stride gap/overlap
+    * in the partitioned read breaks the hash.
+    */
+  def srcJdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val url = Jdbc.derbyUrl(s"${scratch("jdbc")}/db")
+    Jdbc.write(c, url, "customer_rt")
+    val bounds = c.agg(min("c_custkey"), max("c_custkey")).head()
+    Jdbc.readPartitioned(spark, url, "customer_rt", "c_custkey",
+      bounds.getLong(0), bounds.getLong(1), 8)
+      .orderBy("c_custkey")
+  }
+
+  /** I11 — the reference's INSERT + next-day-UPDATE lifecycle through
+    * JDBC (function.py:552 INSERT, :480 UPDATE), expressed scale-safe:
+    * day 1 lands every row PENDING, day 2 appends the final values as an
+    * immutable batch, and the read side resolves latest-wins per key —
+    * merge-on-read against the relational store, same contract as the
+    * parquet I4 path. Oracle = final-state aggregate on the original.
+    */
+  def srcJdbcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val url = Jdbc.derbyUrl(s"${scratch("jdbcm")}/db")
+    Jdbc.write(c.withColumn("c_mktsegment", lit("PENDING"))
+      .withColumn("_batch_id", lit(1L)), url, "cust_seg")
+    Jdbc.write(c.withColumn("_batch_id", lit(2L)), url, "cust_seg", "append")
+    val bounds = c.agg(min("c_custkey"), max("c_custkey")).head()
+    val w = Window.partitionBy("c_custkey").orderBy(col("_batch_id").desc)
+    Jdbc.readPartitioned(spark, url, "cust_seg", "c_custkey",
+      bounds.getLong(0), bounds.getLong(1), 8)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
+    "src_jdbc_merge" -> (srcJdbcMerge _),
     "src_schema_evolution" -> (srcSchemaEvolution _),
     "src_csv_malformed" -> (srcCsvMalformed _),
     "src_custom_source" -> (srcCustomSource _),
@@ -286,6 +329,12 @@ object SourceQueries {
     * surfaces as a hash mismatch.
     */
   val oracles: Map[String, String] = Map(
+    "src_jdbc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "src_jdbc_merge" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus

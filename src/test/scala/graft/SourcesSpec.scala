@@ -113,6 +113,45 @@ class SourcesSpec extends AnyFunSuite {
       s"count(*) should come from slice bounds, generated ${src.get()} rows")
   }
 
+  test("I10: JDBC round-trip through embedded Derby preserves every value") {
+    import graft.sources.Jdbc
+    val nation = graft.tables.Tables.nation(spark, sf)
+    val url = Jdbc.derbyUrl(s"${tmp("jdbc_spec")}/db")
+    Jdbc.write(nation, url, "nation_rt")
+    val back = Jdbc.read(spark, url, "nation_rt").orderBy("n_nationkey")
+    val orig = nation.orderBy("n_nationkey")
+    assert(back.collect().toSeq == orig.collect().toSeq)
+  }
+
+  test("I10: partitioned JDBC read plans the requested parallel strides") {
+    import graft.sources.Jdbc
+    val nation = graft.tables.Tables.nation(spark, sf)
+    val url = Jdbc.derbyUrl(s"${tmp("jdbc_part")}/db")
+    Jdbc.write(nation, url, "nation_p")
+    val back = Jdbc.readPartitioned(spark, url, "nation_p", "n_nationkey", 0L, 24L, 4)
+    assert(back.rdd.getNumPartitions == 4,
+      "range-partitioned read must fan out one stride per partition")
+    assert(back.count() == nation.count(),
+      "strides must cover the key range without gap or overlap")
+  }
+
+  test("I11: JDBC append then latest-wins read resolves the UPDATE lifecycle") {
+    import spark.implicits._
+    import graft.sources.Jdbc
+    val url = Jdbc.derbyUrl(s"${tmp("jdbc_merge")}/db")
+    Jdbc.write(Seq((1L, "unknown", 1L), (2L, "unknown", 1L))
+      .toDF("game_id", "winner", "_batch_id"), url, "games")
+    Jdbc.write(Seq((1L, "home", 2L), (3L, "unknown", 2L))
+      .toDF("game_id", "winner", "_batch_id"), url, "games", "append")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("game_id").orderBy(col("_batch_id").desc)
+    val merged = Jdbc.read(spark, url, "games")
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select("game_id", "winner").orderBy("game_id").collect()
+    assert(merged.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "home"), (2L, "unknown"), (3L, "unknown")))
+  }
+
   test("I4: incremental append + latest-wins merge resolves late labels") {
     import spark.implicits._
     val path = tmp("merge")
