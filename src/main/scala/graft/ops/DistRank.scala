@@ -24,30 +24,50 @@ import graft.tables.Tables
   */
 object DistRank {
 
+  /** The leading sort column must be numeric and non-null (every caller
+    * ranks on a score or a price). Slice boundaries are sampled ONCE
+    * (approx-quantile sketch over the leading key, O(slices) doubles
+    * collected) and inlined as LITERALS, so the slice id is a pure
+    * deterministic function of the row: the sizes pass and the rank pass
+    * can each re-scan the input freely — nothing is cached, nothing
+    * drifts (RangePartitioner, by contrast, resamples boundaries per
+    * instantiation, which forced the previous implementation to pin the
+    * whole ranked input in the block-manager cache). Boundary QUALITY
+    * only affects balance, never correctness: slice assignment is
+    * monotone in the sort key, and local rank + slice offset equals the
+    * global rank wherever the cuts land.
+    */
   def withGlobalRank(df: DataFrame, rankName: String, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val slices = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(slices, sortCols: _*)
-      .withColumn("_slice", spark_partition_id())
-      .persist()
-    val local = ranged.withColumn("_lrank",
+    // ascending-monotone image of the leading sort key (desc → negate)
+    val lead = org.apache.spark.sql.GraftColumnBridge.sortOrder(sortCols.head) match {
+      case Some((key, true)) => negate(key)
+      case Some((key, false)) => key
+      case None => sortCols.head
+    }
+    val keyed = df.withColumn("_k", lead.cast("double"))
+    val probs = (1 until slices).map(_.toDouble / slices).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else keyed.stat.approxQuantile("_k", probs, 0.01).distinct.sorted
+    val sliceCol =
+      if (bounds.isEmpty) lit(0)
+      else aggregate(array(bounds.map(lit(_)): _*), lit(0),
+        (acc, b) => acc + when(col("_k") > b, 1).otherwise(0))
+    val sliced = keyed.withColumn("_slice", sliceCol)
+    val local = sliced.withColumn("_lrank",
       row_number().over(Window.partitionBy("_slice").orderBy(sortCols: _*)))
-    val sizes = ranged.groupBy("_slice").count().orderBy("_slice")
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    // The persist is CORRECTNESS-critical, not an optimization:
-    // RangePartitioner samples its split boundaries per RDD
-    // instantiation, so if `ranged` were recomputed for the caller's
-    // final action it could draw DIFFERENT slice boundaries than the
-    // sizes scan above — and the offsets would no longer match the local
-    // ranks. The cache pins one materialization of the slicing for both
-    // passes; it is bounded by the ranked input's size.
-    val offsets = sizes.map(_._1).zip(sizes.map(_._2).scanLeft(0L)(_ + _))
-    val result = local
-      .join(broadcast(offsets.toSeq.toDF("_slice", "_off")), "_slice")
-      .withColumn(rankName, col("_off") + col("_lrank"))
-      .drop("_slice", "_lrank", "_off")
-    result
+    // cache-free sizes pass: a cheap re-aggregation over the same pure
+    // slice assignment; ≤slices rows collected
+    val sizes = sliced.groupBy("_slice").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val offsets = (0 to bounds.length).scanLeft(0L)(
+      (acc, s) => acc + sizes.getOrElse(s, 0L))
+    val offMap = map((0 to bounds.length).flatMap(s =>
+      Seq(lit(s), lit(offsets(s)))): _*)
+    local.withColumn(rankName, element_at(offMap, col("_slice")) + col("_lrank"))
+      .drop("_k", "_slice", "_lrank")
   }
 
   /** C7b — ml_roc_auc through the distributed rank instead of the global

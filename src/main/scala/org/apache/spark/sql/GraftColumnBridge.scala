@@ -20,6 +20,17 @@ object GraftColumnBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Decompose a sort Column (`col.asc` / `col.desc`) into its key column
+    * and direction; None when the column carries no sort order. Spark 4
+    * models sort order as an `internal.SortOrder` ColumnNode, not a
+    * catalyst expression, so this is the only reliable way to inspect it.
+    */
+  def sortOrder(c: Column): Option[(Column, Boolean)] = c.node match {
+    case internal.SortOrder(child, dir, _, _) =>
+      Some((Column(child), dir == internal.SortOrder.Descending))
+    case _ => None
+  }
+
   /** Register a SQL function on an ALREADY-RUNNING session (the
     * `spark.sql.extensions` config path only applies at session build).
     */

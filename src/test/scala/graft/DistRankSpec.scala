@@ -20,15 +20,37 @@ class DistRankSpec extends AnyFunSuite {
       viaWindow.exceptAll(viaDist).isEmpty)
   }
 
-  test("distributed rank plan range-partitions instead of single-partition sorting") {
+  test("distributed rank slices on literal boundaries: no cache, no single-partition sort") {
     val o = graft.tables.Tables.orders(spark, TestSpark.sf)
       .select("o_orderkey", "o_totalprice")
     val df = DistRank.withGlobalRank(o, "rank",
       col("o_totalprice"), col("o_orderkey"))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
-      s"expected a range repartition in:\n$plan")
+    // nothing may pin the ranked input in the block-manager cache — at
+    // scale that held the entire table in memory+disk
+    assert(!plan.contains("InMemoryRelation") && !plan.contains("InMemoryTableScan"),
+      s"distributed rank still caches its input:\n$plan")
+    // the only full-data exchange is the hash partition on the slice id
+    assert(plan.contains("hashpartitioning(_slice"),
+      s"expected the slice-id exchange in:\n$plan")
+    // and the rank window must stay partitioned by the slice id — a
+    // windowspecdefinition without _slice would be the single-partition
+    // global sort this operator exists to avoid
+    assert(plan.contains("windowspecdefinition(_slice"),
+      s"rank window lost its slice partitioning in:\n$plan")
+  }
+
+  test("withGlobalRank handles a DESCENDING leading key (decile-lift shape)") {
+    val o = graft.tables.Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_totalprice")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = o.withColumn("rank", row_number().over(w).cast("long"))
+    val viaDist = DistRank.withGlobalRank(o, "rank",
+      col("o_totalprice").desc, col("o_orderkey"))
+    assert(viaDist.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaDist).isEmpty)
   }
 
   test("ml_roc_auc_dist equals ml_roc_auc") {
