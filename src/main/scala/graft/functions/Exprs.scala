@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (SURVEY.md §3 functions/) — used on hot
@@ -81,15 +81,22 @@ case class CosineSim(left: Expression, right: Expression)
 case class RollHash64(child: Expression)
   extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_rollhash64 expects a string argument, got ${child.dataType.simpleString}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_rollhash64 expects a string or binary argument, got ${t.simpleString}")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_rollhash64"
 
+  // string and binary inputs with identical bytes hash identically —
+  // binary payloads (media chunks) are hashed raw, no string cast that
+  // would trip on frames split mid-codepoint
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val bytes = child.dataType match {
+      case StringType => input.asInstanceOf[UTF8String].getBytes
+      case _ => input.asInstanceOf[Array[Byte]]
+    }
     var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) {
@@ -104,8 +111,9 @@ case class RollHash64(child: Expression)
       val bytes = ctx.freshName("bytes")
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
+      val src = if (child.dataType == StringType) s"$c.getBytes()" else c
       s"""
-         |byte[] $bytes = $c.getBytes();
+         |byte[] $bytes = $src;
          |long $h = 1125899906842597L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
          |  $h = 31L * $h + ($bytes[$i] & 0xff);

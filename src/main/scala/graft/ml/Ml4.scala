@@ -57,6 +57,12 @@ object Ml4 {
     base
       .withColumn("cum_pos", sum(col("truth")).over(w))
       .withColumn("cum_neg", sum(lit(1) - col("truth")).over(w))
+      // only the LAST row of a tied-score run is a valid CDF threshold:
+      // collapsing to max-cumulative per distinct score keeps the
+      // tie-broken intermediates (which are not reachable thresholds)
+      // out of the max
+      .groupBy("score")
+      .agg(max("cum_pos").as("cum_pos"), max("cum_neg").as("cum_neg"))
       .crossJoin(broadcast(tot))
       .select(col("p_tot"), col("n_tot"),
         abs(col("cum_pos") * col("n_tot") - col("cum_neg") * col("p_tot")).as("diff"))
@@ -604,17 +610,20 @@ object Ml4 {
         |tot AS (
         |  SELECT sum(truth) AS p_tot, sum(1 - truth) AS n_tot FROM l),
         |cum AS (
-        |  SELECT truth,
+        |  SELECT score,
         |         sum(truth) OVER (ORDER BY score, o_orderkey) AS cum_pos,
         |         sum(1 - truth) OVER (ORDER BY score, o_orderkey) AS cum_neg
-        |  FROM l)
+        |  FROM l),
+        |grp AS (
+        |  SELECT score, max(cum_pos) AS cum_pos, max(cum_neg) AS cum_neg
+        |  FROM cum GROUP BY score)
         |SELECT CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n,
         |       CAST(ks_num AS BIGINT) AS ks_num,
         |       floor((CAST(ks_num AS DOUBLE) / (p * n)) * 10000 + 0.5) / 10000 AS ks
         |FROM (
         |  SELECT max(t.p_tot) AS p, max(t.n_tot) AS n,
         |         max(abs(c.cum_pos * t.n_tot - c.cum_neg * t.p_tot)) AS ks_num
-        |  FROM cum c CROSS JOIN tot t)""".stripMargin,
+        |  FROM grp c CROSS JOIN tot t)""".stripMargin,
     "ml_auc_pr" ->
       """WITH l AS (
         |  SELECT o_orderkey, o_totalprice AS score,

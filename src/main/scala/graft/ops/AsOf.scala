@@ -27,19 +27,23 @@ import graft.tables.Tables
 object AsOf {
 
   /** Generic as-of join: for each probe row, the latest build row value
-    * with build.time strictly below probe.time, per key.
+    * with build.time strictly below probe.time, per key. With
+    * `inclusive = true` a build row at EXACTLY probe.time is visible
+    * (at-or-before semantics) — build rows then sort before probe rows
+    * on timestamp ties instead of after.
     */
   def asofJoin(probe: DataFrame, build: DataFrame,
                keyCol: String, timeCol: String, valueCol: String,
-               asofName: String): DataFrame = {
+               asofName: String, inclusive: Boolean = false): DataFrame = {
     val p = probe.withColumn("_tag", lit(0))
     val b = build.select(col(keyCol), col(timeCol),
         col(valueCol).as("_build_value"))
       .withColumn("_tag", lit(1))
     val unioned = p.unionByName(b, allowMissingColumns = true)
+    val tagOrder = if (inclusive) col("_tag").desc else col("_tag").asc
     val w = Window.partitionBy(keyCol)
       // _build_value last: deterministic fill if two build rows share a ts
-      .orderBy(col(timeCol), col("_tag"), col("_build_value"))
+      .orderBy(col(timeCol), tagOrder, col("_build_value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(asofName,
@@ -85,11 +89,14 @@ object AsOf {
   /** A51 — NEAREST-in-time join: each purchase pairs with the view
     * closest in time in EITHER direction (ties → the earlier one) — the
     * sensor/feature-alignment semantic where "latest before" is wrong
-    * half the time. Two as-of passes (the backward one, and a forward
-    * one obtained by running the same tagged-union trick on negated
-    * time), then an O(1) per-row pick — still two shuffles total, no
-    * range join. The carried value is a (time, value) struct so the
-    * pick can compare distances.
+    * half the time. Two as-of passes (a backward AT-OR-BEFORE one, and
+    * a strictly-after forward one obtained by running the same
+    * tagged-union trick on negated time), then an O(1) per-row pick —
+    * still two shuffles total, no range join. The carried value is a
+    * (time, value) struct so the pick can compare distances. A view at
+    * exactly the purchase timestamp is the true nearest neighbor at
+    * dt=0: it rides the backward (inclusive) pass, and only there, so
+    * it is neither dropped nor double-counted.
     */
   def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -100,7 +107,8 @@ object AsOf {
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("us"),
         struct(col("us").as("v_us"), col("value").as("v_val")).as("vrec"))
-    val back = asofJoin(purchases, views, "user_id", "us", "vrec", "back")
+    val back = asofJoin(purchases, views, "user_id", "us", "vrec", "back",
+      inclusive = true)
     val fwd = asofJoin(
       back.withColumn("us_neg", -col("us")),
       views.withColumn("us_neg", -col("us")).select(col("user_id"), col("us_neg"), col("vrec")),
@@ -146,7 +154,8 @@ object AsOf {
     "q_asof_join_native" -> asofOracle,
     // correlated LIMIT-1 subqueries replay the two as-of passes; the
     // tie-breaks mirror the Spark window's last()-over-sorted-struct
-    // (backward: max (us, value) below t; forward: min us / max value
+    // (backward: max (us, value) AT-or-below t — an exact-time view is
+    // the dt=0 nearest neighbor; forward: min us / max value strictly
     // above t — see qAsofNearest)
     "q_asof_nearest" ->
       """WITH p AS (
@@ -158,7 +167,7 @@ object AsOf {
         |paired AS (
         |  SELECT p.user_id, p.event_id, p.us,
         |   (SELECT {u: v.us, val: v.value} FROM v
-        |    WHERE v.user_id = p.user_id AND v.us < p.us
+        |    WHERE v.user_id = p.user_id AND v.us <= p.us
         |    ORDER BY v.us DESC, v.value DESC LIMIT 1) AS back,
         |   (SELECT {u: v.us, val: v.value} FROM v
         |    WHERE v.user_id = p.user_id AND v.us > p.us

@@ -205,6 +205,17 @@ object Dedup {
       s"[CAST(unicode($c[i]) AS HUGEINT) FOR i IN range(1, length($c) + 1)]), " +
       s"(a, b) -> (a * 31 + b) % $U64)"
 
+  /** RollHash64 replay over raw BYTES: folds the hex image of a payload
+    * two nibbles at a time, so it is exact for ARBITRARY (non-ASCII,
+    * mid-codepoint-split) frames — `h` is a hex-string expression
+    * (DuckDB `hex()` output, uppercase), `n` its octet count.
+    */
+  private[graft] def rollHexSql(h: String, n: String): String =
+    s"list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      s"[CAST(16 * (strpos('0123456789ABCDEF', substr($h, 2*i-1, 1)) - 1) " +
+      s"+ (strpos('0123456789ABCDEF', substr($h, 2*i, 1)) - 1) AS HUGEINT) " +
+      s"FOR i IN range(1, $n + 1)]), (a, b) -> (a * 31 + b) % $U64)"
+
   /** The full MinHash-LSH candidate+verify replay as a WITH-clause body
     * ending in `jac(a, b, jaccard)` — the SQL twin of
     * [[minhashCandidatePairs]], shared by the D2 oracle and the

@@ -120,7 +120,7 @@ object Multimodal {
         explode(expr(
           """transform(sequence(0, (length(payload) - 1) div 64),
             |  i -> substring(payload, i * 64 + 1, 64))""".stripMargin)).as("frame"))
-      .select(col("doc_id"), rollhash64(col("frame").cast("string")).as("h"))
+      .select(col("doc_id"), rollhash64(col("frame")).as("h"))
       .distinct()
     frames.as("l").join(frames.as("r"), col("l.h") === col("r.h") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -144,31 +144,35 @@ object Multimodal {
         |      WHEN octet_length(encode(text)) > 150 THEN 'medium'
         |      ELSE 'small' END AS size_class
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // replays the frame slicing + stub byte-hash "decode" in portable SQL
-    // (corpus is ASCII, so string slices == payload byte slices); the
-    // hash fold comes from the canonical helpers in [[Dedup]]
+    // replays the frame slicing + stub byte-hash "decode" on raw OCTETS:
+    // frames slice the hex image of the encoded payload (64 bytes = 128
+    // hex chars) and the fold consumes hex pairs, so the replay is exact
+    // for arbitrary payloads — no ASCII/chars-equal-bytes assumption,
+    // matching the Spark side's binary slicing + byte hash
     "mm_frame_sample" ->
       s"""WITH fr AS (
          | SELECT doc_id,
-         |  CAST(unnest(range(0, (length(text) - 1) // 64 + 1)) AS INT) AS frame_idx, text
+         |  CAST(unnest(range(0, (octet_length(encode(text)) - 1) // 64 + 1)) AS INT) AS frame_idx,
+         |  hex(encode(text)) AS hx
          | FROM documents),
          |sampled AS (
-         | SELECT doc_id, frame_idx, substring(text, frame_idx * 64 + 1, 64) AS f
+         | SELECT doc_id, frame_idx, substr(hx, frame_idx * 128 + 1, 128) AS fh
          | FROM fr WHERE frame_idx % 4 = 0)
-         |SELECT doc_id, frame_idx, CAST(length(f) AS INT) AS frame_size,
-         | ${Dedup.wrapSql("h")} AS feature
+         |SELECT doc_id, frame_idx, frame_size, ${Dedup.wrapSql("h")} AS feature
          |FROM (
-         | SELECT doc_id, frame_idx, f, ${Dedup.rollSql("f")} AS h
+         | SELECT doc_id, frame_idx, CAST(length(fh) // 2 AS INT) AS frame_size,
+         |  ${Dedup.rollHexSql("fh", "length(fh) // 2")} AS h
          | FROM sampled)
          |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_chunk_dedup" ->
       s"""WITH fr AS (
          | SELECT doc_id,
-         |  CAST(unnest(range(0, (length(text) - 1) // 64 + 1)) AS INT) AS frame_idx, text
+         |  CAST(unnest(range(0, (octet_length(encode(text)) - 1) // 64 + 1)) AS INT) AS frame_idx,
+         |  hex(encode(text)) AS hx
          | FROM documents),
          |fs AS (
-         | SELECT DISTINCT doc_id, ${Dedup.wrapSql(Dedup.rollSql("f"))} AS h
-         | FROM (SELECT doc_id, substring(text, frame_idx * 64 + 1, 64) AS f FROM fr))
+         | SELECT DISTINCT doc_id, ${Dedup.wrapSql(Dedup.rollHexSql("fh", "length(fh) // 2"))} AS h
+         | FROM (SELECT doc_id, substr(hx, frame_idx * 128 + 1, 128) AS fh FROM fr))
          |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_chunks
          |FROM fs l JOIN fs r ON l.h = r.h AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,

@@ -24,15 +24,19 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("every declared query runs non-empty on sf0.001") {
-    // one retry per query: a transient broadcast/GC hiccup deep into the
-    // 140-query sweep is not a correctness signal (each query is also
-    // oracle-verified individually); a REPEATED failure is.
+    // one retry per query, for CLASSIFIED-TRANSIENT failures only (see
+    // Verify.isTransient): a broadcast/GC hiccup deep into the 140-query
+    // sweep is not a correctness signal, but anything else fails
+    // immediately — a blanket retry would mask nondeterministic bugs.
     def runCount(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long =
       try fn(spark, TestSpark.sf).count()
       catch {
-        case _: Throwable =>
+        case e: Throwable if Verify.isTransient(e) =>
+          info(s"query $name retried after transient failure: ${e.getMessage}")
           try fn(spark, TestSpark.sf).count()
-          catch { case e: Throwable => fail(s"query $name threw twice: ${e.getMessage}") }
+          catch { case e2: Throwable => fail(s"query $name threw twice: ${e2.getMessage}") }
+        case e: Throwable =>
+          fail(s"query $name threw (non-transient, not retried): ${e.getMessage}")
       }
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (runCount(name, fn) == 0) Some(name) else None
