@@ -399,7 +399,45 @@ object Ml4 {
       (abs(z) > lit(1.96)).as("significant_5pct"))
   }
 
+  /** C28 — `ml_logreg_step`: one EXACT Newton/IRLS iteration of logistic
+    * regression from β = 0, so gradient-descent model training itself
+    * joins the fully-oracled set (the MLlib fits C1/C2 stay rows-only —
+    * multi-iteration float order isn't replayable; ONE step is).
+    *
+    * At β = 0 every pᵢ = ½ and the working weights are ¼, so the Newton
+    * update has the closed form β₁ = 4·(XᵀX)⁻¹ Xᵀ(y − ½). With one
+    * regressor + intercept that's a 2×2 solve whose inputs are FIVE
+    * scalar aggregates — n, P, Σq, Σq², Σq(2y−1) — over the quantized
+    * feature q = floor(price·0.01 + 0.5) ($100 ticks): exact bigint
+    * sums, order-independent, so the whole training step replays
+    * bit-for-bit. The final betas are fixed-order IEEE expressions on
+    * those integers (identical text both engines), rounded 4dp; the
+    * slope is reported ×10⁴ (per $1M) so the rounding keeps real digits.
+    *
+    * Scale shape: a 5-aggregate map-side-partial pass and O(1) driver
+    * math — the same shape at 100 TB, and the d-feature version is
+    * d(d+1)/2 + d + 2 aggregates plus a tiny dense solve.
+    */
+  def mlLogregStep(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Metrics.labeled(spark, dir)
+      .select(col("truth").as("y"),
+        floor(col("score") * lit(0.01) + lit(0.5)).cast("long").as("q"))
+      .agg(count(lit(1)).as("n"), sum("y").as("p"),
+        sum("q").as("sq"), sum(col("q") * col("q")).as("sqq"),
+        sum(col("q") * (col("y") * 2 - 1)).as("sqy"))
+    val nd = col("n").cast("double"); val pd = col("p").cast("double")
+    val sqd = col("sq").cast("double"); val sqqd = col("sqq").cast("double")
+    val sqyd = col("sqy").cast("double")
+    val b0 = (pd * lit(2.0) - nd) / lit(2.0)
+    val b1 = sqyd / lit(2.0)
+    val den = nd * sqqd - sqd * sqd
+    agg.select(col("n"), col("p"), col("sq"), col("sqq"), col("sqy"),
+      r4b(lit(4.0) * (sqqd * b0 - sqd * b1) / den).as("beta0"),
+      r4b(lit(4.0) * (nd * b1 - sqd * b0) / den * lit(10000.0)).as("beta1_e4"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_logreg_step" -> (mlLogregStep _),
     "ml_ab_test" -> (mlAbTest _),
     "ml_survival_km" -> (mlSurvivalKm _),
     "ml_item_cooccurrence" -> (mlItemCooccurrence _),
@@ -602,6 +640,26 @@ object Ml4 {
          | ${OracleRound.sql4(s"$mean + 1.96 * ($sd)")} AS ci_hi
          |FROM m""".stripMargin
     },
+    "ml_logreg_step" ->
+      """WITH l AS (
+        |  SELECT CAST(o_orderpriority < '3' AS INT) AS y,
+        |         CAST(floor(o_totalprice * 0.01 + 0.5) AS BIGINT) AS q
+        |  FROM orders),
+        |a AS (
+        |  SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS p,
+        |         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q*q) AS BIGINT) AS sqq,
+        |         CAST(sum(q*(2*y-1)) AS BIGINT) AS sqy
+        |  FROM l),
+        |d AS (
+        |  SELECT n, p, sq, sqq, sqy,
+        |         CAST(n AS DOUBLE) AS nd, CAST(p AS DOUBLE) AS pd,
+        |         CAST(sq AS DOUBLE) AS sqd, CAST(sqq AS DOUBLE) AS sqqd,
+        |         CAST(sqy AS DOUBLE) AS sqyd
+        |  FROM a)
+        |SELECT n, p, sq, sqq, sqy,
+        | floor((4e0*(sqqd*((pd*2e0 - nd)/2e0) - sqd*(sqyd/2e0)) / (nd*sqqd - sqd*sqd)) * 10000 + 0.5) / 10000 AS beta0,
+        | floor((4e0*(nd*(sqyd/2e0) - sqd*((pd*2e0 - nd)/2e0)) / (nd*sqqd - sqd*sqd) * 1e4) * 10000 + 0.5) / 10000 AS beta1_e4
+        |FROM d""".stripMargin,
     "ml_ks_statistic" ->
       """WITH l AS (
         |  SELECT o_orderkey, o_totalprice AS score,

@@ -155,6 +155,10 @@ object Models {
   /** C9 — best-model-per-feature-subset (modeling cell 123-125: all /
     * old-school / modern subsets): train the same estimator on dimension
     * slices, report accuracy per subset with the winner ranked first.
+    * The winner is PERSISTED — MLWritable artifact plus the
+    * export_models.py metadata sidecar (metric, subset, params) — and
+    * the `exported` column comes from the RELOADED sidecar, so the
+    * round-trip is on the query path, not just in a spec.
     */
   def mlModelSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -171,9 +175,23 @@ object Models {
       val pred = model.transform(data)
       val acc = pred.filter(col("prediction") === col("label")).count().toDouble /
         pred.count()
-      (name, math.round(acc * 10000) / 10000.0)
+      (name, math.round(acc * 10000) / 10000.0, model)
     }
-    rows.toDF("subset", "accuracy").orderBy(col("accuracy").desc, col("subset"))
+    val (bestName, bestAcc, bestModel) =
+      rows.minBy { case (name, acc, _) => (-acc, name) }
+    val path = java.nio.file.Files.createTempDirectory("graft_best_model")
+      .toString + "/model"
+    Persistence.saveLogreg(bestModel, path)
+    Persistence.saveMeta(spark, path, bestName, bestAcc, Map(
+      "estimator" -> "LogisticRegression",
+      "maxIter" -> bestModel.getMaxIter.toString,
+      "regParam" -> bestModel.getRegParam.toString))
+    val exported = Persistence.loadMeta(spark, path)
+      .select(col("subset"), lit(true).as("exported"))
+    rows.map { case (name, acc, _) => (name, acc) }.toDF("subset", "accuracy")
+      .join(exported, Seq("subset"), "left")
+      .na.fill(false, Seq("exported"))
+      .orderBy(col("accuracy").desc, col("subset"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

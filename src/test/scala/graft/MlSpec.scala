@@ -9,6 +9,32 @@ class MlSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
+  test("ml_logreg_step: one Newton step from zero increases the log-likelihood") {
+    val r = graft.ml.Ml4.mlLogregStep(spark, sf).head()
+    val n = r.getLong(0)
+    val (sq, sqq, sqy) =
+      (r.getLong(2).toDouble, r.getLong(3).toDouble, r.getLong(4).toDouble)
+    // recompute the unrounded betas from the exact integer aggregates
+    val nd = n.toDouble
+    val b0r = (r.getLong(1) * 2.0 - nd) / 2.0
+    val b1r = sqy / 2.0
+    val den = nd * sqq - sq * sq
+    val beta0 = 4.0 * (sqq * b0r - sq * b1r) / den
+    val beta1 = 4.0 * (nd * b1r - sq * b0r) / den
+    assert(math.abs(r.getDouble(5) - beta0) < 1e-3, "reported beta0 drifted")
+    assert(math.abs(r.getDouble(6) - beta1 * 10000.0) < 1e-3, "reported beta1 drifted")
+    // the logistic log-likelihood is concave, so the Newton step from
+    // beta = 0 must strictly improve on LL(0) = n·ln(1/2)
+    val ll = Metrics.labeled(spark, sf)
+      .select(col("truth").cast("double").as("y"),
+        (lit(beta0) + lit(beta1) *
+          floor(col("score") * lit(0.01) + lit(0.5))).as("eta"))
+      .agg(sum(col("y") * col("eta") - log(lit(1.0) + exp(col("eta")))))
+      .head().getDouble(0)
+    val ll0 = n * math.log(0.5)
+    assert(ll > ll0, s"Newton step did not improve LL: $ll vs $ll0")
+  }
+
   test("ml_nearest_centroid predicts every vector, labels in range") {
     val df = Models.mlNearestCentroid(spark, sf)
     val n = graft.tables.Tables.embeddings(spark, sf).count()

@@ -22,6 +22,30 @@ class PersistenceSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("C9/C10: metadata sidecar round-trips next to the model artifact") {
+    val path = Files.createTempDirectory("graft_meta").toString + "/m"
+    val data = graft.tables.Tables.embeddings(spark, sf)
+      .select(
+        array_to_vector(col("embedding").cast("array<double>")).as("features"),
+        (col("label") > 4.5).cast("double").as("label"))
+    graft.ml.Persistence.roundTrip(data, path)
+    graft.ml.Persistence.saveMeta(spark, path, "all_64", 0.9876,
+      Map("estimator" -> "LogisticRegression", "regParam" -> "0.01"))
+    val meta = graft.ml.Persistence.loadMeta(spark, path).head()
+    assert(meta.getString(0) == "all_64")
+    assert(meta.getDouble(1) == 0.9876)
+    assert(meta.getMap[String, String](2)("regParam") == "0.01")
+    // the artifact the sidecar describes must itself still load
+    assert(graft.ml.Persistence.loadLogreg(path).getRegParam == 0.01)
+  }
+
+  test("C9: ml_model_select marks exactly the winning subset as exported") {
+    val out = graft.ml.Models.mlModelSelect(spark, sf).collect()
+    assert(out.length == 3)
+    assert(out.head.getBoolean(2), "winner row must reference the sidecar")
+    assert(out.tail.forall(!_.getBoolean(2)), "only the winner is exported")
+  }
+
   test("Telemetry.measure reports rows and wall time") {
     val m = Telemetry.measure(
       graft.ops.Relational.qAggPricing(spark, sf))
