@@ -307,6 +307,47 @@ object StreamingUpsert {
   }
 }
 
+/** G11 — DQ alert sink: the reference reports every ETL-stage failure
+  * out-of-band (send_email / send_error_email, function.py:367-460);
+  * here each micro-batch is gated through a single-pass constraint
+  * check and VIOLATION summaries are delivered to an alert table — the
+  * detect (A33 `q_dq_checks`) → deliver loop, closed. Delivery is
+  * idempotent under batch redelivery: alerts land partitioned by batch
+  * id with dynamic partition overwrite (G5's storage contract), so a
+  * retried batch replaces its own alert rows instead of double-alerting.
+  * SMTP vs table is a transport detail; the exactly-once sink shape is
+  * the deliverable, and a mail relay would hang off the same
+  * foreachBatch with the alert table as its dedup ledger.
+  */
+object DqAlertSink {
+
+  /** Per-batch violation summary: one conditional-aggregation pass, one
+    * row per violated constraint (clean constraints emit nothing).
+    */
+  def violations(batch: DataFrame): DataFrame =
+    batch.agg(
+      sum(when(col("value") <= 0, 1L).otherwise(0L)).as("nonpositive_value"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_event_type"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user_id"))
+      .select(explode(map(
+        lit("nonpositive_value"), col("nonpositive_value"),
+        lit("null_event_type"), col("null_event_type"),
+        lit("null_user_id"), col("null_user_id"))))
+      .select(col("key").as("check_name"), col("value").as("n"))
+      .filter(col("n") > 0)
+
+  def run(spark: SparkSession, srcPath: String, alertPath: String): Unit = {
+    val schema = spark.read.parquet(srcPath).schema
+    val q = spark.readStream.schema(schema).parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.Sources.upsertBatch(violations(batch), alertPath, id)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+}
+
 /** Typed rows for the stateful streaming path (top-level for Encoders). */
 case class EventRow(event_id: Long, ts: Long, user_id: Long,
                     event_type: String, value: Double)

@@ -94,6 +94,30 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("G11: DQ alert sink delivers violation rows exactly once under batch redelivery") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_dq_src").toString
+    val alerts = java.nio.file.Files.createTempDirectory("graft_dq_alerts").toString + "/t"
+    Seq(
+      (1L, 10L, "view", 1.5),
+      (2L, 11L, null.asInstanceOf[String], 2.0),
+      (3L, 12L, "purchase", -4.0),
+      (4L, 13L, "view", 0.0),
+      (5L, 14L, "click", 3.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(src)
+    graft.streaming.DqAlertSink.run(spark, src, alerts)
+    // uncheckpointed second run re-lands the same batch ids — redelivery
+    graft.streaming.DqAlertSink.run(spark, src, alerts)
+    val a = spark.read.parquet(alerts)
+      .select("check_name", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == Set(("nonpositive_value", 2L), ("null_event_type", 1L)),
+      s"unexpected alert rows: $a")
+    // exactly-once: redelivery replaced its own partition, never appended
+    assert(spark.read.parquet(alerts).count() == 2)
+  }
+
   test("G5: foreachBatch upsert + latest-wins read equals the source, idempotent on redelivery") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
     graft.streaming.StreamingUpsert.run(spark, sf, out)
