@@ -84,7 +84,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // shuffle-byte regression gate: one metered pass per query against
+    // the pinned budgets (see ShuffleBudget) — wall time is host-noise,
+    // shuffle volume is a property of the plan, so a >2× regression
+    // FAILS the bench run instead of hiding inside a slow-host total
+    val shuffles = named.map { case (name, fn) =>
+      name -> (try Telemetry.measure(fn(spark, sfDir)).shuffleBytesWritten
+               catch { case _: Throwable => -1L })
+    }
+    val sh = shuffles.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val violations = ShuffleBudget.forDir(sfDir).toSeq.flatMap { budget =>
+      shuffles.collect { case (n, s) if budget.get(n).exists(s > _) =>
+        s"$n=$s > budget=${budget(n)}"
+      }
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"shuffle_ok":${violations.isEmpty},"sf":"$sfDir"}""")
     spark.stop()
+    if (violations.nonEmpty) {
+      System.err.println(s"[bench] SHUFFLE BUDGET EXCEEDED: ${violations.mkString("; ")}")
+      sys.exit(1)
+    }
   }
 }

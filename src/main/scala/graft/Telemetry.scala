@@ -68,3 +68,34 @@ object Telemetry {
       spilledBytes = sumMetric("spillSize"))
   }
 }
+
+/** Shuffle-byte regression gate: each headline query's shuffle volume is
+  * PINNED, not just prose-audited — "the plan is the one you'd want at
+  * 100×" as an executable assertion. Budgets are 2× the bytes measured
+  * on the round-4 plans (`Telemetry.measure`), so compression jitter and
+  * partition-count variation pass while a plan regression that doubles
+  * the shuffle (a lost broadcast, a dropped partial aggregate, an
+  * unpersisted double-scan) fails the bench run and the plan-audit spec.
+  * Wall time is host-noise; shuffle bytes are a property of the PLAN.
+  */
+object ShuffleBudget {
+  val atSf0001: Map[String, Long] = Map(
+    "q_agg_pricing" -> 3000L, "q_join_shuffle" -> 63000L,
+    "q_multi_join_agg" -> 8000L, "q_asof_join" -> 34000L,
+    "q_topk_per_key" -> 8000L, "f_comp_diff" -> 300000L,
+    "f_standard_scale" -> 230000L, "dedup_minhash_lsh" -> 30000L,
+    "ann_bruteforce" -> 5000L, "text_quality" -> 32000L,
+    "stream_window_agg" -> 84000L)
+  val atSf01: Map[String, Long] = Map(
+    "q_agg_pricing" -> 3000L, "q_join_shuffle" -> 5200000L,
+    "q_multi_join_agg" -> 8000L, "q_asof_join" -> 2700000L,
+    "q_topk_per_key" -> 280000L, "f_comp_diff" -> 28200000L,
+    "f_standard_scale" -> 21200000L, "dedup_minhash_lsh" -> 170000L,
+    "ann_bruteforce" -> 13000L, "text_quality" -> 240000L,
+    "stream_window_agg" -> 320000L)
+
+  def forDir(dir: String): Option[Map[String, Long]] =
+    if (dir.endsWith("sf0.001")) Some(atSf0001)
+    else if (dir.endsWith("sf0.1")) Some(atSf01)
+    else None
+}

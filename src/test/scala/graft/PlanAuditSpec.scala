@@ -182,4 +182,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"pagerank propagation degenerated:\n$plan")
   }
+
+  test("headline queries stay inside their pinned shuffle-byte budgets") {
+    val budget = ShuffleBudget.forDir(sf).getOrElse(
+      fail(s"no shuffle budget table for $sf"))
+    val over = Bench.headline.flatMap { name =>
+      val bytes = Telemetry.measure(SparkEntry.queries(name)(spark, sf))
+        .shuffleBytesWritten
+      budget.get(name).collect {
+        case b if bytes > b => s"$name: $bytes bytes > budget $b"
+      }
+    }
+    assert(over.isEmpty,
+      s"shuffle-byte regression (plan got >2x heavier):\n${over.mkString("\n")}")
+  }
 }
