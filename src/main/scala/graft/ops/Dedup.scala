@@ -45,9 +45,12 @@ object Dedup {
   def minhashCandidatePairs(spark: SparkSession, dir: String,
                             numPerm: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerm / bands
-    // shingle arrays are reused three times (minhash, two verify joins) —
-    // persist so the text→shingle work runs once
-    val docs = shingled(Tables.documents(spark, dir)).persist()
+    // shingles are a pure projection over the text scan — re-derived
+    // per use, NEVER cached: the shingle arrays are larger than the
+    // corpus itself, and pinning them in the block-manager cache is
+    // exactly what dies first at 100 TB. The only persisted state is
+    // the (doc_id, band, sig) table below (~40 B/row).
+    val docs = shingled(Tables.documents(spark, dir))
     // ONE string hash per shingle (native RollHash64); the numPerm
     // "permutations" are wrapping affine mixes aᵢ·h + bᵢ (mod 2⁶⁴) via the
     // native Mix64 expression — cheaper than numPerm string hashes, immune
@@ -73,9 +76,14 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "sig"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+    // the verify joins re-derive shingles from two fresh text scans —
+    // cheaper than caching every doc's shingle array across the whole
+    // pipeline; only the candidate docs' arrays survive the joins
     candidates
-      .join(docs.select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
-      .join(docs.select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
+      .join(shingled(Tables.documents(spark, dir))
+        .select(col("doc_id").as("a"), col("shingles").as("sh_a")), "a")
+      .join(shingled(Tables.documents(spark, dir))
+        .select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
       .select(col("a"), col("b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
