@@ -163,12 +163,15 @@ object Dedup {
     * pair space stays near-linear; top-20 most-similar pairs.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir).select(
+    // trigram arrays are ~3× the corpus — NEVER cached; each join side
+    // is a fresh projection over its own text scan (same reasoning as
+    // the MinHash shingle path: re-deriving a projection beats pinning
+    // corpus-sized state in the block manager)
+    def grams = Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
       floor(col("n_chars") / 100).as("len_bucket"),
       array_distinct(expr(
         "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("grams"))
-      .persist() // both sides of the blocked self-join
     val l = grams.select(col("lang"), col("len_bucket"),
       col("doc_id").as("a"), col("grams").as("g_a"))
     val r = grams.select(col("lang"), col("len_bucket"),
@@ -286,13 +289,17 @@ object Dedup {
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val planes = hyperplanes(4, 64)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit(_)): _*)
-      when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val bucketed = e.withColumn("bucket", bucket).persist()
+    // bucketing is a pure projection over the vector scan — computed
+    // fresh per join side instead of caching vector-sized rows
+    def bucketed = {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        val planeCol = array(p.map(lit(_)): _*)
+        when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      e.withColumn("bucket", bucket)
+    }
     val l = bucketed.select(col("bucket"), col("vec_id").as("a"), col("emb").as("e_a"))
     val r = bucketed.select(col("bucket"), col("vec_id").as("b"), col("emb").as("e_b"))
     l.join(r, Seq("bucket"))

@@ -25,6 +25,31 @@ class ExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("RollHash64 on binary input equals string input byte-for-byte, non-ASCII included") {
+    import spark.implicits._
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(1125899906842597L)((h, b) => 31 * h + (b & 0xff))
+    val samples = Seq("plain ascii", "héllo wörld", "日本語テキスト", "mixed ✓ Ω 1")
+    val rows = samples.toDF("s")
+      .select(col("s"),
+        VectorOps.rollhash64(col("s")).as("hs"),
+        VectorOps.rollhash64(col("s").cast("binary")).as("hb"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"string vs binary hash split on '${r.getString(0)}'")
+      assert(r.getLong(1) == ref(r.getString(0)),
+        s"hash drifted from the byte fold on '${r.getString(0)}'")
+    }
+    // a frame sliced mid-codepoint is un-decodable as a string but must
+    // still hash raw — the media-chunk contract
+    val bytes = "é".getBytes("UTF-8")
+    val half = bytes.take(1)
+    val got = Seq(Tuple1(half)).toDF("b")
+      .select(VectorOps.rollhash64(col("b"))).head().getLong(0)
+    assert(got == 31 * 1125899906842597L + (half(0) & 0xff))
+  }
+
   test("RollHash64 matches a reference Scala implementation") {
     def ref(s: String): Long =
       s.getBytes("UTF-8").foldLeft(1125899906842597L)((h, b) => 31 * h + (b & 0xff))

@@ -135,6 +135,22 @@ class SourcesSpec extends AnyFunSuite {
       "strides must cover the key range without gap or overlap")
   }
 
+  test("I10: JDBC read pushes filters into the database scan") {
+    import graft.sources.Jdbc
+    val nation = graft.tables.Tables.nation(spark, sf)
+    val url = Jdbc.derbyUrl(s"${tmp("jdbc_push")}/db")
+    Jdbc.write(nation, url, "nation_pf")
+    val df = Jdbc.read(spark, url, "nation_pf").filter(col("n_nationkey") > 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the predicate must reach the JDBC scan (WHERE on the database
+    // side), not run as a post-scan Spark filter over the full table
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"),
+      s"filter not pushed to the JDBC source:\n$plan")
+    assert(df.count() ==
+      nation.filter(col("n_nationkey") > 10).count())
+  }
+
   test("I11: JDBC append then latest-wins read resolves the UPDATE lifecycle") {
     import spark.implicits._
     import graft.sources.Jdbc
