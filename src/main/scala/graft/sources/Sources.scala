@@ -309,9 +309,31 @@ object SourceQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** I12 — JDBC pushdown on the query path: the read carries a filter
+    * and a 2-column projection, BOTH of which must execute inside the
+    * database (WHERE + narrow SELECT on the Derby side — the JDBC analog
+    * of parquet predicate pushdown + column pruning; SourcesSpec asserts
+    * the `PushedFilters` plan property). Oracle = the same filtered
+    * aggregate on the original table.
+    */
+  def srcJdbcFilter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val url = Jdbc.derbyUrl(s"${scratch("jdbcf")}/db")
+    Jdbc.write(c, url, "customer_f")
+    val bounds = c.agg(min("c_custkey"), max("c_custkey")).head()
+    Jdbc.readPartitioned(spark, url, "customer_f", "c_custkey",
+      bounds.getLong(0), bounds.getLong(1), 8)
+      .filter(col("c_acctbal") > 5000.0)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
     "src_jdbc_merge" -> (srcJdbcMerge _),
+    "src_jdbc_filter" -> (srcJdbcFilter _),
     "src_schema_evolution" -> (srcSchemaEvolution _),
     "src_csv_malformed" -> (srcCsvMalformed _),
     "src_custom_source" -> (srcCustomSource _),
@@ -335,6 +357,11 @@ object SourceQueries {
     "src_jdbc_merge" ->
       """SELECT c_mktsegment, count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_jdbc_filter" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS bal_cents
+        |FROM customer WHERE c_acctbal > 5000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
