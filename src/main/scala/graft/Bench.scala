@@ -69,14 +69,29 @@ object Bench {
     // back-to-back passes of one query both die inside the same spike.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val named = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-    val samples = (1 to passes).flatMap { _ =>
+    // the FINAL pass doubles as the shuffle-metering pass for the
+    // regression gate below: Telemetry.measure executes the same plan
+    // (toRdd materialization), so its wall time is a comparable timing
+    // sample and the metering costs no extra pass on the shared host
+    val shuffleBytes = scala.collection.mutable.Map[String, Long]()
+    val samples = (1 to passes).flatMap { p =>
       named.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        if (p == passes) {
+          val m = try Telemetry.measure(fn(spark, sfDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Telemetry.RunMetrics(Double.MaxValue, 0L, -1L, 0L)
+          }
+          shuffleBytes(name) = m.shuffleBytesWritten
+          name -> m.wallSec
+        } else {
+          val t0 = System.nanoTime()
+          try materialize(fn(spark, sfDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
     }
     val best = samples.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).min }
@@ -84,19 +99,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // shuffle-byte regression gate: one metered pass per query against
-    // the pinned budgets (see ShuffleBudget) — wall time is host-noise,
-    // shuffle volume is a property of the plan, so a >2× regression
-    // FAILS the bench run instead of hiding inside a slow-host total
-    val shuffles = named.map { case (name, fn) =>
-      name -> (try Telemetry.measure(fn(spark, sfDir)).shuffleBytesWritten
-               catch { case _: Throwable => -1L })
+    // shuffle-byte regression gate against the pinned budgets (see
+    // ShuffleBudget) — wall time is host-noise, shuffle volume is a
+    // property of the plan, so a >2× regression FAILS the bench run
+    // instead of hiding inside a slow-host total. A query that THREW
+    // during metering records -1 and counts as a violation: the failure
+    // modes a regression causes (executor OOM from a lost broadcast)
+    // must not read as a pass.
+    val shuffles = named.map { case (name, _) =>
+      name -> shuffleBytes.getOrElse(name, -1L)
     }
     val sh = shuffles.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val violations = ShuffleBudget.forDir(sfDir).toSeq.flatMap { budget =>
-      shuffles.collect { case (n, s) if budget.get(n).exists(s > _) =>
-        s"$n=$s > budget=${budget(n)}"
+      shuffles.collect {
+        case (n, s) if s < 0 && budget.contains(n) =>
+          s"$n failed during metering"
+        case (n, s) if budget.get(n).exists(s > _) =>
+          s"$n=$s > budget=${budget(n)}"
       }
     }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"shuffle_ok":${violations.isEmpty},"sf":"$sfDir"}""")

@@ -24,8 +24,8 @@ import graft.tables.Tables
   */
 object DistRank {
 
-  /** The leading sort column must be numeric and non-null (every caller
-    * ranks on a score or a price). Slice boundaries are sampled ONCE
+  /** The leading sort column must be numeric (every caller ranks on a
+    * score or a price). Slice boundaries are sampled ONCE
     * (approx-quantile sketch over the leading key, O(slices) doubles
     * collected) and inlined as LITERALS, so the slice id is a pure
     * deterministic function of the row: the sizes pass and the rank pass
@@ -35,26 +35,50 @@ object DistRank {
     * whole ranked input in the block-manager cache). Boundary QUALITY
     * only affects balance, never correctness: slice assignment is
     * monotone in the sort key, and local rank + slice offset equals the
-    * global rank wherever the cuts land.
+    * global rank wherever the cuts land. NaN and null keys are mapped to
+    * the slice end their window sort order puts them at (Spark: NaN is
+    * the largest value; nulls first under asc, last under desc), so
+    * dirty keys degrade to skew, never to corrupt ranks. Per-row cost is
+    * O(log slices): the bucket lookup is a generated binary-search
+    * `when` tree, the offset an O(1) array index.
     */
   def withGlobalRank(df: DataFrame, rankName: String, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
     val slices = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // ascending-monotone image of the leading sort key (desc → negate)
+    // ascending-monotone image of the leading sort key. For desc the key
+    // negates, but NaN and null don't flip under negation: NaN (sorted
+    // FIRST under desc) maps to -inf, null (sorted LAST under desc) to
+    // +inf. Under asc the raw double already agrees with the sort order
+    // (null -> slice 0 via null-comparison semantics, NaN -> last).
     val lead = org.apache.spark.sql.GraftColumnBridge.sortOrder(sortCols.head) match {
-      case Some((key, true)) => negate(key)
-      case Some((key, false)) => key
-      case None => sortCols.head
+      case Some((key, true)) =>
+        val kd = key.cast("double")
+        when(key.isNull, lit(Double.PositiveInfinity))
+          .when(isnan(kd), lit(Double.NegativeInfinity))
+          .otherwise(negate(kd))
+      case Some((key, false)) => key.cast("double")
+      case None => sortCols.head.cast("double")
     }
-    val keyed = df.withColumn("_k", lead.cast("double"))
+    val keyed = df.withColumn("_k", lead)
     val probs = (1 until slices).map(_.toDouble / slices).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
       else keyed.stat.approxQuantile("_k", probs, 0.01).distinct.sorted
+    // binary-search `when` tree over the sorted bounds: log(slices)
+    // comparisons per row (a linear fold would pay O(slices) per row on
+    // the full-table hot path — RangePartitioner binary-searches too)
+    def bucket(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(col("_k") > lit(bounds(mid)), bucket(mid + 1, hi))
+          .otherwise(bucket(lo, mid))
+      }
     val sliceCol =
       if (bounds.isEmpty) lit(0)
-      else aggregate(array(bounds.map(lit(_)): _*), lit(0),
-        (acc, b) => acc + when(col("_k") > b, 1).otherwise(0))
+      // null _k never exceeds a bound -> every comparison is null/false
+      // -> slice 0, matching asc NULLS FIRST (desc nulls were remapped)
+      else bucket(0, bounds.length)
     val sliced = keyed.withColumn("_slice", sliceCol)
     val local = sliced.withColumn("_lrank",
       row_number().over(Window.partitionBy("_slice").orderBy(sortCols: _*)))
@@ -64,9 +88,9 @@ object DistRank {
       .map(r => (r.getInt(0), r.getLong(1))).toMap
     val offsets = (0 to bounds.length).scanLeft(0L)(
       (acc, s) => acc + sizes.getOrElse(s, 0L))
-    val offMap = map((0 to bounds.length).flatMap(s =>
-      Seq(lit(s), lit(offsets(s)))): _*)
-    local.withColumn(rankName, element_at(offMap, col("_slice")) + col("_lrank"))
+    val offArr = array((0 to bounds.length).map(s => lit(offsets(s))): _*)
+    local.withColumn(rankName,
+        element_at(offArr, col("_slice") + 1) + col("_lrank"))
       .drop("_k", "_slice", "_lrank")
   }
 

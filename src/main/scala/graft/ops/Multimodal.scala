@@ -148,7 +148,10 @@ object Multimodal {
     // frames slice the hex image of the encoded payload (64 bytes = 128
     // hex chars) and the fold consumes hex pairs, so the replay is exact
     // for arbitrary payloads — no ASCII/chars-equal-bytes assumption,
-    // matching the Spark side's binary slicing + byte hash
+    // matching the Spark side's binary slicing + byte hash. Edge parity
+    // checked: both `div` and `//` truncate toward zero, so an EMPTY
+    // payload yields exactly one empty frame (hash = fold seed) on BOTH
+    // engines — no floor-vs-truncate divergence.
     "mm_frame_sample" ->
       s"""WITH fr AS (
          | SELECT doc_id,

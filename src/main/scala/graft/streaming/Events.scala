@@ -322,7 +322,12 @@ object StreamingUpsert {
 object DqAlertSink {
 
   /** Per-batch violation summary: one conditional-aggregation pass, one
-    * row per violated constraint (clean constraints emit nothing).
+    * row per violated constraint, PLUS an always-present `_batch_checked`
+    * marker row. The marker guarantees every delivered batch writes its
+    * partition — without it, a redelivered batch whose violations were
+    * fixed upstream would write zero rows and the dynamic partition
+    * overwrite would leave the batch's STALE alerts in place. Alert
+    * readers filter `check_name != '_batch_checked'`.
     */
   def violations(batch: DataFrame): DataFrame =
     batch.agg(
@@ -335,6 +340,8 @@ object DqAlertSink {
         lit("null_user_id"), col("null_user_id"))))
       .select(col("key").as("check_name"), col("value").as("n"))
       .filter(col("n") > 0)
+      .unionByName(batch.sparkSession.range(1)
+        .select(lit("_batch_checked").as("check_name"), lit(0L).as("n")))
 
   def run(spark: SparkSession, srcPath: String, alertPath: String): Unit = {
     val schema = spark.read.parquet(srcPath).schema

@@ -53,6 +53,27 @@ class DistRankSpec extends AnyFunSuite {
       viaWindow.exceptAll(viaDist).isEmpty)
   }
 
+  test("withGlobalRank handles NaN and null keys like the window, asc and desc") {
+    import spark.implicits._
+    val data = (1 to 40).map { i =>
+      val k: Option[Double] = i % 7 match {
+        case 0 => None
+        case 1 => Some(Double.NaN)
+        case _ => Some((i * 37 % 23).toDouble)
+      }
+      (i.toLong, k)
+    }
+    val df = data.toDF("id", "key")
+    Seq(col("key"), col("key").desc).foreach { order =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order, col("id"))
+      val viaWindow = df.withColumn("rank", row_number().over(w).cast("long"))
+      val viaDist = DistRank.withGlobalRank(df, "rank", order, col("id"))
+      assert(viaDist.exceptAll(viaWindow).isEmpty &&
+        viaWindow.exceptAll(viaDist).isEmpty,
+        s"rank mismatch for order $order")
+    }
+  }
+
   test("ml_roc_auc_dist equals ml_roc_auc") {
     val a = DistRank.mlRocAucDist(spark, TestSpark.sf).collect()
     val b = graft.ml.Metrics.mlRocAuc(spark, TestSpark.sf).collect()

@@ -149,6 +149,16 @@ class SourcesSpec extends AnyFunSuite {
       s"filter not pushed to the JDBC source:\n$plan")
     assert(df.count() ==
       nation.filter(col("n_nationkey") > 10).count())
+    // same property on the RANGE-PARTITIONED read — the path the I12
+    // contract query actually uses; a dialect change that stops pushing
+    // there would degrade every stride to a full-table pull
+    val dfp = Jdbc.readPartitioned(spark, url, "nation_pf", "n_nationkey", 0L, 24L, 4)
+      .filter(col("n_regionkey") === 1)
+    dfp.collect()
+    val planP = dfp.queryExecution.executedPlan.toString
+    assert(planP.contains("PushedFilters") && planP.contains("n_regionkey"),
+      s"filter not pushed through the partitioned JDBC read:\n$planP")
+    assert(dfp.count() == nation.filter(col("n_regionkey") === 1).count())
   }
 
   test("I11: JDBC append then latest-wins read resolves the UPDATE lifecycle") {

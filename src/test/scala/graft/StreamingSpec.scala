@@ -109,13 +109,23 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     graft.streaming.DqAlertSink.run(spark, src, alerts)
     // uncheckpointed second run re-lands the same batch ids — redelivery
     graft.streaming.DqAlertSink.run(spark, src, alerts)
-    val a = spark.read.parquet(alerts)
+    def alertRows() = spark.read.parquet(alerts)
+      .filter(col("check_name") =!= "_batch_checked")
       .select("check_name", "n").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(a == Set(("nonpositive_value", 2L), ("null_event_type", 1L)),
-      s"unexpected alert rows: $a")
+    assert(alertRows() == Set(("nonpositive_value", 2L), ("null_event_type", 1L)),
+      s"unexpected alert rows: ${alertRows()}")
     // exactly-once: redelivery replaced its own partition, never appended
-    assert(spark.read.parquet(alerts).count() == 2)
+    // (2 violations + the per-batch checked marker)
+    assert(spark.read.parquet(alerts).count() == 3)
+    // redelivery of a CORRECTED batch must clear its stale alerts — the
+    // always-written marker row is what forces the partition overwrite
+    Seq((1L, 10L, "view", 1.5), (5L, 14L, "click", 3.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(src)
+    graft.streaming.DqAlertSink.run(spark, src, alerts)
+    assert(alertRows().isEmpty,
+      s"stale alerts survived a clean redelivery: ${alertRows()}")
   }
 
   test("G5: foreachBatch upsert + latest-wins read equals the source, idempotent on redelivery") {
