@@ -42,7 +42,11 @@ object DistRank {
     * O(log slices): the bucket lookup is a generated binary-search
     * `when` tree, the offset an O(1) array index.
     */
-  def withGlobalRank(df: DataFrame, rankName: String, sortCols: Column*): DataFrame = {
+  /** Slice the input on literal quantile bounds of the leading sort key:
+    * returns the frame with a `_slice` column plus the slice count.
+    * Shared by [[withGlobalRank]] and [[withRunningSums]].
+    */
+  private def sliceByKey(df: DataFrame, sortCols: Seq[Column]): (DataFrame, Int) = {
     val spark = df.sparkSession
     val slices = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // ascending-monotone image of the leading sort key. For desc the key
@@ -79,19 +83,55 @@ object DistRank {
       // null _k never exceeds a bound -> every comparison is null/false
       // -> slice 0, matching asc NULLS FIRST (desc nulls were remapped)
       else bucket(0, bounds.length)
-    val sliced = keyed.withColumn("_slice", sliceCol)
+    (keyed.withColumn("_slice", sliceCol), bounds.length + 1)
+  }
+
+  def withGlobalRank(df: DataFrame, rankName: String, sortCols: Column*): DataFrame = {
+    val (sliced, nSlices) = sliceByKey(df, sortCols)
     val local = sliced.withColumn("_lrank",
       row_number().over(Window.partitionBy("_slice").orderBy(sortCols: _*)))
     // cache-free sizes pass: a cheap re-aggregation over the same pure
     // slice assignment; ≤slices rows collected
     val sizes = sliced.groupBy("_slice").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).toMap
-    val offsets = (0 to bounds.length).scanLeft(0L)(
+    val offsets = (0 until nSlices).scanLeft(0L)(
       (acc, s) => acc + sizes.getOrElse(s, 0L))
-    val offArr = array((0 to bounds.length).map(s => lit(offsets(s))): _*)
+    val offArr = array((0 until nSlices).map(s => lit(offsets(s))): _*)
     local.withColumn(rankName,
         element_at(offArr, col("_slice") + 1) + col("_lrank"))
       .drop("_k", "_slice", "_lrank")
+  }
+
+  /** Distributed RUNNING SUMS — withGlobalRank generalized from
+    * row_number to arbitrary cumulative integer sums: each value column
+    * gets a per-slice running sum at full parallelism plus its slice's
+    * literal offset (per-slice totals collected once, O(slices) longs).
+    * Bit-identical to `sum(v).over(Window.orderBy(sortCols))` when the
+    * sort is unique, while never funnelling the table through one task —
+    * the cumulative-metric primitive (CDFs, precision@k, reach curves)
+    * at 100 TB. Values must be integer-typed (exact, order-independent).
+    */
+  def withRunningSums(df: DataFrame, values: Seq[(Column, String)],
+                      sortCols: Column*): DataFrame = {
+    val (sliced, nSlices) = sliceByKey(df, sortCols)
+    val w = Window.partitionBy("_slice").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = values.zipWithIndex.foldLeft(sliced) {
+      case (d, ((v, _), i)) => d.withColumn(s"_ls_$i", sum(v).over(w))
+    }
+    // one aggregate pass collects every value's per-slice total
+    val totAggs = values.zipWithIndex.map { case ((v, _), i) => sum(v).as(s"_t_$i") }
+    val totals = sliced.groupBy("_slice").agg(totAggs.head, totAggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> values.indices.map(i => r.getLong(i + 1)))
+      .toMap
+    val named = values.zipWithIndex.foldLeft(withLocal) { case (d, ((_, name), i)) =>
+      val offs = (0 until nSlices).scanLeft(0L)(
+        (acc, s) => acc + totals.get(s).map(_(i)).getOrElse(0L))
+      val offArr = array((0 until nSlices).map(s => lit(offs(s))): _*)
+      d.withColumn(name, element_at(offArr, col("_slice") + 1) + col(s"_ls_$i"))
+    }
+    named.drop(Seq("_k", "_slice") ++ values.indices.map(i => s"_ls_$i"): _*)
   }
 
   /** C7b — ml_roc_auc through the distributed rank instead of the global
@@ -125,14 +165,60 @@ object DistRank {
       .orderBy("o_orderkey")
   }
 
+  /** C18b — ml_ks_statistic through [[withRunningSums]] instead of the
+    * global window: both CDFs accumulate per slice at full parallelism;
+    * same tied-score collapse, same exact integer cross-product max,
+    * same oracle SQL as C18.
+    */
+  def mlKsStatisticDist(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ml.Metrics.labeled(spark, dir)
+    val tot = base.agg(
+      sum(col("truth")).as("p_tot"),
+      sum(lit(1) - col("truth")).as("n_tot"))
+    withRunningSums(base,
+        Seq((col("truth"), "cum_pos"), (lit(1) - col("truth"), "cum_neg")),
+        col("score"), col("o_orderkey"))
+      .groupBy("score")
+      .agg(max("cum_pos").as("cum_pos"), max("cum_neg").as("cum_neg"))
+      .crossJoin(broadcast(tot))
+      .select(col("p_tot"), col("n_tot"),
+        abs(col("cum_pos") * col("n_tot") - col("cum_neg") * col("p_tot")).as("diff"))
+      .agg(max(col("p_tot")).as("p"), max(col("n_tot")).as("n"),
+        max(col("diff")).as("ks_num"))
+      .select(col("p"), col("n"), col("ks_num"),
+        OracleRound.r4b(col("ks_num").cast("double") / (col("p") * col("n"))).as("ks"))
+  }
+
+  /** C19b — ml_auc_pr through [[withRunningSums]]: rank and cumulative
+    * positives from one sliced pass (k = running sum of 1 — identical to
+    * row_number under the unique sort), then the same quantized-integer
+    * precision sum; same oracle SQL as C19.
+    */
+  def mlAucPrDist(spark: SparkSession, dir: String): DataFrame =
+    withRunningSums(graft.ml.Metrics.labeled(spark, dir),
+        Seq((lit(1), "k"), (col("truth"), "cum_pos")),
+        col("score").desc, col("o_orderkey"))
+      .select(col("truth"),
+        when(col("truth") === 1, expr("cum_pos * 1000000 div k"))
+          .otherwise(lit(0L)).as("prec_q"))
+      .agg(sum(col("truth")).as("p"),
+        sum(lit(1) - col("truth")).as("n"),
+        sum(col("prec_q")).as("ap_q"))
+      .select(col("p"), col("n"),
+        OracleRound.r4b(col("ap_q").cast("double") / (lit(1000000.0) * col("p"))).as("ap"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_roc_auc_dist" -> (mlRocAucDist _),
-    "f_quantile_bucket_dist" -> (fQuantileBucketDist _))
+    "f_quantile_bucket_dist" -> (fQuantileBucketDist _),
+    "ml_ks_statistic_dist" -> (mlKsStatisticDist _),
+    "ml_auc_pr_dist" -> (mlAucPrDist _))
 
   /** Shared verbatim with the window formulations — the driver's hash
-    * compare proves the distributed rank is bit-identical.
+    * compare proves the distributed rank/running-sum is bit-identical.
     */
   val oracles: Map[String, String] = Map(
     "ml_roc_auc_dist" -> graft.ml.Metrics.oracles("ml_roc_auc"),
-    "f_quantile_bucket_dist" -> Features.oracles("f_quantile_bucket"))
+    "f_quantile_bucket_dist" -> Features.oracles("f_quantile_bucket"),
+    "ml_ks_statistic_dist" -> graft.ml.Ml4.oracles("ml_ks_statistic"),
+    "ml_auc_pr_dist" -> graft.ml.Ml4.oracles("ml_auc_pr"))
 }

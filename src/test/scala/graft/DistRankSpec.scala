@@ -74,6 +74,38 @@ class DistRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withRunningSums equals the global-window cumulative sums, dirty keys included") {
+    import spark.implicits._
+    val df = (1 to 60).map { i =>
+      val k: Option[Double] = i % 9 match {
+        case 0 => None
+        case 1 => Some(Double.NaN)
+        case _ => Some((i * 31 % 17).toDouble)
+      }
+      (i.toLong, k, i % 3L)
+    }.toDF("id", "key", "v")
+    Seq(col("key"), col("key").desc).foreach { order =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order, col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val viaWindow = df
+        .withColumn("cum_v", sum(col("v")).over(w))
+        .withColumn("cnt", sum(lit(1)).over(w))
+      val viaDist = DistRank.withRunningSums(df,
+        Seq((col("v"), "cum_v"), (lit(1), "cnt")), order, col("id"))
+      assert(viaDist.exceptAll(viaWindow).isEmpty &&
+        viaWindow.exceptAll(viaDist).isEmpty,
+        s"running sums diverged for order $order")
+    }
+  }
+
+  test("ml_ks_statistic_dist equals ml_ks_statistic; ml_auc_pr_dist equals ml_auc_pr") {
+    assert(DistRank.mlKsStatisticDist(spark, TestSpark.sf).collect().map(_.toSeq).toSeq ==
+      graft.ml.Ml4.mlKsStatistic(spark, TestSpark.sf).collect().map(_.toSeq).toSeq)
+    assert(DistRank.mlAucPrDist(spark, TestSpark.sf).collect().map(_.toSeq).toSeq ==
+      graft.ml.Ml4.mlAucPr(spark, TestSpark.sf).collect().map(_.toSeq).toSeq)
+  }
+
   test("ml_roc_auc_dist equals ml_roc_auc") {
     val a = DistRank.mlRocAucDist(spark, TestSpark.sf).collect()
     val b = graft.ml.Metrics.mlRocAuc(spark, TestSpark.sf).collect()
