@@ -130,6 +130,30 @@ object Relational5 {
       .limit(20)
   }
 
+  /** A50b — `q_sequence_gaps` without the global window: rank every
+    * present key with `DistRank.withGlobalRank` (range-sliced, full
+    * parallelism), then pair rank r with rank r+1 by an EQUI-JOIN on the
+    * rank — consecutive-row pairing as a shuffle join instead of a
+    * single-partition lead(). Shares A50's oracle verbatim, so the
+    * hash gate proves the distributed pairing bit-identical. The join
+    * costs one extra shuffle at bench scale but never funnels the
+    * extract through one task — the 100 TB shape.
+    */
+  def qSequenceGapsDist(spark: SparkSession, dir: String): DataFrame = {
+    val extract = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"))
+    val ranked = DistRank.withGlobalRank(extract, "r", col("k"))
+    ranked.as("a")
+      .join(ranked.select((col("r") - 1).as("r"), col("k").as("next_key")).as("b"), "r")
+      .filter(col("next_key") > col("k") + 1)
+      .select((col("k") + 1).as("gap_start"),
+        (col("next_key") - 1).as("gap_end"),
+        (col("next_key") - col("k") - 1).as("n_missing"))
+      .orderBy(col("n_missing").desc, col("gap_start"))
+      .limit(20)
+  }
+
   /** A52 — cumulative reach: daily active events, NEW users (first-ever
     * activity that day), and the running distinct-user total. Exact
     * running COUNT DISTINCT is normally quadratic; the first-seen-flag
@@ -179,8 +203,19 @@ object Relational5 {
     "q_percent_total" -> (qPercentTotal _),
     "q_unpivot" -> (qUnpivot _),
     "q_sequence_gaps" -> (qSequenceGaps _),
+    "q_sequence_gaps_dist" -> (qSequenceGapsDist _),
     "q_running_distinct" -> (qRunningDistinct _),
     "q_benford" -> (qBenford _))
+
+  private val sequenceGapsSql =
+    """WITH d AS (
+      |  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |g AS (
+      |  SELECT k, lead(k, 1) OVER (ORDER BY k) AS next_key FROM d)
+      |SELECT k + 1 AS gap_start, next_key - 1 AS gap_end,
+      |       next_key - k - 1 AS n_missing
+      |FROM g WHERE next_key > k + 1
+      |ORDER BY n_missing DESC, gap_start LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_chi_square" ->
@@ -231,15 +266,10 @@ object Relational5 {
         |       CAST(sum(new_users) OVER (ORDER BY day
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM daily ORDER BY day""".stripMargin,
-    "q_sequence_gaps" ->
-      """WITH d AS (
-        |  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
-        |g AS (
-        |  SELECT k, lead(k, 1) OVER (ORDER BY k) AS next_key FROM d)
-        |SELECT k + 1 AS gap_start, next_key - 1 AS gap_end,
-        |       next_key - k - 1 AS n_missing
-        |FROM g WHERE next_key > k + 1
-        |ORDER BY n_missing DESC, gap_start LIMIT 20""".stripMargin,
+    "q_sequence_gaps" -> sequenceGapsSql,
+    // shared verbatim: the hash gate proves the rank-pairing join
+    // bit-identical to the lead() formulation
+    "q_sequence_gaps_dist" -> sequenceGapsSql,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
         |  SELECT l_orderkey, l_linenumber, 'disc' AS metric, l_discount AS value FROM lineitem
