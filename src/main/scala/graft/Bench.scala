@@ -67,7 +67,10 @@ object Bench {
     // ...) so a multi-minute contention spike on the shared host lands on
     // different queries in different passes and the min survives it —
     // back-to-back passes of one query both die inside the same spike.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // at least one pass always runs — it doubles as the shuffle-metering
+    // pass, so PASSES=0 must not leave the budget gate starved
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val named = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     // the FINAL pass doubles as the shuffle-metering pass for the
     // regression gate below: Telemetry.measure executes the same plan
@@ -77,10 +80,13 @@ object Bench {
     val samples = (1 to passes).flatMap { p =>
       named.map { case (name, fn) =>
         if (p == passes) {
+          val t0 = System.nanoTime()
           val m = try Telemetry.measure(fn(spark, sfDir))
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            Telemetry.RunMetrics(Double.MaxValue, 0L, -1L, 0L)
+            // record real elapsed-to-failure, not a sentinel that could
+            // become the reported best and corrupt the JSON total
+            Telemetry.RunMetrics((System.nanoTime() - t0) / 1e9, 0L, -1L, 0L)
           }
           shuffleBytes(name) = m.shuffleBytesWritten
           name -> m.wallSec

@@ -53,7 +53,12 @@ object Telemetry {
     */
   def measure(df: DataFrame): RunMetrics = {
     val t0 = System.nanoTime()
-    df.queryExecution.toRdd.foreachPartition(_ => ())
+    // CONSUME every partition iterator: foreachPartition(_ => ()) would
+    // skip the final stage's lazy per-row work (post-shuffle projections,
+    // broadcast probes) and under-measure the plan
+    df.queryExecution.toRdd.foreachPartition { it =>
+      while (it.hasNext) it.next()
+    }
     val wall = (System.nanoTime() - t0) / 1e9
     val plans = flatten(df.queryExecution.executedPlan)
     def sumMetric(name: String): Long =

@@ -55,12 +55,19 @@ object DistRank {
     // +inf. Under asc the raw double already agrees with the sort order
     // (null -> slice 0 via null-comparison semantics, NaN -> last).
     val lead = org.apache.spark.sql.GraftColumnBridge.sortOrder(sortCols.head) match {
-      case Some((key, true)) =>
+      case Some((_, _, false)) =>
+        // asc_nulls_last / desc_nulls_first would route nulls to the
+        // WRONG end of the keyspace and silently corrupt every rank in
+        // the boundary slice — refuse loudly instead
+        throw new IllegalArgumentException(
+          "DistRank supports only the default null ordering " +
+            "(NULLS FIRST under asc, NULLS LAST under desc)")
+      case Some((key, true, _)) =>
         val kd = key.cast("double")
         when(key.isNull, lit(Double.PositiveInfinity))
           .when(isnan(kd), lit(Double.NegativeInfinity))
           .otherwise(negate(kd))
-      case Some((key, false)) => key.cast("double")
+      case Some((key, false, _)) => key.cast("double")
       case None => sortCols.head.cast("double")
     }
     val keyed = df.withColumn("_k", lead)
@@ -112,7 +119,16 @@ object DistRank {
     * at 100 TB. Values must be integer-typed (exact, order-independent).
     */
   def withRunningSums(df: DataFrame, values: Seq[(Column, String)],
-                      sortCols: Column*): DataFrame = {
+                      sortCols: Column*): DataFrame =
+    withRunningSumsAndTotals(df, values, sortCols: _*)._1
+
+  /** [[withRunningSums]] plus each value's GRAND TOTAL, which the
+    * machinery already collected as the sum of the per-slice totals —
+    * callers needing totals (CDF normalizers) get them as free driver
+    * literals instead of paying another full-table aggregate scan.
+    */
+  def withRunningSumsAndTotals(df: DataFrame, values: Seq[(Column, String)],
+                               sortCols: Column*): (DataFrame, Seq[Long]) = {
     val (sliced, nSlices) = sliceByKey(df, sortCols)
     val w = Window.partitionBy("_slice").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -121,9 +137,17 @@ object DistRank {
     }
     // one aggregate pass collects every value's per-slice total
     val totAggs = values.zipWithIndex.map { case ((v, _), i) => sum(v).as(s"_t_$i") }
-    val totals = sliced.groupBy("_slice").agg(totAggs.head, totAggs.tail: _*)
-      .collect()
-      .map(r => r.getInt(0) -> values.indices.map(i => r.getLong(i + 1)))
+    val totDf = sliced.groupBy("_slice").agg(totAggs.head, totAggs.tail: _*)
+    // the offsets below do exact long arithmetic — fail with a clear
+    // message on a non-integer value column instead of a deep cast error
+    totDf.schema.fields.drop(1).foreach { f =>
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"withRunningSums needs integer-typed value columns; " +
+          s"'${f.name}' summed to ${f.dataType.simpleString}")
+    }
+    val totals = totDf.collect()
+      .map(r => r.getInt(0) -> values.indices.map(i =>
+        if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
       .toMap
     val named = values.zipWithIndex.foldLeft(withLocal) { case (d, ((_, name), i)) =>
       val offs = (0 until nSlices).scanLeft(0L)(
@@ -131,7 +155,10 @@ object DistRank {
       val offArr = array((0 until nSlices).map(s => lit(offs(s))): _*)
       d.withColumn(name, element_at(offArr, col("_slice") + 1) + col(s"_ls_$i"))
     }
-    named.drop(Seq("_k", "_slice") ++ values.indices.map(i => s"_ls_$i"): _*)
+    val grand = values.indices.map(i =>
+      totals.values.map(_(i)).sum)
+    (named.drop(Seq("_k", "_slice") ++ values.indices.map(i => s"_ls_$i"): _*),
+      grand)
   }
 
   /** C7b — ml_roc_auc through the distributed rank instead of the global
@@ -172,18 +199,18 @@ object DistRank {
     */
   def mlKsStatisticDist(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.ml.Metrics.labeled(spark, dir)
-    val tot = base.agg(
-      sum(col("truth")).as("p_tot"),
-      sum(lit(1) - col("truth")).as("n_tot"))
-    withRunningSums(base,
-        Seq((col("truth"), "cum_pos"), (lit(1) - col("truth"), "cum_neg")),
-        col("score"), col("o_orderkey"))
+    // the grand totals come back with the running sums — already summed
+    // from the collected per-slice totals, no extra full-table aggregate
+    val (cum, totals) = withRunningSumsAndTotals(base,
+      Seq((col("truth"), "cum_pos"), (lit(1) - col("truth"), "cum_neg")),
+      col("score"), col("o_orderkey"))
+    val (pTot, nTot) = (totals(0), totals(1))
+    cum
       .groupBy("score")
       .agg(max("cum_pos").as("cum_pos"), max("cum_neg").as("cum_neg"))
-      .crossJoin(broadcast(tot))
-      .select(col("p_tot"), col("n_tot"),
-        abs(col("cum_pos") * col("n_tot") - col("cum_neg") * col("p_tot")).as("diff"))
-      .agg(max(col("p_tot")).as("p"), max(col("n_tot")).as("n"),
+      .select(
+        abs(col("cum_pos") * lit(nTot) - col("cum_neg") * lit(pTot)).as("diff"))
+      .agg(max(lit(pTot)).as("p"), max(lit(nTot)).as("n"),
         max(col("diff")).as("ks_num"))
       .select(col("p"), col("n"), col("ks_num"),
         OracleRound.r4b(col("ks_num").cast("double") / (col("p") * col("n"))).as("ks"))

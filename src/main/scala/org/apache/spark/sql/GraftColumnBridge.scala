@@ -20,14 +20,20 @@ object GraftColumnBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
-  /** Decompose a sort Column (`col.asc` / `col.desc`) into its key column
-    * and direction; None when the column carries no sort order. Spark 4
-    * models sort order as an `internal.SortOrder` ColumnNode, not a
-    * catalyst expression, so this is the only reliable way to inspect it.
+  /** Decompose a sort Column (`col.asc` / `col.desc`) into (key column,
+    * isDescending, isDefaultNullOrdering); None when the column carries
+    * no sort order. Spark 4 models sort order as an `internal.SortOrder`
+    * ColumnNode, not a catalyst expression, so this is the only reliable
+    * way to inspect it. Default null ordering = NULLS FIRST under asc,
+    * NULLS LAST under desc (what a bare asc/desc means).
     */
-  def sortOrder(c: Column): Option[(Column, Boolean)] = c.node match {
-    case internal.SortOrder(child, dir, _, _) =>
-      Some((Column(child), dir == internal.SortOrder.Descending))
+  def sortOrder(c: Column): Option[(Column, Boolean, Boolean)] = c.node match {
+    case internal.SortOrder(child, dir, nulls, _) =>
+      val desc = dir == internal.SortOrder.Descending
+      val defaultNulls =
+        (desc && nulls == internal.SortOrder.NullsLast) ||
+          (!desc && nulls == internal.SortOrder.NullsFirst)
+      Some((Column(child), desc, defaultNulls))
     case _ => None
   }
 
