@@ -15,9 +15,25 @@ object VectorOps {
 
   def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ */
+  /** Σ aᵢ·bᵢ — fused native [[DotProduct]]: one codegen'd loop, no
+    * per-row product array.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      DotProduct(expression(a), expression(b)))
+
+  /** Composed-builtins dot (allocates a zip_with array per row) — kept
+    * for A/B testing against [[dot]].
+    */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Σ (aᵢ−bᵢ)² over integer-tick arrays — fused native [[IntSqDist]],
+    * exact long arithmetic.
+    */
+  def intSqDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      IntSqDist(expression(a), expression(b)))
 
   /** Σ (aᵢ−bᵢ)² — squared Euclidean distance. Monotonic with L2, so rank
     * and top-k logic can skip the sqrt.

@@ -116,11 +116,12 @@ object Similarity {
     }: _*)
     // per-row (d2, cell) structs against every cell; lexicographic
     // struct ordering makes array_min/array_sort the argmin with the
-    // lowest-cell tie-break built in
+    // lowest-cell tie-break built in. The distance is the fused native
+    // IntSqDist — per row × per cell, the zip_with formulation would
+    // allocate a 64-element diff array each time.
     def cellDists(q: Column): Column = transform(cellsLit, c =>
       struct(
-        aggregate(zip_with(q, c.getField("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (s, v) => s + v).as("d2"),
+        intSqDist(q, c.getField("cv")).as("d2"),
         c.getField("cell").as("cell")))
     val assigned = e.withColumn("_q", qticks(col("emb")))
       .select(col("vec_id"), col("emb"),

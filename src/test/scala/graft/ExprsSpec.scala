@@ -25,6 +25,36 @@ class ExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("DotProduct (codegen) equals the composed-builtins dot bit-for-bit") {
+    val e = graft.tables.Tables.embeddings(spark, sf)
+      .select(VectorOps.asDouble(col("embedding")).as("emb")).limit(100)
+    val planes = Seq(
+      Array.tabulate(64)(i => math.sin(i + 1.0)),
+      Array.tabulate(64)(i => math.cos(i * 0.7) - 0.3))
+    planes.foreach { p =>
+      val planeCol = array(p.map(lit(_)): _*)
+      val rows = e.select(
+        VectorOps.dot(col("emb"), planeCol).as("fused"),
+        VectorOps.dotComposed(col("emb"), planeCol).as("composed")).collect()
+      rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+        s"fused dot ${r.getDouble(0)} != composed ${r.getDouble(1)}"))
+    }
+  }
+
+  test("IntSqDist (codegen) equals the zip_with integer fold exactly") {
+    val q = graft.tables.Tables.embeddings(spark, sf)
+      .select(expr(
+        "transform(CAST(embedding AS array<double>), x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))")
+        .as("q")).limit(100)
+    val other = q.limit(1).head().getSeq[Long](0)
+    val otherCol = array(other.map(lit(_)): _*)
+    val fold = aggregate(zip_with(col("q"), otherCol, (a, b) => (a - b) * (a - b)),
+      lit(0L), (s, v) => s + v)
+    val rows = q.select(
+      VectorOps.intSqDist(col("q"), otherCol).as("fused"), fold.as("folded")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("RollHash64 on binary input equals string input byte-for-byte, non-ASCII included") {
     import spark.implicits._
     def ref(s: String): Long =
