@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{Combine64, CosineSim, Mix64, RollHash64}
+import graft.functions.{Combine64, CosineSim, DotProduct, IntSqDist, Mix64, RollHash64}
 
 /** Algebraic simplification over the graft expression domain: chained
   * affine mixes compose into one. a₂·(a₁·h + b₁) + b₂ ≡ (a₁a₂)·h +
@@ -45,6 +45,12 @@ object GraftFunctions {
     org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "graft_combine64",
       new ExpressionInfo(classOf[Combine64].getName, "graft_combine64"),
       children => Combine64(children(0)))
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      children => DotProduct(children(0), children(1)))
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "graft_int_sqdist",
+      new ExpressionInfo(classOf[IntSqDist].getName, "graft_int_sqdist"),
+      children => IntSqDist(children(0), children(1)))
     if (!spark.experimental.extraOptimizations.contains(GraftOptimizations)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GraftOptimizations
@@ -69,6 +75,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Combine64].getName, "graft_combine64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Combine64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int_sqdist"),
+      new ExpressionInfo(classOf[IntSqDist].getName, "graft_int_sqdist"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntSqDist(children(0), children(1))))
     // every extension tier: functions (above), optimizer rule, planner
     // strategy (the custom as-of join node becomes available to ALL
     // sessions built with these extensions, not just the DataFrame API)

@@ -102,10 +102,14 @@ class ExprsSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
       "graft_rollhash64('abc') h, " +
-      "graft_combine64(array(1L, 2L, 3L)) s").head()
+      "graft_combine64(array(1L, 2L, 3L)) s, " +
+      "graft_dot(array(2.0d, 3.0d), array(4.0d, 5.0d)) d, " +
+      "graft_int_sqdist(array(5L, 1L), array(2L, 5L)) q").head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) != 0L)
     assert(r.getLong(2) == ((1125899906842597L * 31 + 1) * 31 + 2) * 31 + 3)
+    assert(r.getDouble(3) == 23.0)
+    assert(r.getLong(4) == 25L)
   }
 
   test("Mix64 wraps like Java long arithmetic") {
