@@ -436,7 +436,42 @@ object Ml4 {
       r4b(lit(4.0) * (nd * b1 - sqd * b0) / den * lit(10000.0)).as("beta1_e4"))
   }
 
+  /** C29 — `ml_svc_step`: one EXACT subgradient step of hinge-loss
+    * linear SVC from β = 0 (C2's MLlib fit stays rows-only; one step is
+    * fully oracled, the SVC analog of C28). At β = 0 every margin is 0 <
+    * 1 — all points active — so the subgradient is −(1/n)·Σ yᵢ(1, qᵢ)
+    * (the λ·w regularizer term vanishes at 0), and a unit-rate step
+    * lands at b₁ = Σy/n, w₁ = Σyq/n: two exact integer aggregates over
+    * the quantized feature. The step is then EVALUATED — training
+    * accuracy of sign(b₁ + w₁·q) — with the decision value as one
+    * fixed-order IEEE expression per row, identical text both engines.
+    *
+    * Scale shape: one 3-aggregate pass (map-side partials), the 1-row
+    * aggregate broadcast back for the scoring pass — the two-scan
+    * train-then-evaluate shape at any scale.
+    */
+  def mlSvcStep(spark: SparkSession, dir: String): DataFrame = {
+    val l = Metrics.labeled(spark, dir).select(
+      (col("truth") * 2 - 1).as("y"),
+      floor(col("score") * lit(0.01) + lit(0.5)).cast("long").as("q"))
+    val agg = l.agg(count(lit(1)).as("n"), sum("y").as("sy"),
+      sum(col("y") * col("q")).as("syq"))
+    val d = col("sy").cast("double") / col("n") +
+      col("syq").cast("double") / col("n") * col("q").cast("double")
+    l.crossJoin(broadcast(agg))
+      .select(col("y"), col("n"), col("sy"), col("syq"),
+        when(d > 0, 1).otherwise(-1).as("pred"))
+      .agg(max(col("n")).as("n"), max(col("sy")).as("sy"),
+        max(col("syq")).as("syq"),
+        count(when(col("pred") === col("y"), 1)).as("n_correct"))
+      .select(col("n"), col("sy"), col("syq"), col("n_correct"),
+        r4b(col("sy").cast("double") / col("n")).as("b1"),
+        r4b(col("syq").cast("double") / col("n")).as("w1"),
+        r4b(col("n_correct").cast("double") / col("n")).as("train_acc"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_svc_step" -> (mlSvcStep _),
     "ml_logreg_step" -> (mlLogregStep _),
     "ml_ab_test" -> (mlAbTest _),
     "ml_survival_km" -> (mlSurvivalKm _),
@@ -640,6 +675,30 @@ object Ml4 {
          | ${OracleRound.sql4(s"$mean + 1.96 * ($sd)")} AS ci_hi
          |FROM m""".stripMargin
     },
+    "ml_svc_step" ->
+      """WITH l AS (
+        |  SELECT CAST(o_orderpriority < '3' AS INT) * 2 - 1 AS y,
+        |         CAST(floor(o_totalprice * 0.01 + 0.5) AS BIGINT) AS q
+        |  FROM orders),
+        |a AS (
+        |  SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(y*q) AS BIGINT) AS syq
+        |  FROM l),
+        |s AS (
+        |  SELECT l.y, a.n, a.sy, a.syq,
+        |         CASE WHEN CAST(a.sy AS DOUBLE) / a.n
+        |                 + CAST(a.syq AS DOUBLE) / a.n * CAST(l.q AS DOUBLE) > 0
+        |              THEN 1 ELSE -1 END AS pred
+        |  FROM l CROSS JOIN a),
+        |f AS (
+        |  SELECT max(n) AS n, max(sy) AS sy, max(syq) AS syq,
+        |         CAST(count(*) FILTER (pred = y) AS BIGINT) AS n_correct
+        |  FROM s)
+        |SELECT n, sy, syq, n_correct,
+        | floor((CAST(sy AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS b1,
+        | floor((CAST(syq AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS w1,
+        | floor((CAST(n_correct AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS train_acc
+        |FROM f""".stripMargin,
     "ml_logreg_step" ->
       """WITH l AS (
         |  SELECT CAST(o_orderpriority < '3' AS INT) AS y,

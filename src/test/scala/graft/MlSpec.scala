@@ -35,6 +35,21 @@ class MlSpec extends AnyFunSuite {
     assert(ll > ll0, s"Newton step did not improve LL: $ll vs $ll0")
   }
 
+  test("ml_svc_step: betas match the integer aggregates, accuracy is consistent") {
+    val r = graft.ml.Ml4.mlSvcStep(spark, sf).head()
+    val (n, sy, syq, nCorrect) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0 && nCorrect >= 0 && nCorrect <= n)
+    assert(math.abs(r.getDouble(4) - sy.toDouble / n) < 1e-3, "b1 drifted")
+    assert(math.abs(r.getDouble(5) - syq.toDouble / n) < 1e-3, "w1 drifted")
+    assert(math.abs(r.getDouble(6) - nCorrect.toDouble / n) < 1e-3,
+      "train_acc inconsistent with n_correct")
+    // the step direction is the negative subgradient, so the decision
+    // agrees with the majority label sign on q=0 inputs: b1 carries
+    // sign(sum y) exactly
+    assert(math.signum(r.getDouble(4)) == math.signum(sy.toDouble))
+  }
+
   test("ml_nearest_centroid predicts every vector, labels in range") {
     val df = Models.mlNearestCentroid(spark, sf)
     val n = graft.tables.Tables.embeddings(spark, sf).count()
