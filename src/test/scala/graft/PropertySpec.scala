@@ -55,6 +55,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("IntSqDist eval matches a BigInt reference on random tick arrays") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val rnd = new Random(11)
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(80)
+      // tick magnitudes up to 10^7 — beyond any caller's range, still
+      // overflow-free: d^2 <= 4e14, x80 dims <= 3.2e16
+      val a = Array.fill(n)(rnd.nextLong() % 10000000L)
+      val b = Array.fill(n)(rnd.nextLong() % 10000000L)
+      val expect = a.zip(b).map { case (x, y) =>
+        val d = BigInt(x) - BigInt(y); d * d
+      }.sum
+      val got = graft.functions.IntSqDist(
+        Literal(ArrayData.toArrayData(a), ArrayType(LongType)),
+        Literal(ArrayData.toArrayData(b), ArrayType(LongType))).eval(null)
+      assert(BigInt(got.asInstanceOf[Long]) == expect, s"n=$n")
+    }
+  }
+
+  test("DotProduct eval matches the sequential fold reference bit-for-bit") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rnd = new Random(13)
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(80)
+      val a = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+      val b = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+      // the reference is the same left-to-right accumulation the
+      // composed zip_with+aggregate formulation performs
+      var expect = 0.0
+      var i = 0
+      while (i < n) { expect += a(i) * b(i); i += 1 }
+      val got = graft.functions.DotProduct(
+        Literal(ArrayData.toArrayData(a), ArrayType(DoubleType)),
+        Literal(ArrayData.toArrayData(b), ArrayType(DoubleType))).eval(null)
+      assert(got.asInstanceOf[Double] == expect
+        || (n == 0 && got.asInstanceOf[Double] == 0.0), s"n=$n")
+    }
+  }
+
   test("Mix64 is a bijection mod 2^64 for odd multipliers") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.LongType
