@@ -32,25 +32,30 @@ object GraftOptimizations extends Rule[LogicalPlan] {
   * so operators work on vanilla sessions as well.)
   */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** The single registry both registration paths iterate — adding an
+    * expression here makes it available to imperative `register` AND
+    * extensions-built sessions, with no second edit to forget.
+    */
+  private[graft] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq[(String, Class[_], Seq[Expression] => Expression)](
+      ("graft_cosine", classOf[CosineSim], c => CosineSim(c(0), c(1))),
+      ("graft_rollhash64", classOf[RollHash64], c => RollHash64(c(0))),
+      ("graft_combine64", classOf[Combine64], c => Combine64(c(0))),
+      ("graft_dot", classOf[DotProduct], c => DotProduct(c(0), c(1))),
+      ("graft_int_sqdist", classOf[IntSqDist], c => IntSqDist(c(0), c(1))))
+      .map { case (name, cls, builder) =>
+        (name, new ExpressionInfo(cls.getName, name), builder)
+      }
+
   /** Imperative registration for sessions that already exist (tests,
     * notebooks): `GraftFunctions.register(spark)` then `spark.sql(...)`.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "graft_cosine",
-      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      children => CosineSim(children(0), children(1)))
-    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "graft_rollhash64",
-      new ExpressionInfo(classOf[RollHash64].getName, "graft_rollhash64"),
-      children => RollHash64(children(0)))
-    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "graft_combine64",
-      new ExpressionInfo(classOf[Combine64].getName, "graft_combine64"),
-      children => Combine64(children(0)))
-    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "graft_dot",
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      children => DotProduct(children(0), children(1)))
-    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, "graft_int_sqdist",
-      new ExpressionInfo(classOf[IntSqDist].getName, "graft_int_sqdist"),
-      children => IntSqDist(children(0), children(1)))
+    functions.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, name, info, builder)
+    }
     if (!spark.experimental.extraOptimizations.contains(GraftOptimizations)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GraftOptimizations
@@ -60,31 +65,9 @@ object GraftFunctions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSim(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_rollhash64"),
-      new ExpressionInfo(classOf[RollHash64].getName, "graft_rollhash64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RollHash64(children(0))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_combine64"),
-      new ExpressionInfo(classOf[Combine64].getName, "graft_combine64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Combine64(children(0))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_int_sqdist"),
-      new ExpressionInfo(classOf[IntSqDist].getName, "graft_int_sqdist"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        IntSqDist(children(0), children(1))))
+    GraftFunctions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
     // every extension tier: functions (above), optimizer rule, planner
     // strategy (the custom as-of join node becomes available to ALL
     // sessions built with these extensions, not just the DataFrame API)

@@ -15,11 +15,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    arrays. The `zip_with`+`aggregate` formulation materializes a
   *    products array per row; at 100 TB of 1k-dim vectors that's pure
   *    garbage-collector load.
-  *  - [[RollHash64]] is a polynomial (base-31) rolling hash over UTF8
-  *    bytes — a single-pass 64-bit content fingerprint, no md5 digest
-  *    allocation.
+  *  - [[DotProduct]] / [[IntSqDist]] are the fused dot and exact
+  *    integer-tick squared L2 (LSH bucketing, IVF/PQ geometry), with the
+  *    composed formulations' NULL semantics: length mismatch or a null
+  *    element nulls the result instead of silently truncating.
+  *  - [[RollHash64]] is a polynomial (base-31) rolling hash over UTF8 or
+  *    raw binary bytes — a single-pass 64-bit content fingerprint, no
+  *    md5 digest allocation.
+  *  - [[Mix64]] / [[Combine64]] are wrapping mod-2⁶⁴ hash combinators
+  *    (MinHash permutations, band signatures).
   *
-  * Both implement `doGenCode`, so they inline into whole-stage codegen
+  * All implement `doGenCode`, so they inline into whole-stage codegen
   * exactly like builtins.
   */
 case class CosineSim(left: Expression, right: Expression)
@@ -98,14 +104,25 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // returns NULL for length-mismatched or null-element inputs even when
+  // the arrays themselves are non-null — codegen must keep a real isNull
+  override def nullable: Boolean = true
 
+  // composed-dot NULL semantics: zip_with pads a length mismatch with
+  // nulls and a null product nulls the whole fold — so mismatch or a
+  // null element returns NULL here too, never a silent partial dot
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += xs.getDouble(i) * ys.getDouble(i); i += 1 }
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += xs.getDouble(i) * ys.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -115,9 +132,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;
@@ -149,14 +168,19 @@ case class IntSqDist(left: Expression, right: Expression)
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_int_sqdist"
+  // see DotProduct.nullable
+  override def nullable: Boolean = true
 
+  // same NULL semantics as DotProduct: mismatch or null element -> NULL
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val d = xs.getLong(i) - ys.getLong(i)
       acc += d * d
       i += 1
@@ -171,9 +195,11 @@ case class IntSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  long $d = $a.getLong($i) - $b.getLong($i);
          |  $acc += $d * $d;
          |}
@@ -277,6 +303,10 @@ case class Combine64(child: Expression)
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_combine64"
+  // a null ELEMENT nulls the result even when the array itself is
+  // non-null — without this override codegen would constant-fold isNull
+  // to false and emit 0-hash garbage for such rows
+  override def nullable: Boolean = true
 
   // a null ELEMENT nulls the whole hash (SQL semantics) — silently
   // hashing nulls as 0 would collide distinct inputs for SQL callers

@@ -59,10 +59,11 @@ object VectorOps {
       CosineSim(expression(a), expression(b)))
 
   /** Composed-builtins cosine (allocates a zip_with array per row) — kept
-    * for A/B testing against [[cosine]].
+    * for A/B testing against [[cosine]]. Built on [[dotComposed]] so the
+    * reference stays fully independent of the native loops.
     */
   def cosineComposed(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(normSq(a) * normSq(b))
+    dotComposed(a, b) / sqrt(normSq(a) * normSq(b))
 
   /** 64-bit polynomial rolling hash over a string column. */
   def rollhash64(c: Column): Column =

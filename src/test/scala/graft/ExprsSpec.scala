@@ -112,6 +112,18 @@ class ExprsSpec extends AnyFunSuite {
     assert(r.getLong(4) == 25L)
   }
 
+  test("fused dot/int_sqdist preserve composed NULL semantics on mismatch and null elements") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d), array(1.0d, 2.0d)) a, " +
+        "graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) b, " +
+        "graft_int_sqdist(array(1L), array(1L, 2L)) c, " +
+        "graft_int_sqdist(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) d, " +
+        "graft_combine64(array(1L, CAST(NULL AS BIGINT))) e").head()
+    (0 to 4).foreach(i => assert(r.isNullAt(i),
+      s"column $i should be NULL — a partial dot/distance/hash would be silently wrong"))
+  }
+
   test("Mix64 wraps like Java long arithmetic") {
     val (a, b) = (2147483647L, 9007199254740993L)
     val rows = graft.tables.Tables.documents(spark, sf).limit(20)

@@ -44,10 +44,8 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - syq.toDouble / n) < 1e-3, "w1 drifted")
     assert(math.abs(r.getDouble(6) - nCorrect.toDouble / n) < 1e-3,
       "train_acc inconsistent with n_correct")
-    // the step direction is the negative subgradient, so the decision
-    // agrees with the majority label sign on q=0 inputs: b1 carries
-    // sign(sum y) exactly
-    assert(math.signum(r.getDouble(4)) == math.signum(sy.toDouble))
+    // stepped-model evaluation must see every row exactly once
+    assert(n == graft.ml.Metrics.labeled(spark, sf).count())
   }
 
   test("ml_nearest_centroid predicts every vector, labels in range") {
