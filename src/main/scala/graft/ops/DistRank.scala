@@ -93,72 +93,118 @@ object DistRank {
     (keyed.withColumn("_slice", sliceCol), bounds.length + 1)
   }
 
+  /** FULLY LAZY two-scan plan (was three): the per-slice sizes are no
+    * longer a separate eager `groupBy.count` scan + driver collect —
+    * they're derived from the SAME windowed subplan as the ranks
+    * (`max(_lrank)` per slice IS the slice size), so the shuffle under
+    * the window is shared between the sizes branch and the rank branch
+    * (ReusedExchange when the optimizer keeps the subplans identical; a
+    * narrow second scan otherwise) and the input is never scanned for
+    * sizes alone. Offsets are a running sum over the ≤`shuffle
+    * .partitions`-row slice-totals frame — a single-partition window over
+    * a bounded tiny frame, broadcast back onto the data. No driver
+    * action happens until the CALLER runs one; the only separate input
+    * pass left is the approxQuantile boundary sketch in [[sliceByKey]].
+    *
+    * PRECONDITION (deterministic input): the boundary sketch and the
+    * ranked plan each scan the input, and if exchange reuse doesn't
+    * cover them the sizes/rank branches may too — the input must be
+    * DETERMINISTIC (a parquet scan, a pure projection). A frame built on
+    * rand()/sample/unordered-limit could yield different rows per scan,
+    * desynchronizing offsets from local ranks. Every graft caller feeds
+    * deterministic parquet scans.
+    */
   def withGlobalRank(df: DataFrame, rankName: String, sortCols: Column*): DataFrame = {
-    val (sliced, nSlices) = sliceByKey(df, sortCols)
+    val (sliced, _) = sliceByKey(df, sortCols)
     val local = sliced.withColumn("_lrank",
       row_number().over(Window.partitionBy("_slice").orderBy(sortCols: _*)))
-    // cache-free sizes pass: a cheap re-aggregation over the same pure
-    // slice assignment; ≤slices rows collected
-    val sizes = sliced.groupBy("_slice").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).toMap
-    val offsets = (0 until nSlices).scanLeft(0L)(
-      (acc, s) => acc + sizes.getOrElse(s, 0L))
-    val offArr = array((0 until nSlices).map(s => lit(offsets(s))): _*)
-    local.withColumn(rankName,
-        element_at(offArr, col("_slice") + 1) + col("_lrank"))
-      .drop("_k", "_slice", "_lrank")
+    val offsets = sliceOffsets(local, Seq(max("_lrank").cast("long").as("_sz")))
+      .select(col("_slice"), col("_off_0").as("_off"))
+    local.join(broadcast(offsets), Seq("_slice"))
+      .withColumn(rankName, col("_off") + col("_lrank"))
+      .drop("_k", "_slice", "_lrank", "_off")
+  }
+
+  /** Per-slice exclusive running offsets for each aggregate in `aggs`
+    * (evaluated per `_slice` over the windowed frame): returns
+    * (_slice, _off_0, _off_1, ...). The frame this windows over is ≤
+    * `shuffle.partitions` rows — the one place a single-partition window
+    * is the RIGHT plan.
+    */
+  private def sliceOffsets(local: DataFrame, aggs: Seq[Column]): DataFrame = {
+    val totals = local.groupBy("_slice").agg(aggs.head, aggs.tail: _*)
+    val names = totals.schema.fieldNames.drop(1)
+    val wOff = Window.orderBy("_slice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    names.zipWithIndex.foldLeft(totals) { case (d, (n, i)) =>
+      d.withColumn(s"_off_$i", coalesce(sum(col(n)).over(wOff), lit(0L)))
+    }
   }
 
   /** Distributed RUNNING SUMS — withGlobalRank generalized from
     * row_number to arbitrary cumulative integer sums: each value column
     * gets a per-slice running sum at full parallelism plus its slice's
-    * literal offset (per-slice totals collected once, O(slices) longs).
-    * Bit-identical to `sum(v).over(Window.orderBy(sortCols))` when the
-    * sort is unique, while never funnelling the table through one task —
-    * the cumulative-metric primitive (CDFs, precision@k, reach curves)
-    * at 100 TB. Values must be integer-typed (exact, order-independent).
+    * exclusive offset, derived like the rank offsets from the SAME
+    * windowed subplan (`max_by(_ls_i, _lrank)` — the running sum at the
+    * slice's last row IS the slice total) and broadcast back. Fully
+    * lazy, no driver collect. Bit-identical to
+    * `sum(coalesce(v, 0)).over(Window.orderBy(sortCols))` when the sort
+    * is unique, while never funnelling the table through one task — the
+    * cumulative-metric primitive (CDFs, precision@k, reach curves) at
+    * 100 TB. Values must be integer-typed (exact, order-independent).
+    *
+    * NULL values are read as 0 (`coalesce`): after any non-null has
+    * been seen this is exactly `sum`'s ignore-nulls carry-forward, and
+    * it keeps a slice whose local prefix is all-null from emitting
+    * offset + NULL = NULL where the global window would carry the prior
+    * slices' total. The one divergence from a raw global `sum(v)` is a
+    * GLOBAL all-null prefix: these rows get 0, not NULL.
+    * Deterministic-input precondition: see [[withGlobalRank]].
     */
   def withRunningSums(df: DataFrame, values: Seq[(Column, String)],
                       sortCols: Column*): DataFrame =
     withRunningSumsAndTotals(df, values, sortCols: _*)._1
 
-  /** [[withRunningSums]] plus each value's GRAND TOTAL, which the
-    * machinery already collected as the sum of the per-slice totals —
-    * callers needing totals (CDF normalizers) get them as free driver
-    * literals instead of paying another full-table aggregate scan.
+  /** [[withRunningSums]] plus a ONE-ROW frame of each value's GRAND
+    * TOTAL (columns named after the values), which the machinery already
+    * derives as the sum of the per-slice totals — callers needing totals
+    * (CDF normalizers) broadcast-crossJoin it instead of paying another
+    * full-table aggregate scan, and the whole plan stays lazy.
     */
   def withRunningSumsAndTotals(df: DataFrame, values: Seq[(Column, String)],
-                               sortCols: Column*): (DataFrame, Seq[Long]) = {
-    val (sliced, nSlices) = sliceByKey(df, sortCols)
-    val w = Window.partitionBy("_slice").orderBy(sortCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocal = values.zipWithIndex.foldLeft(sliced) {
-      case (d, ((v, _), i)) => d.withColumn(s"_ls_$i", sum(v).over(w))
+                               sortCols: Column*): (DataFrame, DataFrame) = {
+    val (sliced, _) = sliceByKey(df, sortCols)
+    val ord = Window.partitionBy("_slice").orderBy(sortCols: _*)
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = values.zipWithIndex.foldLeft(
+      sliced.withColumn("_lrank", row_number().over(ord))) {
+      case (d, ((v, _), i)) =>
+        d.withColumn(s"_ls_$i", sum(coalesce(v, lit(0))).over(w))
     }
-    // one aggregate pass collects every value's per-slice total
-    val totAggs = values.zipWithIndex.map { case ((v, _), i) => sum(v).as(s"_t_$i") }
-    val totDf = sliced.groupBy("_slice").agg(totAggs.head, totAggs.tail: _*)
     // the offsets below do exact long arithmetic — fail with a clear
     // message on a non-integer value column instead of a deep cast error
-    totDf.schema.fields.drop(1).foreach { f =>
-      require(f.dataType == org.apache.spark.sql.types.LongType,
+    values.indices.foreach { i =>
+      val dt = withLocal.schema(s"_ls_$i").dataType
+      require(dt == org.apache.spark.sql.types.LongType,
         s"withRunningSums needs integer-typed value columns; " +
-          s"'${f.name}' summed to ${f.dataType.simpleString}")
+          s"'${values(i)._2}' summed to ${dt.simpleString}")
     }
-    val totals = totDf.collect()
-      .map(r => r.getInt(0) -> values.indices.map(i =>
-        if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
-      .toMap
-    val named = values.zipWithIndex.foldLeft(withLocal) { case (d, ((_, name), i)) =>
-      val offs = (0 until nSlices).scanLeft(0L)(
-        (acc, s) => acc + totals.get(s).map(_(i)).getOrElse(0L))
-      val offArr = array((0 until nSlices).map(s => lit(offs(s))): _*)
-      d.withColumn(name, element_at(offArr, col("_slice") + 1) + col(s"_ls_$i"))
+    // per-slice total = the running sum at the slice's LAST row
+    val offsets = sliceOffsets(withLocal,
+      values.indices.map(i => max_by(col(s"_ls_$i"), col("_lrank")).as(s"_t_$i")))
+    val joined = withLocal.join(
+      broadcast(offsets.select(col("_slice") +:
+        values.indices.map(i => col(s"_off_$i")): _*)), Seq("_slice"))
+    val named = values.zipWithIndex.foldLeft(joined) { case (d, ((_, name), i)) =>
+      d.withColumn(name, col(s"_off_$i") + col(s"_ls_$i"))
     }
-    val grand = values.indices.map(i =>
-      totals.values.map(_(i)).sum)
-    (named.drop(Seq("_k", "_slice") ++ values.indices.map(i => s"_ls_$i"): _*),
-      grand)
+    val totals = offsets.agg(
+      coalesce(sum(col("_t_0")), lit(0L)).as(values.head._2),
+      values.indices.tail.map(i =>
+        coalesce(sum(col(s"_t_$i")), lit(0L)).as(values(i)._2)): _*)
+    (named.drop(Seq("_k", "_slice", "_lrank") ++
+        values.indices.flatMap(i => Seq(s"_ls_$i", s"_off_$i")): _*),
+      totals)
   }
 
   /** C7b — ml_roc_auc through the distributed rank instead of the global
@@ -199,18 +245,20 @@ object DistRank {
     */
   def mlKsStatisticDist(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.ml.Metrics.labeled(spark, dir)
-    // the grand totals come back with the running sums — already summed
-    // from the collected per-slice totals, no extra full-table aggregate
+    // the grand totals come back as a 1-row frame already derived from
+    // the per-slice totals — broadcast in, no extra full-table aggregate
+    // and no driver collect anywhere in the plan
     val (cum, totals) = withRunningSumsAndTotals(base,
       Seq((col("truth"), "cum_pos"), (lit(1) - col("truth"), "cum_neg")),
       col("score"), col("o_orderkey"))
-    val (pTot, nTot) = (totals(0), totals(1))
     cum
       .groupBy("score")
       .agg(max("cum_pos").as("cum_pos"), max("cum_neg").as("cum_neg"))
-      .select(
-        abs(col("cum_pos") * lit(nTot) - col("cum_neg") * lit(pTot)).as("diff"))
-      .agg(max(lit(pTot)).as("p"), max(lit(nTot)).as("n"),
+      .crossJoin(broadcast(totals.select(
+        col("cum_pos").as("_p"), col("cum_neg").as("_n"))))
+      .select(col("_p"), col("_n"),
+        abs(col("cum_pos") * col("_n") - col("cum_neg") * col("_p")).as("diff"))
+      .agg(max(col("_p")).as("p"), max(col("_n")).as("n"),
         max(col("diff")).as("ks_num"))
       .select(col("p"), col("n"), col("ks_num"),
         OracleRound.r4b(col("ks_num").cast("double") / (col("p") * col("n"))).as("ks"))

@@ -74,6 +74,46 @@ class DistRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalRank scans the input ONCE: sizes ride a ReusedExchange, no driver collect") {
+    val o = graft.tables.Tables.orders(spark, TestSpark.sf)
+      .select("o_orderkey", "o_totalprice")
+    val df = DistRank.withGlobalRank(o, "rank",
+      col("o_totalprice"), col("o_orderkey"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the slice-sizes branch (max local rank per slice) must consume the
+    // SAME exchange as the rank branch — the round-4 design paid an
+    // eager groupBy-count scan + driver collect for the offsets instead
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one input scan (sizes folded into the rank pass):\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"sizes branch did not reuse the rank branch's slice exchange:\n$plan")
+  }
+
+  test("withRunningSums reads NULL values as 0 (carries prior totals across null prefixes)") {
+    import spark.implicits._
+    // slices get all-null PREFIXES by construction: low keys pair with
+    // null values, so the first rows of early slices sum NULL locally —
+    // the round-4 formulation emitted offset + NULL = NULL there, while
+    // the global window carries the prior slices' total forward
+    val df = (1 to 80).map { i =>
+      val v: Option[Long] = if (i % 4 < 2) None else Some(i % 5L)
+      (i.toLong, (i * 13 % 41).toDouble, v)
+    }.toDF("id", "key", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val viaWindow = df.withColumn("cum_v", sum(coalesce(col("v"), lit(0))).over(w))
+    val viaDist = DistRank.withRunningSums(df,
+      Seq((col("v"), "cum_v")), col("key"), col("id"))
+    assert(viaDist.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaDist).isEmpty,
+      "null-valued running sums diverged from the coalesced global window")
+    assert(viaDist.filter(col("cum_v").isNull).count() == 0,
+      "running sum emitted NULL for an all-null slice prefix")
+  }
+
   test("withRunningSums equals the global-window cumulative sums, dirty keys included") {
     import spark.implicits._
     val df = (1 to 60).map { i =>

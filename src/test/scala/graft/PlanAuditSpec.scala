@@ -183,6 +183,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pagerank propagation degenerated:\n$plan")
   }
 
+  test("mm_chunk_dedup materializes the frame-hash table once (no double explode+hash scan)") {
+    val df = SparkEntry.queries("mm_chunk_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // both sides of the self-join must be served from the persisted
+    // 16 B/row (doc_id, h) table — exactly one documents scan feeds it
+    assert(plan.contains("InMemoryTableScan"),
+      s"frame-hash table not served from cache in:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"explode+hash scan runs more than once in:\n$plan")
+  }
+
   test("headline queries stay inside their pinned shuffle-byte budgets") {
     val budget = ShuffleBudget.forDir(sf).getOrElse(
       fail(s"no shuffle budget table for $sf"))
