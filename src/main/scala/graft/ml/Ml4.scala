@@ -177,7 +177,7 @@ object Ml4 {
     * min/max broadcast, a 60-row aggregate, windows only over those 60
     * rows. The same plan trains every node of a depth-d tree at 100 TB.
     */
-  private def gini(p: Column, n: Column): Column = {
+  private[ml] def gini(p: Column, n: Column): Column = {
     val q = p.cast("double") / n
     lit(1.0) - q * q - (lit(1.0) - q) * (lit(1.0) - q)
   }
@@ -186,7 +186,7 @@ object Ml4 {
     * counts, weighted child Gini — unrounded) for all 27 histogram
     * splits. C22 takes the global argmin; C24 the per-feature argmin.
     */
-  private def stumpCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[ml] def stumpCandidates(spark: SparkSession, dir: String): DataFrame = {
     val melted = Tables.lineitem(spark, dir).select(
       expr("stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)")
         .as(Seq("feature", "value")),
@@ -487,7 +487,7 @@ object Ml4 {
   /** The C22/C24 shared SQL twin of [[stumpCandidates]] — CTE chain
     * ending in `candw(feature, bin, threshold, nl, pl, nr, pr, wgini)`.
     */
-  private lazy val stumpCtes: String = {
+  private[ml] lazy val stumpCtes: String = {
     def giniSql(p: String, n: String): String = {
       val q = s"(CAST($p AS DOUBLE) / $n)"
       s"(1.0 - $q * $q - (1.0 - $q) * (1.0 - $q))"

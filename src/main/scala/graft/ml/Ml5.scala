@@ -1,0 +1,403 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.OracleRound.{r4b, sql4}
+import graft.tables.Tables
+
+/** Round-5 exact iterative-training twins — SURVEY.md §2.C30/C31.
+  *
+  * C28/C29 proved ONE training step of a linear model can be fully
+  * oracle-replayed; this file extends the program to SEQUENTIAL training
+  * loops: a second exact boosting round on top of the C22 stump (the
+  * reference benches HistGradientBoostingClassifier, modeling.ipynb cells
+  * 45-48), and a 3-round exact Lloyd k-means iteration (C13's assignment
+  * step closed into a training loop). The engineering point both make:
+  * iteration does NOT force approximation — keep every cross-row
+  * aggregate in exact integer/rational space and each round is one
+  * deterministic scan + tiny broadcast, bit-identical on any engine and
+  * any partitioning, at any scale.
+  */
+object Ml5 {
+
+  /** C30 — `ml_gbt_step2`: one EXACT boosting round on top of the C22
+    * histogram stump (AdaBoost reweighting, all rational arithmetic).
+    *
+    * Round 1 IS C22's stump (unit weights, histogram Gini split — the
+    * split XGBoost/LightGBM-style engines make). Round 2 reweights: the
+    * normalized AdaBoost update puts total mass 1/2 on the misclassified
+    * rows and 1/2 on the rest, so per-row weights are RATIONAL —
+    * (W/2) div err and (W/2) div (n−err) in integer ticks of W=10¹² —
+    * never the exp(α) floats of the textbook formulation, which would
+    * break cross-engine exactness. Stump 2 trains on the weighted
+    * histogram with the same machinery. The two-stump vote needs no
+    * α = ½ln((1−ε)/ε) either: for two voters, sign(α₁h₁+α₂h₂) is "agree
+    * → that label, disagree → the stump with the smaller weighted error",
+    * and ε₁ vs ε₂ compares exactly as the integer cross-product
+    * err₁·totalw₂ vs err₂w·n. Every output cell is an exact integer or a
+    * rounded ratio of exact integers — the full two-round boosted model,
+    * hash-verified cross-engine.
+    *
+    * Plan shape: boosting is inherently sequential, so each round is a
+    * stateless full scan (melt projection + ≤60-group histogram + 1-row
+    * broadcasts) — five fact scans total, zero data-sized shuffles, no
+    * cached per-row state. That is the checkpoint-free boosting shape
+    * that holds at 100 TB: the only state carried between rounds is the
+    * O(1) stump + error-count broadcasts.
+    */
+  /** The per-round AdaBoost exponential-loss factor 2√(ε(1−ε)). */
+  private def lossBound(eps: Column): Column =
+    lit(2.0) * sqrt(eps * (lit(1.0) - eps))
+
+  def mlGbtStep2(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_discount"), col("l_extendedprice"), col("l_quantity"),
+      (col("l_returnflag") === "R").cast("int").as("y"))
+
+    // per-feature min/max, wide 1-row form (same values as the melted
+    // groupBy in stumpCandidates — min/max commute with the melt)
+    val mmWide = base.agg(
+      min("l_discount").as("disc_vmin"), max("l_discount").as("disc_vmax"),
+      min("l_extendedprice").as("price_vmin"), max("l_extendedprice").as("price_vmax"),
+      min("l_quantity").as("qty_vmin"), max("l_quantity").as("qty_vmax"))
+    val mmLong = mmWide.select(expr(
+      """stack(3, 'disc', disc_vmin, disc_vmax,
+        |         'price', price_vmin, price_vmax,
+        |         'qty', qty_vmin, qty_vmax)""".stripMargin)
+      .as(Seq("feature", "vmin", "vmax")))
+
+    // stump 1 = C22 verbatim (same argmin, same tie-break)
+    val s1 = Ml4.stumpCandidates(spark, dir)
+      .orderBy(col("wgini"), col("feature"), col("bin"))
+      .limit(1)
+      .select(col("feature").as("f1"), col("bin").as("bin1"),
+        col("threshold").as("thr1_raw"),
+        col("nl").as("s1_nl"), col("pl").as("s1_pl"),
+        col("nr").as("s1_nr"), col("pr").as("s1_pr"))
+
+    def featVal(f: Column): Column =
+      when(f === "disc", col("l_discount"))
+        .when(f === "price", col("l_extendedprice"))
+        .otherwise(col("l_quantity"))
+    def pick(f: Column, d: Column, p: Column, q: Column): Column =
+      when(f === "disc", d).when(f === "price", p).otherwise(q)
+    // identical binning expression to the histogram construction, so a
+    // row's bin and its histogram cell can never disagree
+    def binOf(v: Column, vmin: Column, vmax: Column): Column =
+      least(floor((v - vmin) / (vmax - vmin) * 10), lit(9.0)).cast("int")
+    // majority leaf label; 2·pos == n ties to 0 deterministically
+    def leaf(goLeft: Column, nl: Column, pl: Column, nr: Column, pr: Column): Column =
+      when(goLeft, (pl * 2 > nl).cast("int")).otherwise((pr * 2 > nr).cast("int"))
+
+    val rows1 = base.crossJoin(broadcast(mmWide)).crossJoin(broadcast(s1))
+      .withColumn("h1", leaf(
+        binOf(featVal(col("f1")),
+          pick(col("f1"), col("disc_vmin"), col("price_vmin"), col("qty_vmin")),
+          pick(col("f1"), col("disc_vmax"), col("price_vmax"), col("qty_vmax")))
+          <= col("bin1"),
+        col("s1_nl"), col("s1_pl"), col("s1_nr"), col("s1_pr")))
+      .withColumn("mis1", (col("h1") =!= col("y")).cast("long"))
+
+    val e1 = rows1.agg(sum("mis1").as("err1"), count(lit(1)).as("n"))
+    // AdaBoost reweighting in integer ticks: misclassified rows split
+    // W/2 = 5·10¹¹ equally, the rest split the other half. div truncates
+    // identically on both engines; the div-by-zero branches are
+    // unreachable (no row is misclassified when err1 = 0)
+    val rowsw = rows1.crossJoin(broadcast(e1))
+      .withColumn("w", expr(
+        """CASE WHEN mis1 = 1 THEN 500000000000 div err1
+          |     ELSE 500000000000 div (n - err1) END""".stripMargin))
+
+    val melted2 = rowsw.select(
+      expr("stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)")
+        .as(Seq("feature", "value")), col("y"), col("w"))
+    val hist2 = melted2.join(broadcast(mmLong), Seq("feature"))
+      .select(col("feature"), col("w"), col("y"),
+        binOf(col("value"), col("vmin"), col("vmax")).as("bin"))
+      .groupBy("feature", "bin")
+      .agg(sum("w").as("wn"), sum(col("w") * col("y")).as("wpos"))
+    val wOrd = Window.partitionBy("feature").orderBy("bin")
+    val wAll = Window.partitionBy("feature")
+    val cand2 = hist2
+      .withColumn("cum_n", sum("wn").over(wOrd))
+      .withColumn("cum_pos", sum("wpos").over(wOrd))
+      .withColumn("n_tot", sum("wn").over(wAll))
+      .withColumn("pos_tot", sum("wpos").over(wAll))
+      .filter(col("bin") < 9 && col("cum_n") > 0 && col("n_tot") > col("cum_n"))
+      .join(broadcast(mmLong), Seq("feature"))
+      .select(col("feature"), col("bin"),
+        (col("vmin") + (col("bin") + 1) * (col("vmax") - col("vmin")) / 10).as("threshold"),
+        col("cum_n").as("nl"), col("cum_pos").as("pl"),
+        (col("n_tot") - col("cum_n")).as("nr"), (col("pos_tot") - col("cum_pos")).as("pr"))
+      .withColumn("wgini",
+        (col("nl") * Ml4.gini(col("pl"), col("nl")) +
+          col("nr") * Ml4.gini(col("pr"), col("nr"))) / (col("nl") + col("nr")))
+    val s2 = cand2
+      .orderBy(col("wgini"), col("feature"), col("bin"))
+      .limit(1)
+      .select(col("feature").as("f2"), col("bin").as("bin2"),
+        col("threshold").as("thr2_raw"),
+        col("nl").as("s2_nl"), col("pl").as("s2_pl"),
+        col("nr").as("s2_nr"), col("pr").as("s2_pr"))
+
+    val rows2 = rowsw.crossJoin(broadcast(s2))
+      .withColumn("h2", leaf(
+        binOf(featVal(col("f2")),
+          pick(col("f2"), col("disc_vmin"), col("price_vmin"), col("qty_vmin")),
+          pick(col("f2"), col("disc_vmax"), col("price_vmax"), col("qty_vmax")))
+          <= col("bin2"),
+        col("s2_nl"), col("s2_pl"), col("s2_nr"), col("s2_pr")))
+    val e2 = rows2
+      .agg(sum(when(col("h2") =!= col("y"), col("w")).otherwise(lit(0L))).as("err2_w"),
+        sum("w").as("total_w"))
+    // two-voter decision: agree → that label; disagree → the stump with
+    // the smaller weighted error, compared exactly as integer
+    // cross-products (h1 wins ties — deterministic, both engines)
+    val fin = rows2.crossJoin(broadcast(e2))
+      .withColumn("pred",
+        when(col("h1") === col("h2"), col("h1"))
+          .when(col("err1") * col("total_w") <= col("err2_w") * col("n"), col("h1"))
+          .otherwise(col("h2")))
+      .agg(sum((col("pred") === col("y")).cast("long")).as("correct2"))
+
+    fin.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .crossJoin(broadcast(e1)).crossJoin(broadcast(e2))
+      .select(
+        col("f1"), col("bin1"), r4b(col("thr1_raw")).as("thr1"),
+        col("f2"), col("bin2"), r4b(col("thr2_raw")).as("thr2"),
+        col("n"), col("err1"), col("err2_w"), col("total_w"), col("correct2"),
+        r4b(col("err1").cast("double") / col("n")).as("eps1"),
+        r4b(col("err2_w").cast("double") / col("total_w")).as("eps2"),
+        r4b(col("correct2").cast("double") / col("n")).as("acc2"),
+        // the AdaBoost exp-loss bound Π 2√(εt(1−εt)) after each round —
+        // strictly decreasing while εt < ½, emitted so the ORACLE proves
+        // the training-loss improvement, not just a local spec
+        r4b(lossBound(col("err1").cast("double") / col("n"))).as("loss1"),
+        r4b(lossBound(col("err1").cast("double") / col("n")) *
+          lossBound(col("err2_w").cast("double") / col("total_w"))).as("loss2"))
+  }
+
+  /** C31 — `ml_kmeans_lloyd`: THREE exact Lloyd iterations over
+    * `embeddings`, with a monotone-inertia convergence witness.
+    *
+    * C13 proved one Lloyd round replays exactly; this closes the loop:
+    * everything lives in integer tick space (components quantized at
+    * 10⁴ — squared distances stay Long-safe past 10⁹ vectors), distances
+    * are the fused native [[graft.functions.IntSqDist]] against the
+    * k·dim LITERAL codebook (E3's zero-shuffle assignment shape), and
+    * centroid updates are round-half integer divisions
+    * (2·Σq + n) div (2n), so every round — not just the first — is
+    * bit-identical on any engine, any partitioning, any merge order. An
+    * empty cluster keeps its previous centroid (deterministic on both
+    * engines). Output: one row per round with the EXACT integer inertia
+    * (Σ min ‖x−c‖² in ticks², measured at assignment time) and the count
+    * of vectors that changed cluster — Lloyd's monotone convergence,
+    * hash-verified cross-engine. (Integer-rounded centroids bound the
+    * classic monotonicity argument within ¼-tick²·dim per vector —
+    * orders of magnitude below the per-round decrease on real data; the
+    * spec asserts the strict decrease.)
+    *
+    * Plan per round: one scan for (inertia, moved) — a codegen'd
+    * projection over the literal codebook plus a 2-value aggregate — and
+    * one scan for the update histogram (k·dim groups, map-side
+    * partials); the only driver state is the k·dim Long codebook. The
+    * same loop trains k in the thousands at 100 TB.
+    */
+  def mlKmeansLloyd(spark: SparkSession, dir: String, k: Int = 8,
+                    rounds: Int = 3): DataFrame = {
+    import graft.functions.VectorOps.intSqDist
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>), x -> cast(floor(x * 10000.0 + 0.5) as bigint))")
+        .as("q"))
+    def litArr(c: Array[Long]): Column = array(c.map(lit).toIndexedSeq: _*)
+
+    // codebook 0 = the k lowest-id vectors (cid = sorted position)
+    var cents: IndexedSeq[Array[Long]] = e.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray).toIndexedSeq
+    val dim = cents.head.length
+
+    var prevCents: Option[IndexedSeq[Array[Long]]] = None
+    val stats = (1 to rounds).map { t =>
+      def asgOf(cs: IndexedSeq[Array[Long]]): (Column, Column) = {
+        val darr = array(cs.map(c => intSqDist(col("q"), litArr(c))): _*)
+        (darr, array_min(darr))
+      }
+      val (darr, minD) = asgOf(cents)
+      val withD = e.withColumn("_d", darr)
+        .withColumn("_min", array_min(col("_d")))
+        .withColumn("_a", (array_position(col("_d"), col("_min")) - 1).cast("int"))
+      // moved vs the PREVIOUS round's assignment — also a pure literal
+      // projection, so both assignments ride the same scan
+      val movedAgg = prevCents match {
+        case None => count(lit(1)).cast("long")
+        case Some(pcs) =>
+          val (pd, _) = asgOf(pcs)
+          val pa = (array_position(pd, array_min(pd)) - 1).cast("int")
+          sum((col("_a") =!= pa).cast("long"))
+      }
+      val row = withD.agg(sum(col("_min")).as("inertia"), movedAgg.as("moved"))
+        .collect().head
+      val (inertia, moved) = (row.getLong(0), row.getLong(1))
+      // Lloyd update: exact integer sums per (cluster, dim), round-half
+      // division in driver Long math (truncation toward zero — identical
+      // to SQL div on both engines)
+      val upd = withD.select(col("_a"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("_a", "pos")
+        .agg(sum("x").as("sq"), count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          (2 * r.getLong(2) + r.getLong(3)) / (2 * r.getLong(3))))
+        .toMap
+      prevCents = Some(cents)
+      cents = cents.indices.map(cid =>
+        Array.tabulate(dim)(d => upd.getOrElse((cid, d), cents(cid)(d))))
+      (t, inertia, moved)
+    }
+    import spark.implicits._
+    stats.toDF("round", "inertia", "moved").orderBy("round")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_gbt_step2" -> (mlGbtStep2 _),
+    "ml_kmeans_lloyd" -> ((s: SparkSession, d: String) => mlKmeansLloyd(s, d)))
+
+  val oracles: Map[String, String] = {
+    val wg = {
+      def g(p: String, n: String) = {
+        val q = s"(CAST($p AS DOUBLE) / $n)"
+        s"(1.0 - $q * $q - (1.0 - $q) * (1.0 - $q))"
+      }
+      s"(nl * ${g("pl", "nl")} + nr * ${g("pr", "nr")}) / (nl + nr)"
+    }
+    def binSql(v: String) =
+      s"CAST(least(floor(($v - x.vmin) / (x.vmax - x.vmin) * 10), 9.0) AS INT)"
+    def pickSql(f: String) =
+      s"CASE $f WHEN 'disc' THEN b.l_discount WHEN 'price' THEN b.l_extendedprice ELSE b.l_quantity END"
+    def lossSql(eps: String) = s"(2.0 * sqrt(($eps) * (1.0 - ($eps))))"
+    // one Lloyd round: assign against cents{t-1}, keep the assignment
+    // distance (that round's inertia term), update with round-half
+    // integer division, carry empty clusters' previous centroids
+    def lloydRound(t: Int): String =
+      s"""ad$t AS (
+         |  SELECT v.vec_id, c.cid, sum((v.x - c.c) * (v.x - c.c)) AS dist
+         |  FROM ex v JOIN cents${t - 1} c ON v.dim = c.dim GROUP BY 1, 2),
+         |asg$t AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM ad$t) WHERE rn = 1),
+         |upd$t AS (
+         |  SELECT a.cid, x.dim,
+         |    CAST((2 * sum(x.x) + count(*)) // (2 * count(*)) AS BIGINT) AS c
+         |  FROM asg$t a JOIN ex x USING (vec_id) GROUP BY 1, 2),
+         |cents$t AS (
+         |  SELECT p.cid, p.dim, COALESCE(u.c, p.c) AS c
+         |  FROM cents${t - 1} p LEFT JOIN upd$t u ON u.cid = p.cid AND u.dim = p.dim)""".stripMargin
+    Map(
+      "ml_kmeans_lloyd" ->
+        s"""WITH e AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding::DOUBLE[],
+           |      x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |ex AS (
+           |  SELECT vec_id, CAST(generate_subscripts(q, 1) - 1 AS INT) AS dim,
+           |         unnest(q) AS x
+           |  FROM e),
+           |seeds AS (
+           |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+           |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+           |cents0 AS (SELECT s.cid, x.dim, x.x AS c FROM seeds s JOIN ex x USING (vec_id)),
+           |${lloydRound(1)},
+           |${lloydRound(2)},
+           |${lloydRound(3)}
+           |SELECT CAST(1 AS INTEGER) AS round,
+           |       (SELECT CAST(sum(dist) AS BIGINT) FROM asg1) AS inertia,
+           |       (SELECT count(*) FROM asg1) AS moved
+           |UNION ALL
+           |SELECT 2, (SELECT CAST(sum(dist) AS BIGINT) FROM asg2),
+           |       (SELECT count(*) FROM asg2 a JOIN asg1 b USING (vec_id) WHERE a.cid <> b.cid)
+           |UNION ALL
+           |SELECT 3, (SELECT CAST(sum(dist) AS BIGINT) FROM asg3),
+           |       (SELECT count(*) FROM asg3 a JOIN asg2 b USING (vec_id) WHERE a.cid <> b.cid)
+           |ORDER BY round""".stripMargin,
+      "ml_gbt_step2" ->
+        s"""WITH ${Ml4.stumpCtes},
+           |s1 AS (SELECT * FROM candw ORDER BY wgini, feature, bin LIMIT 1),
+           |base AS (
+           |  SELECT l_discount, l_extendedprice, l_quantity,
+           |         CAST(l_returnflag = 'R' AS INT) AS y
+           |  FROM lineitem),
+           |rows1 AS (
+           |  SELECT b.*,
+           |    CASE WHEN ${binSql(pickSql("s1.feature"))} <= s1.bin
+           |         THEN CAST(2 * s1.pl > s1.nl AS INT)
+           |         ELSE CAST(2 * s1.pr > s1.nr AS INT) END AS h1
+           |  FROM base b CROSS JOIN s1 JOIN mm x ON x.feature = s1.feature),
+           |e1 AS (
+           |  SELECT CAST(sum(CAST(h1 <> y AS INT)) AS BIGINT) AS err1,
+           |         count(*) AS n
+           |  FROM rows1),
+           |rowsw AS (
+           |  SELECT r.*, e1.err1, e1.n,
+           |    CASE WHEN h1 <> y THEN 500000000000 // err1
+           |         ELSE 500000000000 // (n - err1) END AS w
+           |  FROM rows1 r CROSS JOIN e1),
+           |melted2 AS (
+           |  SELECT 'disc' AS feature, l_discount AS value, y, w FROM rowsw
+           |  UNION ALL
+           |  SELECT 'price', l_extendedprice, y, w FROM rowsw
+           |  UNION ALL
+           |  SELECT 'qty', l_quantity, y, w FROM rowsw),
+           |hist2 AS (
+           |  SELECT m.feature,
+           |    CAST(least(floor((m.value - x.vmin) / (x.vmax - x.vmin) * 10), 9.0) AS INT) AS bin,
+           |    CAST(sum(w) AS BIGINT) AS wn, CAST(sum(w * y) AS BIGINT) AS wpos
+           |  FROM melted2 m JOIN mm x USING (feature) GROUP BY 1, 2),
+           |cand2 AS (
+           |  SELECT feature, bin,
+           |    x.vmin + (bin + 1) * (x.vmax - x.vmin) / 10 AS threshold,
+           |    CAST(cum_n AS BIGINT) AS nl, CAST(cum_pos AS BIGINT) AS pl,
+           |    CAST(n_tot - cum_n AS BIGINT) AS nr,
+           |    CAST(pos_tot - cum_pos AS BIGINT) AS pr
+           |  FROM (
+           |    SELECT feature, bin,
+           |      sum(wn) OVER (PARTITION BY feature ORDER BY bin) AS cum_n,
+           |      sum(wpos) OVER (PARTITION BY feature ORDER BY bin) AS cum_pos,
+           |      sum(wn) OVER (PARTITION BY feature) AS n_tot,
+           |      sum(wpos) OVER (PARTITION BY feature) AS pos_tot
+           |    FROM hist2) h JOIN mm x USING (feature)
+           |  WHERE bin < 9 AND cum_n > 0 AND n_tot > cum_n),
+           |cand2w AS (SELECT *, $wg AS wgini FROM cand2),
+           |s2 AS (SELECT * FROM cand2w ORDER BY wgini, feature, bin LIMIT 1),
+           |rows2 AS (
+           |  SELECT b.*,
+           |    CASE WHEN ${binSql(pickSql("s2.feature"))} <= s2.bin
+           |         THEN CAST(2 * s2.pl > s2.nl AS INT)
+           |         ELSE CAST(2 * s2.pr > s2.nr AS INT) END AS h2
+           |  FROM rowsw b CROSS JOIN s2 JOIN mm x ON x.feature = s2.feature),
+           |e2 AS (
+           |  SELECT CAST(sum(CASE WHEN h2 <> y THEN w ELSE 0 END) AS BIGINT) AS err2_w,
+           |         CAST(sum(w) AS BIGINT) AS total_w
+           |  FROM rows2),
+           |fin AS (
+           |  SELECT CAST(sum(CAST((CASE WHEN h1 = h2 THEN h1
+           |      WHEN err1 * total_w <= err2_w * n THEN h1
+           |      ELSE h2 END) = y AS INT)) AS BIGINT) AS correct2
+           |  FROM rows2 CROSS JOIN e2)
+           |SELECT s1.feature AS f1, s1.bin AS bin1,
+           |  ${sql4("s1.threshold")} AS thr1,
+           |  s2.feature AS f2, s2.bin AS bin2,
+           |  ${sql4("s2.threshold")} AS thr2,
+           |  e1.n, e1.err1, e2.err2_w, e2.total_w, fin.correct2,
+           |  ${sql4("CAST(err1 AS DOUBLE) / n")} AS eps1,
+           |  ${sql4("CAST(err2_w AS DOUBLE) / total_w")} AS eps2,
+           |  ${sql4("CAST(correct2 AS DOUBLE) / n")} AS acc2,
+           |  ${sql4(lossSql("CAST(err1 AS DOUBLE) / n"))} AS loss1,
+           |  ${sql4(s"${lossSql("CAST(err1 AS DOUBLE) / n")} * ${lossSql("CAST(err2_w AS DOUBLE) / total_w")}")} AS loss2
+           |FROM s1 CROSS JOIN s2 CROSS JOIN e1 CROSS JOIN e2 CROSS JOIN fin""".stripMargin)
+  }
+}
