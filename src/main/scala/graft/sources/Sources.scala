@@ -54,6 +54,31 @@ object Sources {
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** I13 — sort-keyed parquet layout: range-partition on the hot filter
+    * key and sort within partitions before writing, so every row group's
+    * min/max footer statistics span a TIGHT key interval and a range
+    * predicate prunes whole row groups without reading them. This is the
+    * other half of the 100 TB scan-pruning story: partition pruning (I3)
+    * skips directories, the sorted layout skips WITHIN files. The small
+    * `parquet.block.size` here forces many row groups at test scale so
+    * the effect is measurable; production keeps the default ~128 MB
+    * groups and the same clustering write.
+    */
+  def writeSortedLayout(df: DataFrame, sortCol: String, path: String,
+                        blockBytes: Int = 16 * 1024): Unit =
+    df.repartitionByRange(4, col(sortCol)).sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .option("parquet.block.size", blockBytes).parquet(path)
+
+  /** The control layout: same data, same row-group granularity, input
+    * order — every row group's min/max spans ~the full key range, so a
+    * range predicate can prune nothing and reads everything.
+    */
+  def writeUnsortedLayout(df: DataFrame, path: String,
+                          blockBytes: Int = 16 * 1024): Unit =
+    df.write.mode("overwrite")
+      .option("parquet.block.size", blockBytes).parquet(path)
+
   /** Date-partitioned parquet sink: `partitionBy` lands one directory per
     * day so date-filtered reads prune at the file-listing level (the
     * daily-batch layout every large pipeline uses).
@@ -156,6 +181,32 @@ object SourceQueries {
       .select(col("kv").getItem(0).cast("long").as("doc_id"),
         col("kv").getItem(1).as("text"))
       .orderBy("doc_id")
+  }
+
+  /** I13 — writes BOTH layouts (sorted-by-key and input-order control)
+    * and returns their paths; shared by the contract query and the
+    * footer-statistics spec so they audit the same files.
+    */
+  def sortedLayoutPaths(spark: SparkSession, dir: String): (String, String) = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    val base = scratch("layout")
+    Sources.writeSortedLayout(li, "l_extendedprice", s"$base/sorted")
+    Sources.writeUnsortedLayout(li, s"$base/unsorted")
+    (s"$base/sorted", s"$base/unsorted")
+  }
+
+  /** The price-band read over the SORTED layout — values must equal the
+    * same select on the original table (the oracle); the row-group
+    * pruning the layout buys is asserted from the parquet footers in
+    * Round5Spec.
+    */
+  def srcSortedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val (sorted, _) = sortedLayoutPaths(spark, dir)
+    spark.read.parquet(sorted)
+      .filter(col("l_extendedprice") >= lit(30000.0) &&
+        col("l_extendedprice") <= lit(31000.0))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   def srcIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
@@ -343,6 +394,7 @@ object SourceQueries {
     "src_orc_roundtrip" -> (srcOrcRoundtrip _),
     "src_text_roundtrip" -> (srcTextRoundtrip _),
     "src_partitioned_sink" -> (srcPartitionedSink _),
+    "src_sorted_layout" -> (srcSortedLayout _),
     "src_incremental_merge" -> (srcIncrementalMerge _))
 
   /** A faithful round-trip preserves every value, so the oracle is the
@@ -394,5 +446,10 @@ object SourceQueries {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_incremental_merge" ->
       """SELECT o_orderstatus, COUNT(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_sorted_layout" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+        |FROM lineitem
+        |WHERE l_extendedprice >= 30000.0 AND l_extendedprice <= 31000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

@@ -57,4 +57,55 @@ class Round5Spec extends AnyFunSuite {
     assert(rows(1)._3 < n && rows(2)._3 <= rows(1)._3,
       s"cluster movement not shrinking: ${rows.map(_._3).mkString(",")}")
   }
+
+  test("src_sorted_layout: sorted row groups prune the range predicate, unsorted cannot") {
+    import scala.jdk.CollectionConverters._
+    val (sorted, unsorted) = graft.sources.SourceQueries.sortedLayoutPaths(spark, sf)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // (min, max, compressedBytes) of l_extendedprice per row group,
+    // straight from the parquet footers — the statistics any engine's
+    // row-group skipping runs on
+    def rowGroups(dir: String): Seq[(Double, Double, Long)] =
+      new java.io.File(dir).listFiles.toSeq
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == "l_extendedprice").get
+            val st = c.getStatistics
+            (st.genericGetMin.asInstanceOf[Double],
+              st.genericGetMax.asInstanceOf[Double], b.getCompressedSize)
+          } finally rd.close()
+        }
+    val (lo, hi) = (30000.0, 31000.0)
+    def surviving(gs: Seq[(Double, Double, Long)]) =
+      gs.filter { case (mn, mx, _) => mx >= lo && mn <= hi }
+    val (sGroups, uGroups) = (rowGroups(sorted), rowGroups(unsorted))
+    // granularity sanity: the small block size must have produced enough
+    // row groups for skipping to be measurable at all
+    assert(sGroups.size >= 4 && uGroups.size >= 4,
+      s"too few row groups to measure pruning: sorted=${sGroups.size} unsorted=${uGroups.size}")
+    val (sLive, uLive) = (surviving(sGroups), surviving(uGroups))
+    // the unsorted control: input order scatters the band everywhere, so
+    // min/max pruning keeps (nearly) every group; the sorted layout
+    // confines the band to a corner of the file set
+    assert(sLive.size * 2 < uLive.size,
+      s"sorted layout did not prune: ${sLive.size} of ${sGroups.size} live vs " +
+        s"unsorted ${uLive.size} of ${uGroups.size}")
+    val (sBytes, uBytes) = (sLive.map(_._3).sum, uLive.map(_._3).sum)
+    assert(sBytes * 2 < uBytes,
+      s"sorted layout does not read fewer bytes: $sBytes vs $uBytes")
+    // and the data is intact: the pruned read returns exactly the rows
+    // the original table holds in the band
+    val viaLayout = spark.read.parquet(sorted)
+      .filter(org.apache.spark.sql.functions.col("l_extendedprice").between(lo, hi))
+    val viaTable = graft.tables.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      .filter(org.apache.spark.sql.functions.col("l_extendedprice").between(lo, hi))
+    assert(viaLayout.exceptAll(viaTable).isEmpty &&
+      viaTable.exceptAll(viaLayout).isEmpty)
+  }
 }
