@@ -12,11 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
   val headline: Seq[String] = Seq(
+    // the round-1..4 carried set
     "q_agg_pricing", "q_join_shuffle", "q_multi_join_agg",
     "q_asof_join", "q_topk_per_key",
     "f_comp_diff", "f_standard_scale",
     "dedup_minhash_lsh", "ann_bruteforce", "text_quality",
-    "stream_window_agg")
+    "stream_window_agg",
+    // round-5 widening: the heavy/iterative representatives so every
+    // operator family has a timed, shuffle-budgeted regression gate
+    "dedup_cluster", "graph_pagerank",
+    "ann_pq_search", "ann_pq_refine", "ann_centroid_ivf",
+    "ml_ks_statistic_dist", "q_sequence_gaps_dist", "f_quantile_bucket_dist",
+    "mm_chunk_dedup", "text_tfidf", "src_jdbc_roundtrip",
+    "ml_gbt_step2", "ml_kmeans_lloyd", "src_sorted_layout")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -89,7 +97,14 @@ object Bench {
             Telemetry.RunMetrics((System.nanoTime() - t0) / 1e9, 0L, -1L, 0L)
           }
           shuffleBytes(name) = m.shuffleBytesWritten
-          name -> m.wallSec
+          // wall time from BEFORE fn(): queries that run driver-side
+          // training loops during construction (ml_kmeans_lloyd, the E3
+          // codebook collect) must bill that work like the materialize
+          // passes do — m.wallSec alone would underreport them. Their
+          // construction-job shuffle volume is likewise outside the
+          // final plan's metrics; the budget pins the final plan, and
+          // the construction jobs' plan shapes are spec-pinned instead.
+          name -> (System.nanoTime() - t0) / 1e9
         } else {
           val t0 = System.nanoTime()
           try materialize(fn(spark, sfDir))
@@ -125,11 +140,25 @@ object Bench {
           s"$n=$s > budget=${budget(n)}"
       }
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"shuffle_ok":${violations.isEmpty},"sf":"$sfDir"}""")
+    // the hard gate only applies under the config the budgets were
+    // measured on (see ShuffleBudget.fingerprint) and without the
+    // explicit SPARK_GRAFT_BUDGET_GATE=off escape hatch — an environment
+    // drift (codec/partition-count/Spark bump) that inflates compressed
+    // shuffle size is a re-baselining prompt, not a plan regression
+    val enforced = ShuffleBudget.enforced(spark, sfDir)
+    val gate = if (enforced) "enforced" else "advisory"
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"shuffle_ok":${violations.isEmpty},"budget_gate":"$gate","sf":"$sfDir"}""")
+    if (!enforced) {
+      val why = (ShuffleBudget.mismatches(spark, sfDir) ++
+        sys.env.get("SPARK_GRAFT_BUDGET_GATE").filter(_.toLowerCase == "off")
+          .map(_ => "SPARK_GRAFT_BUDGET_GATE=off")).mkString("; ")
+      System.err.println(s"[bench] budget gate ADVISORY ($why) — " +
+        "re-baseline with graft.BudgetProbe after config changes")
+    }
     spark.stop()
     if (violations.nonEmpty) {
       System.err.println(s"[bench] SHUFFLE BUDGET EXCEEDED: ${violations.mkString("; ")}")
-      sys.exit(1)
+      if (enforced) sys.exit(1)
     }
   }
 }

@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)}]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
+              shufflePartitions: Int = 32): SparkSession.Builder = {
+    // before ANY session exists: a Hive-enabled session would boot the
+    // embedded Derby metastore with cwd defaults, and Derby reads its
+    // system properties only once at boot
+    graft.sources.Jdbc.pin
     SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -22,6 +26,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

@@ -90,17 +90,73 @@ object ShuffleBudget {
     "q_topk_per_key" -> 8000L, "f_comp_diff" -> 300000L,
     "f_standard_scale" -> 230000L, "dedup_minhash_lsh" -> 30000L,
     "ann_bruteforce" -> 5000L, "text_quality" -> 32000L,
-    "stream_window_agg" -> 84000L)
+    "stream_window_agg" -> 84000L,
+    // round-5 widening: iterative graph/dedup, PQ/ANN, the distributed
+    // twins, JDBC and layout round-trips, the exact-training loops
+    // (probed under the 4-partition TEST config this table is gated in)
+    "dedup_cluster" -> 12000L, "graph_pagerank" -> 26000L,
+    "ann_pq_search" -> 2100000L, "ann_pq_refine" -> 2100000L,
+    "ann_centroid_ivf" -> 2500L, "ml_ks_statistic_dist" -> 133000L,
+    "q_sequence_gaps_dist" -> 4200L, "f_quantile_bucket_dist" -> 61000L,
+    "mm_chunk_dedup" -> 5500L, "text_tfidf" -> 650000L,
+    "src_jdbc_roundtrip" -> 12000L, "ml_gbt_step2" -> 7600L,
+    "ml_kmeans_lloyd" -> 500L, "src_sorted_layout" -> 3000L)
   val atSf01: Map[String, Long] = Map(
     "q_agg_pricing" -> 3000L, "q_join_shuffle" -> 5200000L,
     "q_multi_join_agg" -> 8000L, "q_asof_join" -> 2700000L,
     "q_topk_per_key" -> 280000L, "f_comp_diff" -> 28200000L,
     "f_standard_scale" -> 21200000L, "dedup_minhash_lsh" -> 170000L,
     "ann_bruteforce" -> 13000L, "text_quality" -> 240000L,
-    "stream_window_agg" -> 320000L)
+    "stream_window_agg" -> 320000L,
+    "dedup_cluster" -> 220000L, "graph_pagerank" -> 260000L,
+    "ann_pq_search" -> 11800000L, "ann_pq_refine" -> 11800000L,
+    "ann_centroid_ivf" -> 13000L, "ml_ks_statistic_dist" -> 12800000L,
+    "q_sequence_gaps_dist" -> 310000L, "f_quantile_bucket_dist" -> 5400000L,
+    "mm_chunk_dedup" -> 190000L, "text_tfidf" -> 6800000L,
+    "src_jdbc_roundtrip" -> 770000L, "ml_gbt_step2" -> 13000L,
+    "ml_kmeans_lloyd" -> 500L, "src_sorted_layout" -> 220000L)
 
   def forDir(dir: String): Option[Map[String, Long]] =
     if (dir.endsWith("sf0.001")) Some(atSf0001)
     else if (dir.endsWith("sf0.1")) Some(atSf01)
     else None
+
+  /** The configuration each budget table was MEASURED under (2× the
+    * bytes `graft.BudgetProbe` reported on these settings — the sf0.001
+    * table under the 4-partition test session that PlanAuditSpec gates
+    * in, the sf0.1 table under the 32-partition bench session).
+    * Compressed shuffle volume depends on partition count, codec, and
+    * Spark's serialization — an environment that changes any of these
+    * can blow a budget with zero plan regression, so on a fingerprint
+    * mismatch the gate turns ADVISORY (report, don't fail) and the right
+    * move is re-baselining with BudgetProbe, not silencing a phantom
+    * regression.
+    */
+  def fingerprintForDir(dir: String): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> (if (dir.endsWith("sf0.001")) "4" else "32"),
+    "spark.io.compression.codec" -> "lz4",
+    "spark.version" -> "4.1")
+
+  def mismatches(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[String] = {
+    val pinned = fingerprintForDir(dir)
+    Seq(
+      ("spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions")),
+      ("spark.io.compression.codec",
+        spark.conf.get("spark.io.compression.codec", "lz4")),
+      ("spark.version", spark.version)
+    ).flatMap { case (k, actual) =>
+      val want = pinned(k)
+      if (actual == want || actual.startsWith(want + ".")) None
+      else Some(s"$k=$actual (budgets pinned under $want)")
+    }
+  }
+
+  /** Hard enforcement only under the measuring config, with an explicit
+    * operator escape hatch (`SPARK_GRAFT_BUDGET_GATE=off`).
+    */
+  def enforced(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    sys.env.get("SPARK_GRAFT_BUDGET_GATE").forall(_.toLowerCase != "off") &&
+      mismatches(spark, dir).isEmpty
 }

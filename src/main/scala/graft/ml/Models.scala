@@ -179,8 +179,7 @@ object Models {
     }
     val (bestName, bestAcc, bestModel) =
       rows.minBy { case (name, acc, _) => (-acc, name) }
-    val path = java.nio.file.Files.createTempDirectory("graft_best_model")
-      .toString + "/model"
+    val path = graft.Scratch.dir("best_model") + "/model"
     Persistence.saveLogreg(bestModel, path)
     Persistence.saveMeta(spark, path, bestName, bestAcc, Map(
       "estimator" -> "LogisticRegression",

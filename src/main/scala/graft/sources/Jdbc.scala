@@ -27,19 +27,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Jdbc {
 
   /** Derby writes `derby.log` to `derby.system.home` (default: the
-    * process cwd — the repo checkout under sbt). Pin it to a scratch dir
-    * once, before the first connection boots the engine.
+    * process cwd — the repo checkout under sbt). Pin home AND the error
+    * stream to a scratch dir once. The pin must run EARLY: if something
+    * else boots the embedded engine first (a Hive-enabled session's
+    * metastore_db), the properties are read once at boot and a late set
+    * is ignored — so [[GraftSession.builder]] calls [[pin]] before any
+    * SparkSession exists, and the properties are only set if absent
+    * (never clobbering an operator's deliberate configuration).
     */
-  private lazy val derbyHome: Unit = {
-    val home = java.nio.file.Files.createTempDirectory("graft_derby").toString
-    System.setProperty("derby.system.home", home)
+  lazy val pin: Unit = {
+    val home = graft.Scratch.dir("derby")
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", home)
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file", s"$home/derby.log")
   }
 
   /** Embedded (in-process) database URL; the directory must not yet
     * exist — Derby creates it.
     */
   def derbyUrl(dbDir: String): String = {
-    derbyHome
+    pin
     s"jdbc:derby:$dbDir;create=true"
   }
 

@@ -132,7 +132,7 @@ object SourceQueries {
   import graft.tables.Tables
 
   private def scratch(name: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_src_$name").toString
+    graft.Scratch.dir(s"src_$name")
 
   def srcJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
