@@ -151,19 +151,22 @@ object Ml5 {
         col("s2_nl"), col("s2_pl"), col("s2_nr"), col("s2_pr")))
     val e2 = rows2
       .agg(sum(when(col("h2") =!= col("y"), col("w")).otherwise(lit(0L))).as("err2_w"),
-        sum("w").as("total_w"))
+        sum("w").as("total_w"),
+        sum((col("h2") =!= col("y")).cast("long")).as("err2_cnt"))
     // two-voter decision: agree → that label; disagree → the stump with
     // the smaller weighted error, compared exactly as integer
-    // cross-products (h1 wins ties — deterministic, both engines)
-    val fin = rows2.crossJoin(broadcast(e2))
-      .withColumn("pred",
-        when(col("h1") === col("h2"), col("h1"))
-          .when(col("err1") * col("total_w") <= col("err2_w") * col("n"), col("h1"))
-          .otherwise(col("h2")))
-      .agg(sum((col("pred") === col("y")).cast("long")).as("correct2"))
+    // cross-products (h1 wins ties — deterministic, both engines). On
+    // agree rows both labels coincide, so the vote is UNIFORMLY the
+    // winning stump's label and the combined train accuracy is
+    // n − err(winner) — no per-row vote scan needed.
+    val fin = e2.crossJoin(broadcast(e1))
+      .select(col("err2_w"), col("total_w"),
+        when(col("err1") * col("total_w") <= col("err2_w") * col("n"),
+          col("n") - col("err1"))
+          .otherwise(col("n") - col("err2_cnt")).as("correct2"))
 
     fin.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
-      .crossJoin(broadcast(e1)).crossJoin(broadcast(e2))
+      .crossJoin(broadcast(e1))
       .select(
         col("f1"), col("bin1"), r4b(col("thr1_raw")).as("thr1"),
         col("f2"), col("bin2"), r4b(col("thr2_raw")).as("thr2"),
@@ -381,13 +384,13 @@ object Ml5 {
            |  FROM rowsw b CROSS JOIN s2 JOIN mm x ON x.feature = s2.feature),
            |e2 AS (
            |  SELECT CAST(sum(CASE WHEN h2 <> y THEN w ELSE 0 END) AS BIGINT) AS err2_w,
-           |         CAST(sum(w) AS BIGINT) AS total_w
+           |         CAST(sum(w) AS BIGINT) AS total_w,
+           |         CAST(sum(CAST(h2 <> y AS INT)) AS BIGINT) AS err2_cnt
            |  FROM rows2),
            |fin AS (
-           |  SELECT CAST(sum(CAST((CASE WHEN h1 = h2 THEN h1
-           |      WHEN err1 * total_w <= err2_w * n THEN h1
-           |      ELSE h2 END) = y AS INT)) AS BIGINT) AS correct2
-           |  FROM rows2 CROSS JOIN e2)
+           |  SELECT CASE WHEN e1.err1 * e2.total_w <= e2.err2_w * e1.n
+           |              THEN e1.n - e1.err1 ELSE e1.n - e2.err2_cnt END AS correct2
+           |  FROM e2 CROSS JOIN e1)
            |SELECT s1.feature AS f1, s1.bin AS bin1,
            |  ${sql4("s1.threshold")} AS thr1,
            |  s2.feature AS f2, s2.bin AS bin2,

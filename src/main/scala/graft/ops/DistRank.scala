@@ -114,15 +114,26 @@ object DistRank {
     * desynchronizing offsets from local ranks. Every graft caller feeds
     * deterministic parquet scans.
     */
-  def withGlobalRank(df: DataFrame, rankName: String, sortCols: Column*): DataFrame = {
+  def withGlobalRank(df: DataFrame, rankName: String, sortCols: Column*): DataFrame =
+    withGlobalRankAndCount(df, rankName, sortCols: _*)._1
+
+  /** [[withGlobalRank]] plus a ONE-ROW `_n` total-count frame the slice
+    * machinery already holds (Σ slice sizes) — callers needing N (ntile
+    * reconstruction, CDF normalizers) broadcast it instead of paying a
+    * separate count scan.
+    */
+  def withGlobalRankAndCount(df: DataFrame, rankName: String,
+                             sortCols: Column*): (DataFrame, DataFrame) = {
     val (sliced, _) = sliceByKey(df, sortCols)
     val local = sliced.withColumn("_lrank",
       row_number().over(Window.partitionBy("_slice").orderBy(sortCols: _*)))
     val offsets = sliceOffsets(local, Seq(max("_lrank").cast("long").as("_sz")))
-      .select(col("_slice"), col("_off_0").as("_off"))
-    local.join(broadcast(offsets), Seq("_slice"))
+    val ranked = local
+      .join(broadcast(offsets.select(col("_slice"), col("_off_0").as("_off"))),
+        Seq("_slice"))
       .withColumn(rankName, col("_off") + col("_lrank"))
       .drop("_k", "_slice", "_lrank", "_off")
+    (ranked, offsets.agg(coalesce(sum("_sz"), lit(0L)).as("_n")))
   }
 
   /** Per-slice exclusive running offsets for each aggregate in `aggs`
@@ -227,8 +238,10 @@ object DistRank {
     */
   def fQuantileBucketDist(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
-    val n = o.agg(count(lit(1)).as("_n"))
-    withGlobalRank(o, "_grank", col("o_totalprice"), col("o_orderkey"))
+    // N comes back with the rank (Σ slice sizes) — no separate count scan
+    val (ranked, n) = withGlobalRankAndCount(o, "_grank",
+      col("o_totalprice"), col("o_orderkey"))
+    ranked
       .crossJoin(broadcast(n))
       .select(col("o_orderkey"),
         expr("""CASE WHEN _grank <= (_n % 4) * (_n div 4 + 1)
