@@ -55,131 +55,134 @@ object Ml5 {
     val base = Tables.lineitem(spark, dir).select(
       col("l_discount"), col("l_extendedprice"), col("l_quantity"),
       (col("l_returnflag") === "R").cast("int").as("y"))
+    val featCol = Map("disc" -> "l_discount", "price" -> "l_extendedprice",
+      "qty" -> "l_quantity")
 
-    // per-feature min/max, wide 1-row form (same values as the melted
-    // groupBy in stumpCandidates — min/max commute with the melt)
-    val mmWide = base.agg(
-      min("l_discount").as("disc_vmin"), max("l_discount").as("disc_vmax"),
-      min("l_extendedprice").as("price_vmin"), max("l_extendedprice").as("price_vmax"),
-      min("l_quantity").as("qty_vmin"), max("l_quantity").as("qty_vmax"))
-    val mmLong = mmWide.select(expr(
-      """stack(3, 'disc', disc_vmin, disc_vmax,
-        |         'price', price_vmin, price_vmax,
-        |         'qty', qty_vmin, qty_vmax)""".stripMargin)
-      .as(Seq("feature", "vmin", "vmax")))
+    // Every piece of inter-round state is O(1) — one stump row, two
+    // error counters, six min/max doubles — so it's collected once and
+    // INLINED AS LITERALS (the E3-codebook / C31 discipline): each
+    // boosting round becomes a single whole-stage-codegen scan with a
+    // tiny aggregate, no broadcast joins and no re-executed subtrees.
+    // The driver-side double arithmetic below repeats the exact same
+    // IEEE operations as the SQL oracle, so nothing drifts.
 
-    // stump 1 = C22 verbatim (same argmin, same tie-break)
-    val s1 = Ml4.stumpCandidates(spark, dir)
-      .orderBy(col("wgini"), col("feature"), col("bin"))
-      .limit(1)
-      .select(col("feature").as("f1"), col("bin").as("bin1"),
-        col("threshold").as("thr1_raw"),
-        col("nl").as("s1_nl"), col("pl").as("s1_pl"),
-        col("nr").as("s1_nr"), col("pr").as("s1_pr"))
+    // per-feature min/max (same values as stumpCandidates' melted
+    // groupBy — min/max commute with the melt); one columnar scan
+    val mmRow = base.agg(
+      min("l_discount"), max("l_discount"),
+      min("l_extendedprice"), max("l_extendedprice"),
+      min("l_quantity"), max("l_quantity")).head()
+    val mm: Map[String, (Double, Double)] = Map(
+      "disc" -> (mmRow.getDouble(0), mmRow.getDouble(1)),
+      "price" -> (mmRow.getDouble(2), mmRow.getDouble(3)),
+      "qty" -> (mmRow.getDouble(4), mmRow.getDouble(5)))
 
-    def featVal(f: Column): Column =
-      when(f === "disc", col("l_discount"))
-        .when(f === "price", col("l_extendedprice"))
-        .otherwise(col("l_quantity"))
-    def pick(f: Column, d: Column, p: Column, q: Column): Column =
-      when(f === "disc", d).when(f === "price", p).otherwise(q)
+    /** (feature, bin, threshold, nl, pl, nr, pr) */
+    type Stump = (String, Int, Double, Long, Long, Long, Long)
+
     // identical binning expression to the histogram construction, so a
     // row's bin and its histogram cell can never disagree
-    def binOf(v: Column, vmin: Column, vmax: Column): Column =
-      least(floor((v - vmin) / (vmax - vmin) * 10), lit(9.0)).cast("int")
-    // majority leaf label; 2·pos == n ties to 0 deterministically
-    def leaf(goLeft: Column, nl: Column, pl: Column, nr: Column, pr: Column): Column =
-      when(goLeft, (pl * 2 > nl).cast("int")).otherwise((pr * 2 > nr).cast("int"))
+    def binOf(f: String): Column = {
+      val (vmin, vmax) = mm(f)
+      least(floor((col(featCol(f)) - lit(vmin)) / (lit(vmax) - lit(vmin)) * 10),
+        lit(9.0)).cast("int")
+    }
+    // per-row stump prediction: majority leaf label (2·pos == n ties to
+    // 0 deterministically), pure literal projection
+    def predict(s: Stump): Column = {
+      val (f, bin, _, nl, pl, nr, pr) = s
+      when(binOf(f) <= lit(bin),
+        lit(if (2 * pl > nl) 1 else 0)).otherwise(lit(if (2 * pr > nr) 1 else 0))
+    }
 
-    val rows1 = base.crossJoin(broadcast(mmWide)).crossJoin(broadcast(s1))
-      .withColumn("h1", leaf(
-        binOf(featVal(col("f1")),
-          pick(col("f1"), col("disc_vmin"), col("price_vmin"), col("qty_vmin")),
-          pick(col("f1"), col("disc_vmax"), col("price_vmax"), col("qty_vmax")))
-          <= col("bin1"),
-        col("s1_nl"), col("s1_pl"), col("s1_nr"), col("s1_pr")))
-      .withColumn("mis1", (col("h1") =!= col("y")).cast("long"))
+    // stump 1 = C22 verbatim (same argmin, same tie-break), 1-row collect
+    val s1: Stump = {
+      val r = Ml4.stumpCandidates(spark, dir)
+        .orderBy(col("wgini"), col("feature"), col("bin"))
+        .limit(1).head()
+      (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    }
 
-    val e1 = rows1.agg(sum("mis1").as("err1"), count(lit(1)).as("n"))
+    // round-1 error count: one scan, h1 evaluated from literals
+    val e1 = base.agg(
+      sum((predict(s1) =!= col("y")).cast("long")), count(lit(1))).head()
+    val (err1, n) = (e1.getLong(0), e1.getLong(1))
     // AdaBoost reweighting in integer ticks: misclassified rows split
-    // W/2 = 5·10¹¹ equally, the rest split the other half. div truncates
-    // identically on both engines; the div-by-zero branches are
-    // unreachable (no row is misclassified when err1 = 0)
-    val rowsw = rows1.crossJoin(broadcast(e1))
-      .withColumn("w", expr(
-        """CASE WHEN mis1 = 1 THEN 500000000000 div err1
-          |     ELSE 500000000000 div (n - err1) END""".stripMargin))
+    // W/2 = 5·10¹¹ equally, the rest split the other half (truncating
+    // division — identical on both engines; err1 ∈ (0, n) on any data
+    // where stump 1 is neither perfect nor constant-wrong)
+    val (wErr, wCorr) = (500000000000L / err1, 500000000000L / (n - err1))
+    val wCol = when(predict(s1) =!= col("y"), lit(wErr)).otherwise(lit(wCorr))
 
-    val melted2 = rowsw.select(
-      expr("stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)")
-        .as(Seq("feature", "value")), col("y"), col("w"))
-    val hist2 = melted2.join(broadcast(mmLong), Seq("feature"))
-      .select(col("feature"), col("w"), col("y"),
-        binOf(col("value"), col("vmin"), col("vmax")).as("bin"))
+    // round-2 weighted histogram: bins computed per feature BEFORE the
+    // melt (literal min/max), one scan into a ≤30-group aggregate
+    val hist2 = base.withColumn("w", wCol)
+      .select(col("y"), col("w"), binOf("disc").as("b_disc"),
+        binOf("price").as("b_price"), binOf("qty").as("b_qty"))
+      .select(expr("stack(3, 'disc', b_disc, 'price', b_price, 'qty', b_qty)")
+        .as(Seq("feature", "bin")), col("y"), col("w"))
       .groupBy("feature", "bin")
       .agg(sum("w").as("wn"), sum(col("w") * col("y")).as("wpos"))
-    val wOrd = Window.partitionBy("feature").orderBy("bin")
-    val wAll = Window.partitionBy("feature")
-    val cand2 = hist2
-      .withColumn("cum_n", sum("wn").over(wOrd))
-      .withColumn("cum_pos", sum("wpos").over(wOrd))
-      .withColumn("n_tot", sum("wn").over(wAll))
-      .withColumn("pos_tot", sum("wpos").over(wAll))
-      .filter(col("bin") < 9 && col("cum_n") > 0 && col("n_tot") > col("cum_n"))
-      .join(broadcast(mmLong), Seq("feature"))
-      .select(col("feature"), col("bin"),
-        (col("vmin") + (col("bin") + 1) * (col("vmax") - col("vmin")) / 10).as("threshold"),
-        col("cum_n").as("nl"), col("cum_pos").as("pl"),
-        (col("n_tot") - col("cum_n")).as("nr"), (col("pos_tot") - col("cum_pos")).as("pr"))
-      .withColumn("wgini",
-        (col("nl") * Ml4.gini(col("pl"), col("nl")) +
-          col("nr") * Ml4.gini(col("pr"), col("nr"))) / (col("nl") + col("nr")))
-    val s2 = cand2
-      .orderBy(col("wgini"), col("feature"), col("bin"))
-      .limit(1)
-      .select(col("feature").as("f2"), col("bin").as("bin2"),
-        col("threshold").as("thr2_raw"),
-        col("nl").as("s2_nl"), col("pl").as("s2_pl"),
-        col("nr").as("s2_nr"), col("pr").as("s2_pr"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
 
-    val rows2 = rowsw.crossJoin(broadcast(s2))
-      .withColumn("h2", leaf(
-        binOf(featVal(col("f2")),
-          pick(col("f2"), col("disc_vmin"), col("price_vmin"), col("qty_vmin")),
-          pick(col("f2"), col("disc_vmax"), col("price_vmax"), col("qty_vmax")))
-          <= col("bin2"),
-        col("s2_nl"), col("s2_pl"), col("s2_nr"), col("s2_pr")))
-    val e2 = rows2
-      .agg(sum(when(col("h2") =!= col("y"), col("w")).otherwise(lit(0L))).as("err2_w"),
-        sum("w").as("total_w"),
-        sum((col("h2") =!= col("y")).cast("long")).as("err2_cnt"))
+    // candidate-split evaluation over the 60 collected histogram cells —
+    // driver arithmetic, exact same formulas (and IEEE ops) as the SQL
+    def gini(p: Long, nn: Long): Double = {
+      val q = p.toDouble / nn
+      1.0 - q * q - (1.0 - q) * (1.0 - q)
+    }
+    val s2: Stump = {
+      val cands = for {
+        f <- Seq("disc", "price", "qty")
+        cells = hist2.filter(_._1 == f).sortBy(_._2)
+        nTot = cells.map(_._3).sum
+        posTot = cells.map(_._4).sum
+        bin <- 0 until 9
+        nl = cells.filter(_._2 <= bin).map(_._3).sum
+        pl = cells.filter(_._2 <= bin).map(_._4).sum
+        if nl > 0 && nTot > nl
+      } yield {
+        val (nr, pr) = (nTot - nl, posTot - pl)
+        val (vmin, vmax) = mm(f)
+        val thr = vmin + (bin + 1) * (vmax - vmin) / 10
+        val wg = (nl * gini(pl, nl) + nr * gini(pr, nr)) / (nl + nr)
+        (f, bin, thr, nl, pl, nr, pr, wg)
+      }
+      val b = cands.minBy(c => (c._8, c._1, c._2))
+      (b._1, b._2, b._3, b._4, b._5, b._6, b._7)
+    }
+
+    // round-2 weighted error: one scan, h2 and w both literal projections
+    val e2 = base.agg(
+      sum(when(predict(s2) =!= col("y"), wCol).otherwise(lit(0L))),
+      sum(wCol),
+      sum((predict(s2) =!= col("y")).cast("long"))).head()
+    val (err2w, totalW, err2cnt) = (e2.getLong(0), e2.getLong(1), e2.getLong(2))
+
     // two-voter decision: agree → that label; disagree → the stump with
     // the smaller weighted error, compared exactly as integer
     // cross-products (h1 wins ties — deterministic, both engines). On
     // agree rows both labels coincide, so the vote is UNIFORMLY the
     // winning stump's label and the combined train accuracy is
-    // n − err(winner) — no per-row vote scan needed.
-    val fin = e2.crossJoin(broadcast(e1))
-      .select(col("err2_w"), col("total_w"),
-        when(col("err1") * col("total_w") <= col("err2_w") * col("n"),
-          col("n") - col("err1"))
-          .otherwise(col("n") - col("err2_cnt")).as("correct2"))
+    // n − err(winner) — no per-row vote pass needed.
+    val correct2 = if (err1 * totalW <= err2w * n) n - err1 else n - err2cnt
 
-    fin.crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
-      .crossJoin(broadcast(e1))
-      .select(
-        col("f1"), col("bin1"), r4b(col("thr1_raw")).as("thr1"),
-        col("f2"), col("bin2"), r4b(col("thr2_raw")).as("thr2"),
-        col("n"), col("err1"), col("err2_w"), col("total_w"), col("correct2"),
-        r4b(col("err1").cast("double") / col("n")).as("eps1"),
-        r4b(col("err2_w").cast("double") / col("total_w")).as("eps2"),
-        r4b(col("correct2").cast("double") / col("n")).as("acc2"),
-        // the AdaBoost exp-loss bound Π 2√(εt(1−εt)) after each round —
-        // strictly decreasing while εt < ½, emitted so the ORACLE proves
-        // the training-loss improvement, not just a local spec
-        r4b(lossBound(col("err1").cast("double") / col("n"))).as("loss1"),
-        r4b(lossBound(col("err1").cast("double") / col("n")) *
-          lossBound(col("err2_w").cast("double") / col("total_w"))).as("loss2"))
+    spark.range(1).select(
+      lit(s1._1).as("f1"), lit(s1._2).as("bin1"), r4b(lit(s1._3)).as("thr1"),
+      lit(s2._1).as("f2"), lit(s2._2).as("bin2"), r4b(lit(s2._3)).as("thr2"),
+      lit(n).as("n"), lit(err1).as("err1"), lit(err2w).as("err2_w"),
+      lit(totalW).as("total_w"), lit(correct2).as("correct2"),
+      r4b(lit(err1.toDouble / n)).as("eps1"),
+      r4b(lit(err2w.toDouble / totalW)).as("eps2"),
+      r4b(lit(correct2.toDouble / n)).as("acc2"),
+      // the AdaBoost exp-loss bound Π 2√(εt(1−εt)) after each round —
+      // strictly decreasing while εt < ½, emitted so the ORACLE proves
+      // the training-loss improvement, not just a local spec
+      r4b(lossBound(lit(err1.toDouble / n))).as("loss1"),
+      r4b(lossBound(lit(err1.toDouble / n)) *
+        lossBound(lit(err2w.toDouble / totalW))).as("loss2"))
   }
 
   /** C31 — `ml_kmeans_lloyd`: THREE exact Lloyd iterations over
