@@ -199,10 +199,15 @@ object SourceQueries {
   /** The price-band read over the SORTED layout — values must equal the
     * same select on the original table (the oracle); the row-group
     * pruning the layout buys is asserted from the parquet footers in
-    * Round5Spec.
+    * Round5Spec (which also writes the input-order CONTROL layout via
+    * [[sortedLayoutPaths]] — the contract query only pays for the
+    * layout under test).
     */
   def srcSortedLayout(spark: SparkSession, dir: String): DataFrame = {
-    val (sorted, _) = sortedLayoutPaths(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    val sorted = s"${scratch("layout")}/sorted"
+    Sources.writeSortedLayout(li, "l_extendedprice", sorted)
     spark.read.parquet(sorted)
       .filter(col("l_extendedprice") >= lit(30000.0) &&
         col("l_extendedprice") <= lit(31000.0))

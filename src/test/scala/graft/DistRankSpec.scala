@@ -139,6 +139,19 @@ class DistRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalRank and withRunningSums handle EMPTY input (no offsets, no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double, Long)].toDF("id", "key", "v")
+    assert(DistRank.withGlobalRank(empty, "rank", col("key"), col("id")).count() == 0)
+    val (cum, totals) = DistRank.withRunningSumsAndTotals(empty,
+      Seq((col("v"), "cum_v")), col("key"), col("id"))
+    assert(cum.count() == 0)
+    // the totals frame still yields one well-typed zero row (coalesce),
+    // so CDF normalizers over an empty slice don't propagate NULL
+    val t = totals.collect()
+    assert(t.length == 1 && t.head.getLong(0) == 0L)
+  }
+
   test("ml_ks_statistic_dist equals ml_ks_statistic; ml_auc_pr_dist equals ml_auc_pr") {
     assert(DistRank.mlKsStatisticDist(spark, TestSpark.sf).collect().map(_.toSeq).toSeq ==
       graft.ml.Ml4.mlKsStatistic(spark, TestSpark.sf).collect().map(_.toSeq).toSeq)
