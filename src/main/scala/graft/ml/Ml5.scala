@@ -51,31 +51,43 @@ object Ml5 {
   private def lossBound(eps: Column): Column =
     lit(2.0) * sqrt(eps * (lit(1.0) - eps))
 
-  def mlGbtStep2(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.lineitem(spark, dir).select(
-      col("l_discount"), col("l_extendedprice"), col("l_quantity"),
-      (col("l_returnflag") === "R").cast("int").as("y"))
-    val featCol = Map("disc" -> "l_discount", "price" -> "l_extendedprice",
-      "qty" -> "l_quantity")
+  def mlGbtStep2(spark: SparkSession, dir: String): DataFrame =
+    boostTwoStumps(
+      Tables.lineitem(spark, dir).select(
+        col("l_discount"), col("l_extendedprice"), col("l_quantity"),
+        (col("l_returnflag") === "R").cast("int").as("y")),
+      Seq("disc" -> "l_discount", "price" -> "l_extendedprice",
+        "qty" -> "l_quantity"))
+
+  /** The data-generic two-round core behind `ml_gbt_step2`: `base` holds
+    * the numeric feature columns named by `features` (display-name →
+    * column) plus an int 0/1 label `y`. Generic so the boosting DYNAMICS
+    * are testable on synthetic data where reweighting provably must
+    * select a different second stump (Round5Spec) — on lineitem the
+    * optimal round-2 stump happens to re-split `disc` with flipped
+    * weights, which is correct but undemonstrative.
+    */
+  private[graft] def boostTwoStumps(base: DataFrame,
+                                 features: Seq[(String, String)]): DataFrame = {
+    val spark = base.sparkSession
 
     // Every piece of inter-round state is O(1) — one stump row, two
-    // error counters, six min/max doubles — so it's collected once and
-    // INLINED AS LITERALS (the E3-codebook / C31 discipline): each
-    // boosting round becomes a single whole-stage-codegen scan with a
-    // tiny aggregate, no broadcast joins and no re-executed subtrees.
+    // error counters, per-feature min/max doubles — so it's collected
+    // once and INLINED AS LITERALS (the E3-codebook / C31 discipline):
+    // each boosting round becomes a single whole-stage-codegen scan with
+    // a tiny aggregate, no broadcast joins and no re-executed subtrees.
     // The driver-side double arithmetic below repeats the exact same
     // IEEE operations as the SQL oracle, so nothing drifts.
 
     // per-feature min/max (same values as stumpCandidates' melted
     // groupBy — min/max commute with the melt); one columnar scan
     val mmRow = base.agg(
-      min("l_discount"), max("l_discount"),
-      min("l_extendedprice"), max("l_extendedprice"),
-      min("l_quantity"), max("l_quantity")).head()
-    val mm: Map[String, (Double, Double)] = Map(
-      "disc" -> (mmRow.getDouble(0), mmRow.getDouble(1)),
-      "price" -> (mmRow.getDouble(2), mmRow.getDouble(3)),
-      "qty" -> (mmRow.getDouble(4), mmRow.getDouble(5)))
+      features.flatMap { case (_, c) => Seq(min(c), max(c)) }.head,
+      features.flatMap { case (_, c) => Seq(min(c), max(c)) }.tail: _*).head()
+    val mm: Map[String, (Double, Double)] = features.zipWithIndex.map {
+      case ((f, _), i) => f -> (mmRow.getDouble(2 * i), mmRow.getDouble(2 * i + 1))
+    }.toMap
+    val featCol = features.toMap
 
     /** (feature, bin, threshold, nl, pl, nr, pr) */
     type Stump = (String, Int, Double, Long, Long, Long, Long)
@@ -95,14 +107,56 @@ object Ml5 {
         lit(if (2 * pl > nl) 1 else 0)).otherwise(lit(if (2 * pr > nr) 1 else 0))
     }
 
-    // stump 1 = C22 verbatim (same argmin, same tie-break), 1-row collect
-    val s1: Stump = {
-      val r = Ml4.stumpCandidates(spark, dir)
-        .orderBy(col("wgini"), col("feature"), col("bin"))
-        .limit(1).head()
-      (r.getString(0), r.getInt(1), r.getDouble(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    // one scan: the per-(feature, bin) weighted class histogram — bins
+    // computed per feature BEFORE the melt (literal min/max), collected
+    // (≤ |features|·10 cells)
+    def hist(w: Column): Array[(String, Int, Long, Long)] = {
+      val binCols = features.map { case (f, _) => binOf(f).as(s"_b_$f") }
+      val stackExpr = s"stack(${features.size}, " +
+        features.map { case (f, _) => s"'$f', _b_$f" }.mkString(", ") + ")"
+      base.withColumn("_w", w)
+        .select(col("y") +: col("_w") +: binCols: _*)
+        .select(expr(stackExpr).as(Seq("feature", "bin")), col("y"), col("_w"))
+        .groupBy("feature", "bin")
+        .agg(sum("_w").as("wn"), sum(col("_w") * col("y")).as("wpos"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
     }
+
+    // candidate-split argmin over the collected histogram cells — driver
+    // arithmetic, exact same formulas (and IEEE ops) and the same
+    // (wgini, feature, bin) tie-break as the SQL candw argmin; phantom
+    // empty-bin candidates tie with the preceding real bin and lose the
+    // tie-break, so the selection matches the SQL exactly
+    def gini(p: Long, nn: Long): Double = {
+      val q = p.toDouble / nn
+      1.0 - q * q - (1.0 - q) * (1.0 - q)
+    }
+    def argminStump(cells: Array[(String, Int, Long, Long)]): Stump = {
+      val cands = for {
+        (f, _) <- features
+        fc = cells.filter(_._1 == f)
+        nTot = fc.map(_._3).sum
+        posTot = fc.map(_._4).sum
+        bin <- 0 until 9
+        nl = fc.filter(_._2 <= bin).map(_._3).sum
+        pl = fc.filter(_._2 <= bin).map(_._4).sum
+        if nl > 0 && nTot > nl
+      } yield {
+        val (nr, pr) = (nTot - nl, posTot - pl)
+        val (vmin, vmax) = mm(f)
+        val thr = vmin + (bin + 1) * (vmax - vmin) / 10
+        val wg = (nl * gini(pl, nl) + nr * gini(pr, nr)) / (nl + nr)
+        (f, bin, thr, nl, pl, nr, pr, wg)
+      }
+      val b = cands.minBy(c => (c._8, c._1, c._2))
+      (b._1, b._2, b._3, b._4, b._5, b._6, b._7)
+    }
+
+    // stump 1 = C22's argmin on the UNIT-weight histogram (the shared
+    // oracle recomputes it through the candw CTE, so the hash match
+    // proves this driver path equals the C22 formulation)
+    val s1: Stump = argminStump(hist(lit(1L)))
 
     // round-1 error count: one scan, h1 evaluated from literals
     val e1 = base.agg(
@@ -115,44 +169,8 @@ object Ml5 {
     val (wErr, wCorr) = (500000000000L / err1, 500000000000L / (n - err1))
     val wCol = when(predict(s1) =!= col("y"), lit(wErr)).otherwise(lit(wCorr))
 
-    // round-2 weighted histogram: bins computed per feature BEFORE the
-    // melt (literal min/max), one scan into a ≤30-group aggregate
-    val hist2 = base.withColumn("w", wCol)
-      .select(col("y"), col("w"), binOf("disc").as("b_disc"),
-        binOf("price").as("b_price"), binOf("qty").as("b_qty"))
-      .select(expr("stack(3, 'disc', b_disc, 'price', b_price, 'qty', b_qty)")
-        .as(Seq("feature", "bin")), col("y"), col("w"))
-      .groupBy("feature", "bin")
-      .agg(sum("w").as("wn"), sum(col("w") * col("y")).as("wpos"))
-      .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-
-    // candidate-split evaluation over the 60 collected histogram cells —
-    // driver arithmetic, exact same formulas (and IEEE ops) as the SQL
-    def gini(p: Long, nn: Long): Double = {
-      val q = p.toDouble / nn
-      1.0 - q * q - (1.0 - q) * (1.0 - q)
-    }
-    val s2: Stump = {
-      val cands = for {
-        f <- Seq("disc", "price", "qty")
-        cells = hist2.filter(_._1 == f).sortBy(_._2)
-        nTot = cells.map(_._3).sum
-        posTot = cells.map(_._4).sum
-        bin <- 0 until 9
-        nl = cells.filter(_._2 <= bin).map(_._3).sum
-        pl = cells.filter(_._2 <= bin).map(_._4).sum
-        if nl > 0 && nTot > nl
-      } yield {
-        val (nr, pr) = (nTot - nl, posTot - pl)
-        val (vmin, vmax) = mm(f)
-        val thr = vmin + (bin + 1) * (vmax - vmin) / 10
-        val wg = (nl * gini(pl, nl) + nr * gini(pr, nr)) / (nl + nr)
-        (f, bin, thr, nl, pl, nr, pr, wg)
-      }
-      val b = cands.minBy(c => (c._8, c._1, c._2))
-      (b._1, b._2, b._3, b._4, b._5, b._6, b._7)
-    }
+    // stump 2 on the reweighted histogram (one more scan)
+    val s2: Stump = argminStump(hist(wCol))
 
     // round-2 weighted error: one scan, h2 and w both literal projections
     val e2 = base.agg(

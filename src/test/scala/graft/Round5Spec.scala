@@ -40,6 +40,37 @@ class Round5Spec extends AnyFunSuite {
     assert(2 * correct2 > n, "combined model no better than random")
   }
 
+  test("boosting dynamics: reweighting selects a DIFFERENT second stump when the data demands it") {
+    import spark.implicits._
+    // constructed so feature A wins round 1 on GINI (0.112 vs 0.468 —
+    // its right leaf is pure) while erring only on the 50-row
+    // (a=lo, b=hi, y=1) block; AdaBoost gives that block half the total
+    // mass, after which feature B's split (weighted gini 0.268) beats
+    // re-splitting A (0.375) — the second stump MUST switch to B
+    val groups = Seq(
+      (50, 0.1, 0.9, 0),
+      (50, 0.9, 0.9, 1),
+      (50, 0.1, 0.9, 1), // A's only errors — the reweighted block
+      (400, 0.1, 0.1, 0),
+      (250, 0.9, 0.1, 1))
+    val rows = groups.zipWithIndex.flatMap { case ((cnt, a, b, y), g) =>
+      (0 until cnt).map(i => (a, b, (g * 37 + i) % 2 / 10.0, y))
+    }
+    val base = rows.toDF("fa", "fb", "fc", "y")
+    val r = graft.ml.Ml5.boostTwoStumps(base,
+      Seq("fa" -> "fa", "fb" -> "fb", "fc" -> "fc")).collect().head
+    assert(r.getAs[String]("f1") == "fa", s"round 1 should pick fa: $r")
+    assert(r.getAs[String]("f2") == "fb",
+      s"reweighting failed to move round 2 off the round-1 feature: $r")
+    val eps1 = r.getAs[Long]("err1").toDouble / r.getAs[Long]("n")
+    val eps2 = r.getAs[Long]("err2_w").toDouble / r.getAs[Long]("total_w")
+    assert(math.abs(eps1 - 50.0 / 800) < 1e-9)
+    assert(eps2 < 0.3, s"stump 2 should exploit the reweighted block: eps2=$eps2")
+    // material exp-loss improvement, visible even at 4-decimal rounding
+    assert(r.getAs[Double]("loss2") < r.getAs[Double]("loss1") - 0.05,
+      s"expected a material bound drop: $r")
+  }
+
   test("ml_kmeans_lloyd: monotone inertia and shrinking movement across 3 exact rounds") {
     val rows = graft.ml.Ml5.mlKmeansLloyd(spark, sf).collect()
       .map(r => (r.getAs[Int]("round"), r.getAs[Long]("inertia"), r.getAs[Long]("moved")))
