@@ -245,22 +245,28 @@ object Ml5 {
 
     var prevCents: Option[IndexedSeq[Array[Long]]] = None
     val stats = (1 to rounds).map { t =>
-      def asgOf(cs: IndexedSeq[Array[Long]]): (Column, Column) = {
-        val darr = array(cs.map(c => intSqDist(col("q"), litArr(c))): _*)
-        (darr, array_min(darr))
+      // ONE literal codebook array + a `transform` HOF fold (E3's
+      // idiom): the expression tree is O(1) in k — `array(k × dist)`
+      // would bloat codegen linearly and stop compiling for k in the
+      // thousands. array_min over (d2, cid) structs is the argmin with
+      // the lowest-cid tie-break built into lexicographic ordering.
+      def asgOf(cs: IndexedSeq[Array[Long]]): Column = {
+        val cbLit = array(cs.zipWithIndex.map { case (c, cid) =>
+          struct(lit(cid).as("cid"), litArr(c).as("cv"))
+        }: _*)
+        array_min(transform(cbLit, c => struct(
+          intSqDist(col("q"), c.getField("cv")).as("d2"),
+          c.getField("cid").as("cid"))))
       }
-      val (darr, minD) = asgOf(cents)
-      val withD = e.withColumn("_d", darr)
-        .withColumn("_min", array_min(col("_d")))
-        .withColumn("_a", (array_position(col("_d"), col("_min")) - 1).cast("int"))
+      val withD = e.withColumn("_m", asgOf(cents))
+        .withColumn("_min", col("_m").getField("d2"))
+        .withColumn("_a", col("_m").getField("cid"))
       // moved vs the PREVIOUS round's assignment — also a pure literal
       // projection, so both assignments ride the same scan
       val movedAgg = prevCents match {
         case None => count(lit(1)).cast("long")
         case Some(pcs) =>
-          val (pd, _) = asgOf(pcs)
-          val pa = (array_position(pd, array_min(pd)) - 1).cast("int")
-          sum((col("_a") =!= pa).cast("long"))
+          sum((col("_a") =!= asgOf(pcs).getField("cid")).cast("long"))
       }
       val row = withD.agg(sum(col("_min")).as("inertia"), movedAgg.as("moved"))
         .collect().head
