@@ -134,6 +134,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DistRank rank and running sums equal the global window on random distributions") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new Random(23)
+    (1 to 4).foreach { trial =>
+      // heavy duplication in keys AND values: slice cuts land inside
+      // runs of equal keys, the case offset arithmetic must survive
+      val n = 200 + rnd.nextInt(400)
+      val data = (1 to n).map { i =>
+        val key: Option[Double] = rnd.nextInt(12) match {
+          case 0 => None
+          case 1 => Some(Double.NaN)
+          case _ => Some(rnd.nextInt(9).toDouble)
+        }
+        val v: Option[Long] = if (rnd.nextInt(5) == 0) None
+          else Some(rnd.nextInt(7).toLong - 3)
+        (i.toLong, key, v)
+      }
+      val df = data.toDF("id", "key", "v")
+      val order = if (trial % 2 == 0) col("key") else col("key").desc
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order, col("id"))
+      val rankWindow = df.withColumn("r", row_number().over(w).cast("long"))
+      val rankDist = graft.ops.DistRank.withGlobalRank(df, "r", order, col("id"))
+      assert(rankDist.exceptAll(rankWindow).isEmpty &&
+        rankWindow.exceptAll(rankDist).isEmpty,
+        s"trial $trial rank diverged (n=$n, order=$order)")
+      val wc = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val sumWindow = df.withColumn("cv", sum(coalesce(col("v"), lit(0))).over(wc))
+      val sumDist = graft.ops.DistRank.withRunningSums(df,
+        Seq((col("v"), "cv")), order, col("id"))
+      assert(sumDist.exceptAll(sumWindow).isEmpty &&
+        sumWindow.exceptAll(sumDist).isEmpty,
+        s"trial $trial running sum diverged (n=$n, order=$order)")
+    }
+  }
+
   test("CosineSim eval matches a plain-Scala reference on random vectors") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
