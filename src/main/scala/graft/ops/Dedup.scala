@@ -328,8 +328,13 @@ object Dedup {
       .filter(col("jaccard") >= 0.5).select("a", "b").persist()
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
       .persist()
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id").as("node"), col("doc_id").as("lab")).persist()
+    // Propagate only over edge-touched nodes: an isolated doc never
+    // receives a smaller label, so it is its own cluster by identity and
+    // is coalesced back after the fixpoint. At corpus scale this shrinks
+    // every round's frame from |documents| to |near-dup vertices| —
+    // orders of magnitude at 100 TB, where near-dups are a sliver.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab")).persist()
     var labSum = labels.agg(sum("lab")).head.getLong(0)
     var converged = false
     var rounds = 0
@@ -346,7 +351,9 @@ object Dedup {
       rounds += 1
     }
     pairs.unpersist(); edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
   }
 

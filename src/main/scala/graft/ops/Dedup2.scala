@@ -77,11 +77,99 @@ object Dedup2 {
       .orderBy("doc_id")
   }
 
+  /** Data-generic N-round integer PageRank core (the iterative-graph
+    * analog of Ml5's boosting core and Ml4's Lloyd rounds): given a
+    * SYMMETRIZED edge list `(src, dst)`, run `rounds` exact damped
+    * iterations entirely in integer mass — r₀ = 10⁶ per node,
+    * contribution = r div deg, rₜ₊₁ = 150000 + (85·Σ) div 100 — and
+    * return one row per edge-touched node with `deg` and a `rank_qT`
+    * column per round. Truncating integer div replays identically in
+    * DuckDB (`//`), so EVERY round is hash-verifiable, not just the
+    * fixpoint.
+    *
+    * Scale shape: the whole loop runs over NODE- and EDGE-sized frames
+    * only (isolated vertices never receive mass and are coalesced back
+    * by the caller) — one equi-join shuffle + one aggregate per round,
+    * no driver-side graph state. `edges`/`deg` are persisted (tiny:
+    * 16 B/edge, 16 B/node) because each round's contrib re-reads them;
+    * they stay cached for the session, same discipline as D7's labels.
+    * Deterministic-input precondition as DistRank: the edge list must
+    * be stable across re-computation.
+    */
+  def pagerankRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "pagerankRounds needs at least one round")
+    val e = edges.toDF("src", "dst").persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    var out = deg.select(col("src").as("node"), col("deg"))
+    var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    (1 to rounds).foreach { t =>
+      val contrib = e.join(deg, "src")
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+      r = contrib.groupBy("node")
+        .agg(expr("CAST(150000 + 85 * sum(c) div 100 AS LONG)").as("r"))
+      out = out.join(r.withColumnRenamed("r", s"rank_q$t"), "node")
+    }
+    out
+  }
+
+  /** D9b — THREE exact PageRank rounds over the verified near-dup graph
+    * (D9 is the single-iteration base; its rank_q equals this rank_q1
+    * by construction). Proves the iterative message-passing loop — not
+    * just one step — stays oracle-exact: the DuckDB twin unrolls r1/r2/
+    * r3 as chained CTEs over the identical integer recurrence.
+    */
+  def graphPagerankIter(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashCandidatePairs(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+    val edges = pairs.union(pairs.select(col("b"), col("a")))
+    val pr = pagerankRounds(edges, 3)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(pr.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("rank_q1"), lit(150000L)).as("rank_q1"),
+        coalesce(col("rank_q2"), lit(150000L)).as("rank_q2"),
+        coalesce(col("rank_q3"), lit(150000L)).as("rank_q3"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_doc_chunk" -> (dedupDocChunk _),
-    "graph_pagerank" -> (graphPagerank _))
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_pagerank_iter" -> (graphPagerankIter _))
 
   val oracles: Map[String, String] = Map(
+    // the 3-round recurrence unrolled as chained CTEs — each rT is the
+    // exact integer image of the Spark loop's round-T frame
+    "graph_pagerank_iter" ->
+      s"""WITH ${Dedup.minhashJacCtes},
+         |p AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+         |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r1 AS (
+         |  SELECT e.dst AS node,
+         |    CAST(150000 + 85 * sum(1000000 // dg.deg) // 100 AS BIGINT) AS r
+         |  FROM e JOIN dg USING (src) GROUP BY 1),
+         |r2 AS (
+         |  SELECT e.dst AS node,
+         |    CAST(150000 + 85 * sum(r1.r // dg.deg) // 100 AS BIGINT) AS r
+         |  FROM e JOIN dg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+         |r3 AS (
+         |  SELECT e.dst AS node,
+         |    CAST(150000 + 85 * sum(r2.r // dg.deg) // 100 AS BIGINT) AS r
+         |  FROM e JOIN dg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(dg.deg, 0) AS BIGINT) AS degree,
+         |  CAST(coalesce(r1.r, 150000) AS BIGINT) AS rank_q1,
+         |  CAST(coalesce(r2.r, 150000) AS BIGINT) AS rank_q2,
+         |  CAST(coalesce(r3.r, 150000) AS BIGINT) AS rank_q3
+         |FROM documents d
+         |LEFT JOIN dg ON dg.src = d.doc_id
+         |LEFT JOIN r1 ON r1.node = d.doc_id
+         |LEFT JOIN r2 ON r2.node = d.doc_id
+         |LEFT JOIN r3 ON r3.node = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "graph_pagerank" ->
       s"""WITH ${Dedup.minhashJacCtes},
          |p AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),

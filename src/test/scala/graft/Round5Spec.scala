@@ -139,4 +139,32 @@ class Round5Spec extends AnyFunSuite {
     assert(viaLayout.exceptAll(viaTable).isEmpty &&
       viaTable.exceptAll(viaLayout).isEmpty)
   }
+
+  test("pagerankRounds: hand-computed exact integers on a path graph") {
+    import spark.implicits._
+    // undirected path 1—2—3, symmetrized; every round replayed by hand
+    // through the integer recurrence rₜ₊₁ = 150000 + 85·Σ(rₜ div deg) div 100
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val out = graft.ops.Dedup2.pagerankRounds(edges, 3).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("rank_q1"),
+          r.getAs[Long]("rank_q2"), r.getAs[Long]("rank_q3"))).toMap
+    assert(out(1L) == ((1L, 575000L, 936250L, 629187L)), s"node 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1850000L, 1127500L, 1741625L)), s"node 2: ${out(2L)}")
+    assert(out(3L) == ((1L, 575000L, 936250L, 629187L)), s"node 3: ${out(3L)}")
+  }
+
+  test("graph_pagerank_iter: round 1 equals D9's single iteration; isolated docs hold the floor") {
+    val iter = graft.ops.Dedup2.graphPagerankIter(spark, sf).collect()
+    val base = graft.ops.Dedup2.graphPagerank(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_q")).toMap
+    iter.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("rank_q1") == base(id),
+        s"doc $id: rank_q1 ${r.getAs[Long]("rank_q1")} != D9 rank_q ${base(id)}")
+      if (r.getAs[Long]("degree") == 0L)
+        assert(r.getAs[Long]("rank_q2") == 150000L && r.getAs[Long]("rank_q3") == 150000L,
+          s"isolated doc $id left the 150000 floor")
+    }
+  }
 }
