@@ -339,3 +339,182 @@ case class Combine64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Combine64 =
     copy(child = newChild)
 }
+
+/** PQ nearest-codeword argmin: left = one subspace's tick subvector
+  * (`array<bigint>`), right = the subspace's codebook (an
+  * `array<array<bigint>>` LITERAL, k codewords × d ticks). Returns the
+  * order-preserving encoding `d2 · 256 + ordinal` of the nearest
+  * codeword under exact integer L2, ties to the lowest ordinal — so a
+  * numeric min over the encodings IS the (d2, code) lexicographic
+  * argmin, and callers decode with `>> 8` / `& 255`.
+  *
+  * Why native: the composed formulation (`array_min` over k structs of
+  * [[IntSqDist]] calls, times S subspaces) inlines k·S distance loops
+  * into one generated method — past the JVM's 8 KB JIT limit the WHOLE
+  * fused stage runs as interpreted bytecode, including any join loop
+  * fused after it. One small per-subspace loop keeps the stage JIT'd.
+  * Encoding headroom: d2 ≤ d·maxdiff², so d2·256 fits a long for any
+  * realistic tick scale (10⁻⁶ ticks of unit-norm floats: ~3·10¹⁶).
+  */
+case class PqNearest(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_nearest expects (array<bigint>, array<array<bigint>>), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_nearest"
+  // empty codebook, length-mismatched codeword, or null element -> NULL
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val subv = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val k = cb.numElements()
+    if (k == 0 || k > 256) return null
+    val n = subv.numElements()
+    var best = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      if (cb.isNullAt(c)) return null
+      val cw = cb.getArray(c)
+      if (cw.numElements() != n) return null
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (subv.isNullAt(i) || cw.isNullAt(i)) return null
+        val d = subv.getLong(i) - cw.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      val enc = (acc << 8) | c
+      if (enc < best) best = enc
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val cw = ctx.freshName("cw")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val enc = ctx.freshName("enc")
+      val best = ctx.freshName("best")
+      s"""
+         |int $k = $b.numElements();
+         |int $n = $a.numElements();
+         |long $best = Long.MAX_VALUE;
+         |if ($k == 0 || $k > 256) { ${ev.isNull} = true; }
+         |for (int $c = 0; !${ev.isNull} && $c < $k; $c++) {
+         |  if ($b.isNullAt($c)) { ${ev.isNull} = true; break; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cw = $b.getArray($c);
+         |  if ($cw.numElements() != $n) { ${ev.isNull} = true; break; }
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $cw.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $cw.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (${ev.isNull}) break;
+         |  long $enc = ($acc << 8) | (long) $c;
+         |  if ($enc < $best) $best = $enc;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqNearest =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-subspace PQ distance row: left = a probe's tick subvector, right
+  * = the subspace codebook literal (as in [[PqNearest]]). Returns the
+  * `array<bigint>` of exact integer L2 distances to every codeword — one
+  * row of the probe's ADC lookup table, in codebook-ordinal order.
+  * Same JIT rationale as [[PqNearest]]: the probe side scales with the
+  * corpus (1% sample), so its encode stage must also stay compiled.
+  */
+case class PqDists(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_dists expects (array<bigint>, array<array<bigint>>), got " +
+        s"(${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_dists"
+  // mismatched codeword length or null element -> NULL
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val subv = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val k = cb.numElements()
+    val n = subv.numElements()
+    val out = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      if (cb.isNullAt(c)) return null
+      val cw = cb.getArray(c)
+      if (cw.numElements() != n) return null
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (subv.isNullAt(i) || cw.isNullAt(i)) return null
+        val d = subv.getLong(i) - cw.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val cw = ctx.freshName("cw")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val out = ctx.freshName("out")
+      s"""
+         |int $k = $b.numElements();
+         |int $n = $a.numElements();
+         |long[] $out = new long[$k];
+         |for (int $c = 0; !${ev.isNull} && $c < $k; $c++) {
+         |  if ($b.isNullAt($c)) { ${ev.isNull} = true; break; }
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cw = $b.getArray($c);
+         |  if ($cw.numElements() != $n) { ${ev.isNull} = true; break; }
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $cw.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $cw.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  $out[$c] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PqDists =
+    copy(left = newLeft, right = newRight)
+}

@@ -77,6 +77,30 @@ object VectorOps {
   def combine64(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(Combine64(expression(c)))
 
+  /** Nearest-codeword argmin for one PQ subspace — fused native
+    * [[PqNearest]] over a driver-built codebook literal; returns the
+    * `d2 · 256 + ordinal` encoding (decode with `>> 8` / `& 255`).
+    */
+  def pqNearest(subv: Column, codebook: Seq[Seq[Long]]): Column = {
+    require(codebook.nonEmpty && codebook.size <= 256,
+      s"pqNearest codebook must hold 1..256 codewords, got ${codebook.size}")
+    org.apache.spark.sql.GraftColumnBridge.column(PqNearest(expression(subv),
+      codebookLit(codebook)))
+  }
+
+  /** Exact integer L2 to every codeword of one PQ subspace — fused
+    * native [[PqDists]]; one ADC lookup-table row in ordinal order.
+    */
+  def pqDists(subv: Column, codebook: Seq[Seq[Long]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(PqDists(expression(subv),
+      codebookLit(codebook)))
+
+  private def codebookLit(codebook: Seq[Seq[Long]]) =
+    org.apache.spark.sql.catalyst.expressions.Literal.create(
+      codebook,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+
   private def expression(c: Column) =
     org.apache.spark.sql.GraftColumnBridge.expression(c)
 }

@@ -148,42 +148,95 @@ object Similarity {
     * geometry lives in QUANTIZED INTEGER space — components floor to
     * 10⁻⁶ ticks, subspace L2 is an exact bigint sum of squared tick
     * diffs — so assignment and error replay bit-for-bit in DuckDB.
-    * Scale shape: the codebook is S·K·D ints (always broadcast); codes
-    * come from one explode + broadcast-join + two-level aggregate over
-    * (vec, sub, code) — map-side partials, no full-row shuffle.
+    * Scale shape: E3's literal-codebook pattern applied to PQ — the
+    * codebook is S·K·D ints, collected ONCE (bounded by k·dim, never by
+    * n) and inlined; assignment is then a pure codegen projection, no
+    * explode, no join, no shuffle on the data side.
     */
-  /** (vec_id, sub, dimin, q): every embedding exploded to 10⁻⁶-tick
-    * integer components, keyed by subspace. Shared by E4/E5.
+  /** Driver-collected PQ codebook: (codeword vec_id, per-subspace tick
+    * slices), sorted by codeword id. Bounded by k·dim — the coarse
+    * training state every PQ index ships to its scan side.
     */
-  private def pqQuantized(spark: SparkSession, dir: String, subs: Int): DataFrame = {
+  private def pqCodebook(spark: SparkSession, dir: String, subs: Int,
+                         k: Int): Array[(Long, Array[Array[Long]])] = {
     val dimsPerSub = 64 / subs
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
-      .select(col("vec_id"), (col("pos") / dimsPerSub).cast("int").as("sub"),
-        (col("pos") % dimsPerSub).as("dimin"),
-        floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+    Tables.embeddings(spark, dir).filter(col("vec_id") < k)
+      .select(col("vec_id"), qticks(asDouble(col("embedding"))).as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray.grouped(dimsPerSub).toArray))
+      .sortBy(_._1)
   }
 
-  /** (vec_id, sub, code, d2): each vector's nearest codeword per
-    * subspace under exact integer L2, ties to the lowest code.
+  /** (vec_id, codes, ords, d2s): per-subspace nearest codeword (value,
+    * codebook ordinal, exact integer L2) as a PURE PROJECTION — one
+    * fused native [[graft.functions.PqNearest]] argmin per subspace
+    * against the literal codebook, decoded with shifts. The codeword
+    * ordinals are sorted by codeword id, so the expression's
+    * lowest-ordinal tie-break IS the (d2, code) lowest-code tie-break.
+    * Replaces the former explode + broadcast-join + (vec, sub, code)
+    * aggregate + window: zero shuffle, zero join on the data side, and
+    * the generated method stays small enough to JIT (the composed
+    * array_min-over-structs tree pushed the whole fused stage past the
+    * JVM's JIT method limit into interpreted bytecode).
     */
-  private def pqCodesLong(ex: DataFrame, k: Int): DataFrame = {
-    val cb = ex.filter(col("vec_id") < k)
-      .select(col("sub"), col("dimin"), col("vec_id").as("code"), col("q").as("cq"))
-    val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))
-    ex.join(broadcast(cb), Seq("sub", "dimin"))
-      .groupBy("vec_id", "sub", "code")
-      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "sub", "code", "d2")
+  private def pqAssign(spark: SparkSession, dir: String, subs: Int,
+                       k: Int): DataFrame = {
+    val dimsPerSub = 64 / subs
+    val cb = pqCodebook(spark, dir, subs, k)
+    val codeVals = array(cb.map(c => lit(c._1)): _*)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), qticks(asDouble(col("embedding"))).as("_q"))
+    val best = (0 until subs).map { s =>
+      pqNearest(slice(col("_q"), s * dimsPerSub + 1, dimsPerSub),
+        cb.map(_._2(s).toSeq)).as(s"enc_$s")
+    }
+    def ord(s: Int): Column = col(s"enc_$s").bitwiseAND(lit(255L)).cast("int")
+    // persisted: the coded corpus IS the PQ index — built once, scanned
+    // by every probe batch (16 B/vector of state, the whole point of
+    // PQ). The cache boundary also keeps the encode loops out of the
+    // downstream ADC join stage, which must stay under the JVM's 8 KB
+    // JIT method limit to scan codes at speed.
+    e.select(col("vec_id") +: best: _*)
+      .select(col("vec_id"),
+        array((0 until subs).map(s => element_at(codeVals, ord(s) + 1)): _*).as("codes"),
+        array((0 until subs).map(ord): _*).as("ords"),
+        array((0 until subs).map(s => shiftright(col(s"enc_$s"), 8)): _*).as("d2s"))
+      .persist()
   }
+
+  /** Per-probe ADC distance tables as ONE projection: dtm[sub][ord] =
+    * exact integer L2 from the probe's subvector to that codeword. The
+    * probe set scales with n (vec_id % 100), so it stays a DataFrame —
+    * |probes| rows of S·K longs each — and is broadcast to the code scan.
+    */
+  private def pqDistTables(spark: SparkSession, dir: String, subs: Int,
+                           k: Int): DataFrame = {
+    val dimsPerSub = 64 / subs
+    val cb = pqCodebook(spark, dir, subs, k)
+    Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), qticks(asDouble(col("embedding"))).as("_q"))
+      .select(col("qid"), array((0 until subs).map { s =>
+        pqDists(slice(col("_q"), s * dimsPerSub + 1, dimsPerSub),
+          cb.map(_._2(s).toSeq))
+      }: _*).as("dtm"))
+  }
+
+  /** ADC distance of a coded vector to a probe: S table lookups summed.
+    * Fixed-arity `element_at` chain, not zip_with/aggregate — the
+    * higher-order functions interpret their lambda per element per row,
+    * which dominates the scan×probes hot loop; ElementAt is codegen'd.
+    */
+  private def adcDist(subs: Int): Column =
+    (0 until subs).map { s =>
+      element_at(element_at(col("dtm"), s + 1), element_at(col("ords"), s + 1) + 1)
+    }.reduce(_ + _)
 
   def annPq(spark: SparkSession, dir: String, subs: Int = 8, k: Int = 16): DataFrame = {
     val codeCols = (0 until subs).map(i =>
-      max(when(col("sub") === i, col("code"))).as(s"code_$i"))
-    pqCodesLong(pqQuantized(spark, dir, subs), k)
-      .groupBy("vec_id")
-      .agg(codeCols.head, codeCols.tail :+ sum("d2").as("err_q"): _*)
+      element_at(col("codes"), i + 1).as(s"code_$i"))
+    pqAssign(spark, dir, subs, k)
+      .select(col("vec_id") +: codeCols :+
+        aggregate(col("d2s"), lit(0L), (acc, x) => acc + x).as("err_q"): _*)
       .orderBy("vec_id")
   }
 
@@ -194,25 +247,17 @@ object Similarity {
     * never a touch of the raw floats. THE 100 TB retrieval pattern: the
     * corpus is scanned as nibble codes (16 B/vector instead of 256 B),
     * the tables are probe-local broadcast state, and the only shuffle is
-    * the final per-probe top-k. Integer end to end ⇒ exact oracle.
+    * the final per-probe top-k — WindowGroupLimit bounds it to topK rows
+    * per probe per partition before the exchange, so nothing scan-sized
+    * ever crosses the wire. Integer end to end ⇒ exact oracle.
     */
   def annPqSearch(spark: SparkSession, dir: String, subs: Int = 8, k: Int = 16,
                   topK: Int = 5): DataFrame = {
-    val ex = pqQuantized(spark, dir, subs)
-    val codes = pqCodesLong(ex, k).select("vec_id", "sub", "code")
-    val cb = ex.filter(col("vec_id") < k)
-      .select(col("sub"), col("dimin"), col("vec_id").as("code"), col("q").as("cq"))
-    // probe × codeword distance tables (probes are the small side, E1/E2's set)
-    val dt = ex.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("sub"), col("dimin"), col("q"))
-      .join(broadcast(cb), Seq("sub", "dimin"))
-      .groupBy("qid", "sub", "code")
-      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dt"))
     val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
-    codes.join(broadcast(dt), Seq("sub", "code"))
+    pqAssign(spark, dir, subs, k)
+      .crossJoin(broadcast(pqDistTables(spark, dir, subs, k)))
       .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id").as("nid"))
-      .agg(sum("dt").as("adc_dist"))
+      .select(col("qid"), col("vec_id").as("nid"), adcDist(subs).as("adc_dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("qid").as("query_id"), col("rank"),
@@ -302,32 +347,25 @@ object Similarity {
     */
   def annPqRefine(spark: SparkSession, dir: String, subs: Int = 8, k: Int = 16,
                   shortlistK: Int = 50, topK: Int = 5): DataFrame = {
-    val ex = pqQuantized(spark, dir, subs)
-    val codes = pqCodesLong(ex, k).select("vec_id", "sub", "code")
-    val cb = ex.filter(col("vec_id") < k)
-      .select(col("sub"), col("dimin"), col("vec_id").as("code"), col("q").as("cq"))
-    val dt = ex.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("sub"), col("dimin"), col("q"))
-      .join(broadcast(cb), Seq("sub", "dimin"))
-      .groupBy("qid", "sub", "code")
-      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dt"))
     val wShort = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
-    val short = codes.join(broadcast(dt), Seq("sub", "code"))
+    val short = pqAssign(spark, dir, subs, k)
+      .crossJoin(broadcast(pqDistTables(spark, dir, subs, k)))
       .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id").as("nid"))
-      .agg(sum("dt").as("adc_dist"))
+      .select(col("qid"), col("vec_id").as("nid"), adcDist(subs).as("adc_dist"))
       .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlistK)
       .select("qid", "nid")
-    val pvq = ex.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("sub"), col("dimin"), col("q").as("pq"))
-    val nvq = ex.select(col("vec_id").as("nid"), col("sub"), col("dimin"),
-      col("q").as("nq"))
+    // exact stage: the shortlist (|probes|·shortlistK rows) carries its
+    // probe's tick vector and is broadcast against the corpus scan; the
+    // full-dim distance is one fused IntSqDist per surviving pair — no
+    // component explode, no re-aggregation
+    val qarr = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), qticks(asDouble(col("embedding"))).as("qv"))
+    val narr = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("nid"), qticks(asDouble(col("embedding"))).as("nv"))
     val wTop = Window.partitionBy("qid").orderBy(col("exact_dist"), col("nid"))
-    short.join(broadcast(pvq), Seq("qid"))
-      .join(nvq, Seq("nid", "sub", "dimin"))
-      .groupBy("qid", "nid")
-      .agg(sum((col("pq") - col("nq")) * (col("pq") - col("nq"))).as("exact_dist"))
+    narr.join(broadcast(short.join(broadcast(qarr), Seq("qid"))), Seq("nid"))
+      .select(col("qid"), col("nid"), intSqDist(col("qv"), col("nv")).as("exact_dist"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= topK)
       .select(col("qid").as("query_id"), col("rank"),

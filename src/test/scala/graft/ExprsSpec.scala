@@ -150,4 +150,38 @@ class ExprsSpec extends AnyFunSuite {
       assert(r.getLong(1) == expect)
     }
   }
+
+  test("PqNearest/PqDists (codegen) equal the IntSqDist reference, encode decodes, ties break low") {
+    val cb: Seq[Seq[Long]] = Seq(
+      Seq(0L, 0L, 0L), Seq(10L, -5L, 3L), Seq(10L, -5L, 3L), Seq(-7L, 2L, 100L))
+    val q = graft.tables.Tables.embeddings(spark, sf).limit(50)
+      .select(expr(
+        "slice(transform(CAST(embedding AS array<double>), x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)), 1, 3)")
+        .as("q"))
+    val rows = q.select(
+      VectorOps.pqNearest(col("q"), cb).as("enc"),
+      VectorOps.pqDists(col("q"), cb).as("dists"),
+      array(cb.map(cw => VectorOps.intSqDist(col("q"),
+        array(cw.map(lit(_)): _*))): _*).as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dists = r.getSeq[Long](1)
+      val ref = r.getSeq[Long](2)
+      assert(dists == ref, s"PqDists $dists != IntSqDist reference $ref")
+      val enc = r.getLong(0)
+      val (d2, ord) = (enc >> 8, (enc & 255L).toInt)
+      assert(d2 == ref.min, s"decoded d2 $d2 != min ${ref.min}")
+      assert(ord == ref.indexOf(ref.min),
+        s"ordinal $ord is not the LOWEST argmin of $ref")
+      // codewords 1 and 2 are identical: a tie there must pick ordinal 1
+      if (ref(1) == ref.min) assert(ord <= 1)
+    }
+    // null semantics: mismatched codeword length nulls both, through SQL
+    val bad: Seq[Seq[Long]] = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L))
+    val nulls = q.limit(5).select(
+      VectorOps.pqNearest(col("q"), bad).as("e"),
+      VectorOps.pqDists(col("q"), bad).as("d")).collect()
+    nulls.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1),
+      "length-mismatched codebook must null the result"))
+  }
 }

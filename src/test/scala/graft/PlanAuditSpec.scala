@@ -90,12 +90,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"assignment degenerated to a cartesian shuffle in:\n$plan")
   }
 
-  test("ann_pq_search broadcasts the codebook and distance tables") {
+  test("ann_pq_search: literal-codebook projection, broadcast tables, bounded top-k") {
     val plan = executedPlan("ann_pq_search")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"codebook/distance-table joins not broadcast in:\n$plan")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"ADC join degenerated in:\n$plan")
+    // the codebook is inlined, so the ONLY join is the tiny probe
+    // distance-table broadcast against the code scan
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe distance tables not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"ADC join degenerated to a shuffled cartesian in:\n$plan")
+    // code assignment is a projection: no aggregate anywhere in the plan
+    assert(!plan.contains("HashAggregate"),
+      s"PQ code assignment still aggregates (literal codebook lost) in:\n$plan")
+    // the per-probe top-k is truncated before its exchange
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k not group-limited before the shuffle in:\n$plan")
   }
 
   test("q_range_window shuffles once on user_id and prunes events columns") {
