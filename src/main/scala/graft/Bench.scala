@@ -20,7 +20,7 @@ object Bench {
     "stream_window_agg",
     // round-5 widening: the heavy/iterative representatives so every
     // operator family has a timed, shuffle-budgeted regression gate
-    "dedup_cluster", "graph_pagerank",
+    "dedup_cluster", "graph_pagerank", "graph_pagerank_iter",
     "ann_pq_search", "ann_pq_refine", "ann_centroid_ivf",
     "ml_ks_statistic_dist", "q_sequence_gaps_dist", "f_quantile_bucket_dist",
     "mm_chunk_dedup", "text_tfidf", "src_jdbc_roundtrip",

@@ -94,8 +94,9 @@ object ShuffleBudget {
     // round-5 widening: iterative graph/dedup, PQ/ANN, the distributed
     // twins, JDBC and layout round-trips, the exact-training loops
     // (probed under the 4-partition TEST config this table is gated in)
-    "dedup_cluster" -> 12000L, "graph_pagerank" -> 26000L,
-    "ann_pq_search" -> 2100000L, "ann_pq_refine" -> 2100000L,
+    "dedup_cluster" -> 11000L, "graph_pagerank" -> 26000L,
+    "graph_pagerank_iter" -> 35000L,
+    "ann_pq_search" -> 2500L, "ann_pq_refine" -> 9700L,
     "ann_centroid_ivf" -> 2500L, "ml_ks_statistic_dist" -> 133000L,
     "q_sequence_gaps_dist" -> 4200L, "f_quantile_bucket_dist" -> 61000L,
     "mm_chunk_dedup" -> 5500L, "text_tfidf" -> 650000L,
@@ -108,8 +109,9 @@ object ShuffleBudget {
     "f_standard_scale" -> 21200000L, "dedup_minhash_lsh" -> 170000L,
     "ann_bruteforce" -> 13000L, "text_quality" -> 240000L,
     "stream_window_agg" -> 320000L,
-    "dedup_cluster" -> 220000L, "graph_pagerank" -> 260000L,
-    "ann_pq_search" -> 11800000L, "ann_pq_refine" -> 11800000L,
+    "dedup_cluster" -> 105000L, "graph_pagerank" -> 260000L,
+    "graph_pagerank_iter" -> 455000L,
+    "ann_pq_search" -> 12600L, "ann_pq_refine" -> 41000L,
     "ann_centroid_ivf" -> 13000L, "ml_ks_statistic_dist" -> 12800000L,
     "q_sequence_gaps_dist" -> 310000L, "f_quantile_bucket_dist" -> 5400000L,
     "mm_chunk_dedup" -> 190000L, "text_tfidf" -> 6800000L,
