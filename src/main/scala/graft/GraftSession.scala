@@ -9,6 +9,9 @@ import org.apache.spark.sql.SparkSession
   * partitions sized to cores (not the 200 default), UTC session time, and
   * nanosecond parquet timestamps surfaced as exact Long nanos (Spark has
   * no nanos timestamp type; truncating would lose ordering information).
+  * Micro-precision event timestamps are normalized to the same Long-nanos
+  * contract at load time instead (`Tables.normalizeTs`) — the UTC session
+  * timezone makes that conversion storage-independent.
   */
 object GraftSession {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)}]",

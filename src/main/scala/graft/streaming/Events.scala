@@ -15,14 +15,28 @@ import graft.tables.Tables
   * plus a true Structured Streaming runtime path (readStream → watermark →
   * window → sink) exercised by the test suite.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), surfaced as Long nanos
-  * (`nanosAsLong`); conversions use integer `div` — double division would
-  * lose precision above 2^53 ns.
+  * `events.ts` carries the engine contract of Long epoch-nanos
+  * (`Tables.normalizeTs`); conversions use integer `div` — double
+  * division would lose precision above 2^53 ns.
   */
 object Events {
 
   /** Nanos-long → timestamp (micro truncation is exact for window maths). */
   private def tsCol = expr("timestamp_micros(ts div 1000)")
+
+  /** File-stream over the events table with the engine ts contract
+    * (Long epoch-nanos) restored: the source must be declared with the
+    * RAW file schema (a normalized schema would mismatch the parquet
+    * footer), so the same `Tables.normalizeTs` conversion is applied to
+    * the streaming frame after load.
+    */
+  private[streaming] def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.normalizeTs(
+      spark.readStream
+        .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+        // file streams list a directory; glob-filter selects the one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
 
   /** Order-independent cross-engine sum of a full-precision double
     * column: quantize each value to an exact 1e-8 grid with pure binary
@@ -95,12 +109,7 @@ object Events {
     */
   def startStreamingWindowAgg(spark: SparkSession, dir: String,
                               queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = Tables.events(spark, dir).schema
-    spark.readStream
-      .schema(schema)
-      // file streams list a directory; glob-filter selects the one table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    eventsStream(spark, dir)
       .select(tsCol.as("event_ts"), col("event_type"), col("value"))
       .withWatermark("event_ts", "2 hours")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -205,11 +214,7 @@ object Events {
 object StreamingDedup {
   def start(spark: SparkSession, dir: String,
             queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = Tables.events(spark, dir).schema
-    def src = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def src = Events.eventsStream(spark, dir)
       .select(expr("timestamp_micros(ts div 1000)").as("event_ts"),
         col("event_id"), col("user_id"), col("event_type"))
     src.union(src) // deliberate duplicate feed
@@ -235,11 +240,7 @@ object StreamingDedup {
 object StreamStreamJoin {
   def start(spark: SparkSession, dir: String,
             queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = Tables.events(spark, dir).schema
-    def src = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def src = Events.eventsStream(spark, dir)
       .select(expr("timestamp_micros(ts div 1000)").as("ts"),
         col("user_id"), col("event_type"), col("event_id"))
     val clicks = src.filter(col("event_type") === "click")
@@ -349,11 +350,7 @@ object CheckpointRestart {
 
 object StreamingUpsert {
   def run(spark: SparkSession, dir: String, outPath: String): Unit = {
-    val schema = Tables.events(spark, dir).schema
-    val q = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val q = Events.eventsStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -454,11 +451,7 @@ object StatefulSessionize {
 
   def start(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
     import spark.implicits._
-    val schema = Tables.events(spark, dir).schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    Events.eventsStream(spark, dir)
       .as[EventRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessionize)
@@ -508,11 +501,7 @@ object StreamingFunnel {
 
   def start(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
     import spark.implicits._
-    val schema = Tables.events(spark, dir).schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    Events.eventsStream(spark, dir)
       .as[EventRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(detect)
