@@ -95,7 +95,7 @@ object ShuffleBudget {
     // twins, JDBC and layout round-trips, the exact-training loops
     // (probed under the 4-partition TEST config this table is gated in)
     "dedup_cluster" -> 11000L, "graph_pagerank" -> 26000L,
-    "graph_pagerank_iter" -> 35000L,
+    "graph_pagerank_iter" -> 30000L,
     "ann_pq_search" -> 2500L, "ann_pq_refine" -> 9700L,
     "ann_centroid_ivf" -> 2500L, "ml_ks_statistic_dist" -> 133000L,
     "q_sequence_gaps_dist" -> 4200L, "f_quantile_bucket_dist" -> 61000L,
@@ -110,7 +110,7 @@ object ShuffleBudget {
     "ann_bruteforce" -> 13000L, "text_quality" -> 240000L,
     "stream_window_agg" -> 320000L,
     "dedup_cluster" -> 105000L, "graph_pagerank" -> 260000L,
-    "graph_pagerank_iter" -> 455000L,
+    "graph_pagerank_iter" -> 330000L,
     "ann_pq_search" -> 12600L, "ann_pq_refine" -> 41000L,
     "ann_centroid_ivf" -> 13000L, "ml_ks_statistic_dist" -> 12800000L,
     "q_sequence_gaps_dist" -> 310000L, "f_quantile_bucket_dist" -> 5400000L,

@@ -89,21 +89,25 @@ object Dedup2 {
     *
     * Scale shape: the whole loop runs over NODE- and EDGE-sized frames
     * only (isolated vertices never receive mass and are coalesced back
-    * by the caller) — one equi-join shuffle + one aggregate per round,
-    * no driver-side graph state. `edges`/`deg` are persisted (tiny:
-    * 16 B/edge, 16 B/node) because each round's contrib re-reads them;
-    * they stay cached for the session, same discipline as D7's labels.
-    * Deterministic-input precondition as DistRank: the edge list must
-    * be stable across re-computation.
+    * by the caller) — and the edge list is joined with its out-degrees
+    * ONCE, hash-partitioned by `src`, and persisted (24 B/edge). Each
+    * round's contrib join then reuses that cached partitioning, so the
+    * only per-round shuffle is the NODE-sized rank frame plus the
+    * per-target aggregate — the edge list (the big side at 100 TB)
+    * never re-shuffles after round 0. Deterministic-input precondition
+    * as DistRank: the edge list must be stable across re-computation.
     */
   def pagerankRounds(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "pagerankRounds needs at least one round")
+    // e caches the (possibly expensive) upstream edge pipeline so deg and
+    // eDeg each read the cache, not the lineage; eDeg is the loop's frame
     val e = edges.toDF("src", "dst").persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val eDeg = e.join(deg, "src").repartition(col("src")).persist()
     var out = deg.select(col("src").as("node"), col("deg"))
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     (1 to rounds).foreach { t =>
-      val contrib = e.join(deg, "src")
+      val contrib = eDeg
         .join(r.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
       r = contrib.groupBy("node")
