@@ -326,8 +326,11 @@ object Dedup {
   def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashCandidatePairs(spark, dir)
       .filter(col("jaccard") >= 0.5).select("a", "b").persist()
+    // hash-partitioned on the propagation key: every fixpoint round joins
+    // on src, so the edge list (the big side at scale) shuffles once here
+    // and never again — each round only shuffles the label frame
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
-      .persist()
+      .repartition(col("src")).persist()
     // Propagate only over edge-touched nodes: an isolated doc never
     // receives a smaller label, so it is its own cluster by identity and
     // is coalesced back after the fixpoint. At corpus scale this shrinks
