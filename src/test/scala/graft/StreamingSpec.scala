@@ -161,6 +161,35 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
       "restarted stream diverged from the batch twin")
   }
 
+  test("G13: three Trigger.AvailableNow cron ticks over a growing source equal the batch twin") {
+    import org.apache.spark.sql.functions._
+    // the reference's lifecycle: a scheduled entrypoint drains whatever
+    // arrived since the last run and EXITS; offsets/window state carry
+    // across invocations only through the checkpoint
+    val root = java.nio.file.Files.createTempDirectory("graft_g13").toString
+    val (src, out, ckpt) = (s"$root/src", s"$root/out/t", s"$root/ckpt")
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val mm = ev.agg(min("ts"), max("ts")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    // "day" 1/2/3 arrive between ticks; cut hours straddle the splits so
+    // their final counts are only right if state survives the exits
+    ev.filter(col("ts") <= c1).repartition(2).write.parquet(src)
+    graft.streaming.CheckpointRestart.tick(spark, src, out, ckpt)
+    ev.filter(col("ts") > c1 && col("ts") <= c2).repartition(2)
+      .write.mode("append").parquet(src)
+    graft.streaming.CheckpointRestart.tick(spark, src, out, ckpt)
+    ev.filter(col("ts") > c2).repartition(2).write.mode("append").parquet(src)
+    graft.streaming.CheckpointRestart.tick(spark, src, out, ckpt)
+    val drained = graft.streaming.CheckpointRestart.finalSink(spark, out)
+      .select("window_start", "event_type", "n_events", "sum_value")
+    val batch = graft.streaming.Events.streamWindowAgg(spark, sf)
+    assert(drained.count() > 0)
+    assert(drained.exceptAll(batch).isEmpty && batch.exceptAll(drained).isEmpty,
+      "AvailableNow tick sequence diverged from the batch twin")
+  }
+
   test("G5: foreachBatch upsert + latest-wins read equals the source, idempotent on redelivery") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
     graft.streaming.StreamingUpsert.run(spark, sf, out)
