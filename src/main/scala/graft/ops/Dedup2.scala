@@ -63,17 +63,16 @@ object Dedup2 {
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashCandidatePairs(spark, dir)
       .filter(col("jaccard") >= 0.5).select("a", "b")
-    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val contrib = edges.join(deg, "src")
-      .select(col("dst").as("node"), expr("1000000 div deg").as("c"))
-    val sums = contrib.groupBy("node").agg(sum("c").as("s"))
+    val edges = pairs.union(pairs.select(col("b"), col("a")))
+    // one round of the shared N-round core (D9b): rank_q ≡ its rank_q1,
+    // and the edge pipeline is persisted/co-partitioned once instead of
+    // re-evaluated for degrees and contributions separately
+    val pr = pagerankRounds(edges, 1)
     Tables.documents(spark, dir).select(col("doc_id"))
-      .join(sums.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .join(pr.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("deg"), lit(0L)).as("degree"),
-        (lit(150000L) + expr("85 * coalesce(s, 0) div 100")).as("rank_q"))
+        coalesce(col("rank_q1"), lit(150000L)).as("rank_q"))
       .orderBy("doc_id")
   }
 
