@@ -24,7 +24,8 @@ object Bench {
     "ann_pq_search", "ann_pq_refine", "ann_centroid_ivf",
     "ml_ks_statistic_dist", "q_sequence_gaps_dist", "f_quantile_bucket_dist",
     "mm_chunk_dedup", "text_tfidf", "src_jdbc_roundtrip",
-    "ml_gbt_step2", "ml_kmeans_lloyd", "src_sorted_layout")
+    "ml_gbt_step2", "ml_kmeans_lloyd", "src_sorted_layout",
+    "src_zorder_layout")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -101,7 +101,8 @@ object ShuffleBudget {
     "q_sequence_gaps_dist" -> 4200L, "f_quantile_bucket_dist" -> 61000L,
     "mm_chunk_dedup" -> 5500L, "text_tfidf" -> 650000L,
     "src_jdbc_roundtrip" -> 12000L, "ml_gbt_step2" -> 7600L,
-    "ml_kmeans_lloyd" -> 500L, "src_sorted_layout" -> 3000L)
+    "ml_kmeans_lloyd" -> 500L, "src_sorted_layout" -> 3000L,
+    "src_zorder_layout" -> 12000L)
   val atSf01: Map[String, Long] = Map(
     "q_agg_pricing" -> 3000L, "q_join_shuffle" -> 5200000L,
     "q_multi_join_agg" -> 8000L, "q_asof_join" -> 2700000L,
@@ -116,7 +117,8 @@ object ShuffleBudget {
     "q_sequence_gaps_dist" -> 310000L, "f_quantile_bucket_dist" -> 5400000L,
     "mm_chunk_dedup" -> 190000L, "text_tfidf" -> 6800000L,
     "src_jdbc_roundtrip" -> 770000L, "ml_gbt_step2" -> 13000L,
-    "ml_kmeans_lloyd" -> 500L, "src_sorted_layout" -> 220000L)
+    "ml_kmeans_lloyd" -> 500L, "src_sorted_layout" -> 220000L,
+    "src_zorder_layout" -> 530000L)
 
   def forDir(dir: String): Option[Map[String, Long]] =
     if (dir.endsWith("sf0.001")) Some(atSf0001)

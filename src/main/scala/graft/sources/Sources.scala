@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -69,6 +69,65 @@ object Sources {
     df.repartitionByRange(4, col(sortCol)).sortWithinPartitions(sortCol)
       .write.mode("overwrite")
       .option("parquet.block.size", blockBytes).parquet(path)
+
+  /** 16-bit Morton (Z-order) interleave of two integral columns: bits of
+    * `a` land at even positions, `b` at odd, so sorting by the key
+    * clusters rows that are close in BOTH dimensions — the multi-column
+    * generalization of [[writeSortedLayout]]'s single-key clustering
+    * (what table formats run for OPTIMIZE ZORDER BY). Pure builtin
+    * shift/mask arithmetic, fully codegen'd; inputs must fit 16 bits.
+    */
+  def mortonKey(a: Column, b: Column): Column = {
+    def spread16(c: Column): Column = {
+      val x0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+      val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+      x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+  }
+
+  /** Write `df` clustered on the Z-order key of two columns: range-
+    * partition + sort by the interleaved key, then drop it — the key is
+    * a layout device, not data (the projection after the sort keeps row
+    * order). Each dimension is first scaled to the full 16-bit domain
+    * (v·65535 div max) — WITHOUT normalization a wider dimension owns
+    * the high interleave bits and the key degenerates to a single-key
+    * sort on it. Row groups then carry tight min/max on BOTH dimensions,
+    * so a 2-D box predicate skips groups the single-key sort must read.
+    * The two maxes are a bounded driver aggregate (real optimizers read
+    * them from table stats).
+    */
+  /** One file, globally sorted by `key` (computed, then dropped): row
+    * groups are tight on the cluster key and the layout is byte-
+    * deterministic — `repartitionByRange` samples boundaries with a
+    * per-run seed, which is fine for production writes (I3/I13's path)
+    * but would make a pruning-comparison spec flaky.
+    */
+  private def writeClustered(df: DataFrame, key: Column, path: String,
+                             blockBytes: Int): Unit =
+    df.withColumn("_ckey", key)
+      .repartition(1).sortWithinPartitions("_ckey").drop("_ckey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", blockBytes).parquet(path)
+
+  def writeZorderLayout(df: DataFrame, colA: String, colB: String,
+                        path: String, blockBytes: Int = 8 * 1024): Unit = {
+    val m = df.agg(max(col(colA)).cast("long"), max(col(colB)).cast("long")).head()
+    val (mA, mB) = (math.max(m.getLong(0), 1L), math.max(m.getLong(1), 1L))
+    def scaled(c: String, mx: Long): Column =
+      expr(s"CAST($c AS BIGINT) * 65535 div $mx")
+    writeClustered(df, mortonKey(scaled(colA, mA), scaled(colB, mB)),
+      path, blockBytes)
+  }
+
+  /** The single-key control for the z-order comparison: same writer,
+    * same granularity, clustered on `colA` alone.
+    */
+  def writeSingleKeyLayout(df: DataFrame, colA: String, path: String,
+                           blockBytes: Int = 8 * 1024): Unit =
+    writeClustered(df, col(colA), path, blockBytes)
 
   /** The control layout: same data, same row-group granularity, input
     * order — every row group's min/max spans ~the full key range, so a
@@ -211,6 +270,52 @@ object SourceQueries {
     spark.read.parquet(sorted)
       .filter(col("l_extendedprice") >= lit(30000.0) &&
         col("l_extendedprice") <= lit(31000.0))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private def zorderCols = Seq(
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+
+  /** The 2-D box, derived from the table's own key range so one fixed
+    * oracle works at every scale factor: the middle HALF of partkeys ×
+    * a ~4% suppkey band. Integer `div` replays as DuckDB `//`. The agg
+    * is a bounded driver collect (2 longs) so the scan predicate stays
+    * literal — pushed to the parquet reader, prunable by footer stats.
+    */
+  def zorderBox(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val r = Tables.lineitem(spark, dir)
+      .agg(max(col("l_partkey")).cast("long"), max(col("l_suppkey")).cast("long")).head()
+    val (mp, ms) = (r.getLong(0), r.getLong(1))
+    (mp / 4, 3 * mp / 4, ms / 10, ms / 10 + ms / 25)
+  }
+
+  /** Z-order layout under test plus the single-key-sorted CONTROL (for
+    * the spec only — the contract query pays for the z-layout alone).
+    */
+  def zorderLayoutPaths(spark: SparkSession, dir: String): (String, String) = {
+    val li = Tables.lineitem(spark, dir).select(zorderCols.map(col): _*)
+    val base = scratch("zlayout")
+    Sources.writeZorderLayout(li, "l_partkey", "l_suppkey", s"$base/zorder")
+    Sources.writeSingleKeyLayout(li, "l_partkey", s"$base/partkey")
+    (s"$base/zorder", s"$base/partkey")
+  }
+
+  /** I14 — the 2-D box read over the Z-ORDERED layout: a wide partkey
+    * band × a narrow suppkey band, the access pattern single-key
+    * clustering cannot serve (a partkey sort leaves every surviving
+    * group spanning all suppkeys). Values must equal the same select on
+    * the original table (the oracle); the two-dimensional row-group
+    * pruning is asserted from parquet footers in Round5Spec against the
+    * partkey-sorted control.
+    */
+  def srcZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(zorderCols.map(col): _*)
+    val zpath = s"${scratch("zlayout")}/zorder"
+    Sources.writeZorderLayout(li, "l_partkey", "l_suppkey", zpath)
+    val (pLo, pHi, sLo, sHi) = zorderBox(spark, dir)
+    spark.read.parquet(zpath)
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -400,6 +505,7 @@ object SourceQueries {
     "src_text_roundtrip" -> (srcTextRoundtrip _),
     "src_partitioned_sink" -> (srcPartitionedSink _),
     "src_sorted_layout" -> (srcSortedLayout _),
+    "src_zorder_layout" -> (srcZorderLayout _),
     "src_incremental_merge" -> (srcIncrementalMerge _))
 
   /** A faithful round-trip preserves every value, so the oracle is the
@@ -456,5 +562,12 @@ object SourceQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
         |FROM lineitem
         |WHERE l_extendedprice >= 30000.0 AND l_extendedprice <= 31000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "src_zorder_layout" ->
+      """WITH b AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |FROM lineitem, b
+        |WHERE l_partkey BETWEEN mp // 4 AND 3 * mp // 4
+        |  AND l_suppkey BETWEEN ms // 10 AND ms // 10 + ms // 25
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

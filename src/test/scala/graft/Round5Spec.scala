@@ -140,6 +140,75 @@ class Round5Spec extends AnyFunSuite {
       viaTable.exceptAll(viaLayout).isEmpty)
   }
 
+  test("src_zorder_layout: 2-D box skips row groups the single-key sort must read") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val (zorder, partkeySorted) = graft.sources.SourceQueries.zorderLayoutPaths(spark, sf)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // per row group: (min,max) of BOTH clustering dims + compressed bytes
+    def rowGroups(dir: String): Seq[((Long, Long), (Long, Long), Long)] =
+      new java.io.File(dir).listFiles.toSeq
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          def mm(b: org.apache.parquet.hadoop.metadata.BlockMetaData, c: String) = {
+            val st = b.getColumns.asScala.find(_.getPath.toDotString == c).get.getStatistics
+            (st.genericGetMin.asInstanceOf[Number].longValue,
+              st.genericGetMax.asInstanceOf[Number].longValue)
+          }
+          try rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+            (mm(b, "l_partkey"), mm(b, "l_suppkey"), b.getCompressedSize)
+          } finally rd.close()
+        }
+    // the contract query's box: wide partkey band x narrow suppkey band
+    val (pLo, pHi, sLo, sHi) = graft.sources.SourceQueries.zorderBox(spark, sf)
+    def surviving(gs: Seq[((Long, Long), (Long, Long), Long)]) =
+      gs.filter { case ((pMn, pMx), (sMn, sMx), _) =>
+        pMx >= pLo && pMn <= pHi && sMx >= sLo && sMn <= sHi }
+    val (zGroups, pGroups) = (rowGroups(zorder), rowGroups(partkeySorted))
+    assert(zGroups.size >= 4 && pGroups.size >= 4,
+      s"too few row groups to measure pruning: z=${zGroups.size} p=${pGroups.size}")
+    val (zLive, pLive) = (surviving(zGroups), surviving(pGroups))
+    // the single-key control prunes the partkey band but every surviving
+    // group spans ~all suppkeys; the z-layout's groups are tight in both
+    // dims, so the narrow suppkey band kills most of them
+    assert(zLive.size * 2 < pLive.size,
+      s"z-order did not out-prune the single-key sort: ${zLive.size} of " +
+        s"${zGroups.size} live vs partkey-sorted ${pLive.size} of ${pGroups.size}")
+    assert(zLive.map(_._3).sum * 3 < pLive.map(_._3).sum * 2,
+      "z-order does not read >=1.5x fewer bytes than the single-key sort: " +
+        s"${zLive.map(_._3).sum} vs ${pLive.map(_._3).sum}")
+    // and the data is intact vs the original table
+    val box = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(col("l_partkey").between(pLo, pHi) && col("l_suppkey").between(sLo, sHi))
+    val viaZ = box(spark.read.parquet(zorder))
+    val viaT = box(graft.tables.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"))
+    assert(viaZ.count() > 0)
+    assert(viaZ.exceptAll(viaT).isEmpty && viaT.exceptAll(viaZ).isEmpty)
+  }
+
+  test("mortonKey interleaves bits exactly") {
+    import spark.implicits._
+    // 0b101 (=5) and 0b011 (=3) interleave to 0b011011... hand-check:
+    // a bits at even positions: 1@0, 0@2, 1@4 -> 10001; b at odd:
+    // 1@1, 1@3, 0@5 -> 01010; key = 11011 = 27
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(graft.sources.Sources.mortonKey(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("z"))
+      .head().getLong(0)
+    assert(got == 27L, s"mortonKey(5,3) = $got, want 27")
+    // interleave is monotone per-dimension when the other dim is fixed
+    import org.apache.spark.sql.functions.{col, lit}
+    val keys = spark.range(64)
+      .select(graft.sources.Sources.mortonKey(col("id"), lit(7L)).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted, "mortonKey not monotone in a for fixed b")
+  }
+
   test("pagerankRounds: hand-computed exact integers on a path graph") {
     import spark.implicits._
     // undirected path 1—2—3, symmetrized; every round replayed by hand
