@@ -192,4 +192,24 @@ class PropertySpec extends AnyFunSuite {
       assert(got == ref(a, b))
     }
   }
+
+  test("mortonKey equals the bit-loop reference on random 16-bit pairs") {
+    // reference: place bit i of a at position 2i, bit i of b at 2i+1
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      }
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new Random(7)
+    val pairs = List.fill(300)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pairs.toDF("a", "b")
+      .select(graft.sources.Sources.mortonKey(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    pairs.zip(got).foreach { case ((a, b), z) =>
+      assert(z == ref(a, b), s"mortonKey($a,$b)=$z, want ${ref(a, b)}")
+    }
+  }
 }
