@@ -99,10 +99,18 @@ object Dedup2 {
   def pagerankRounds(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "pagerankRounds needs at least one round")
     // e caches the (possibly expensive) upstream edge pipeline so deg and
-    // eDeg each read the cache, not the lineage; eDeg is the loop's frame
+    // eDeg each read the cache, not the lineage; eDeg is the loop's frame.
+    // The explicit repartition is NOT redundant with the join: a tiny deg
+    // gets broadcast, and a broadcast join preserves e's arbitrary
+    // upstream partitioning — the repartition is what guarantees the
+    // cached frame is hash-partitioned on src for every round's join.
     val e = edges.toDF("src", "dst").persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val eDeg = e.join(deg, "src").repartition(col("src")).persist()
+    // materialize the loop frame, then drop the upstream cache — only
+    // deg (node-sized) and eDeg (edge-sized) live across the rounds
+    eDeg.count()
+    e.unpersist()
     var out = deg.select(col("src").as("node"), col("deg"))
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     (1 to rounds).foreach { t =>

@@ -88,17 +88,6 @@ object Sources {
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
   }
 
-  /** Write `df` clustered on the Z-order key of two columns: range-
-    * partition + sort by the interleaved key, then drop it — the key is
-    * a layout device, not data (the projection after the sort keeps row
-    * order). Each dimension is first scaled to the full 16-bit domain
-    * (v·65535 div max) — WITHOUT normalization a wider dimension owns
-    * the high interleave bits and the key degenerates to a single-key
-    * sort on it. Row groups then carry tight min/max on BOTH dimensions,
-    * so a 2-D box predicate skips groups the single-key sort must read.
-    * The two maxes are a bounded driver aggregate (real optimizers read
-    * them from table stats).
-    */
   /** One file, globally sorted by `key` (computed, then dropped): row
     * groups are tight on the cluster key and the layout is byte-
     * deterministic — `repartitionByRange` samples boundaries with a
@@ -112,10 +101,28 @@ object Sources {
       .write.mode("overwrite")
       .option("parquet.block.size", blockBytes).parquet(path)
 
-  def writeZorderLayout(df: DataFrame, colA: String, colB: String,
-                        path: String, blockBytes: Int = 8 * 1024): Unit = {
+  /** Max of both clustering dims as one bounded driver aggregate (real
+    * optimizers read these from table stats; callers share the result
+    * with [[writeZorderLayout]] so the table is scanned once).
+    */
+  def clusterMaxes(df: DataFrame, colA: String, colB: String): (Long, Long) = {
     val m = df.agg(max(col(colA)).cast("long"), max(col(colB)).cast("long")).head()
-    val (mA, mB) = (math.max(m.getLong(0), 1L), math.max(m.getLong(1), 1L))
+    (math.max(m.getLong(0), 1L), math.max(m.getLong(1), 1L))
+  }
+
+  /** Write `df` clustered on the Z-order key of two columns: sort by the
+    * interleaved key, then drop it — the key is a layout device, not
+    * data (the projection after the sort keeps row order). Each
+    * dimension is first scaled to the full 16-bit domain
+    * (v·65535 div max) — WITHOUT normalization a wider dimension owns
+    * the high interleave bits and the key degenerates to a single-key
+    * sort on it. Row groups then carry tight min/max on BOTH dimensions,
+    * so a 2-D box predicate skips groups the single-key sort must read.
+    */
+  def writeZorderLayout(df: DataFrame, colA: String, colB: String,
+                        path: String, blockBytes: Int = 8 * 1024,
+                        maxes: Option[(Long, Long)] = None): Unit = {
+    val (mA, mB) = maxes.getOrElse(clusterMaxes(df, colA, colB))
     def scaled(c: String, mx: Long): Column =
       expr(s"CAST($c AS BIGINT) * 65535 div $mx")
     writeClustered(df, mortonKey(scaled(colA, mA), scaled(colB, mB)),
@@ -278,15 +285,18 @@ object SourceQueries {
 
   /** The 2-D box, derived from the table's own key range so one fixed
     * oracle works at every scale factor: the middle HALF of partkeys ×
-    * a ~4% suppkey band. Integer `div` replays as DuckDB `//`. The agg
-    * is a bounded driver collect (2 longs) so the scan predicate stays
-    * literal — pushed to the parquet reader, prunable by footer stats.
+    * a ~4% suppkey band. Integer `div` replays as DuckDB `//`. The
+    * maxes are a bounded driver collect (2 longs) so the scan predicate
+    * stays literal — pushed to the parquet reader, prunable by footer
+    * stats.
     */
-  def zorderBox(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
-    val r = Tables.lineitem(spark, dir)
-      .agg(max(col("l_partkey")).cast("long"), max(col("l_suppkey")).cast("long")).head()
-    val (mp, ms) = (r.getLong(0), r.getLong(1))
+  def zorderBoxFrom(mp: Long, ms: Long): (Long, Long, Long, Long) =
     (mp / 4, 3 * mp / 4, ms / 10, ms / 10 + ms / 25)
+
+  def zorderBox(spark: SparkSession, dir: String): (Long, Long, Long, Long) = {
+    val (mp, ms) = Sources.clusterMaxes(
+      Tables.lineitem(spark, dir), "l_partkey", "l_suppkey")
+    zorderBoxFrom(mp, ms)
   }
 
   /** Z-order layout under test plus the single-key-sorted CONTROL (for
@@ -311,8 +321,11 @@ object SourceQueries {
   def srcZorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(zorderCols.map(col): _*)
     val zpath = s"${scratch("zlayout")}/zorder"
-    Sources.writeZorderLayout(li, "l_partkey", "l_suppkey", zpath)
-    val (pLo, pHi, sLo, sHi) = zorderBox(spark, dir)
+    // one stats scan feeds both the write's normalization and the box
+    val (mp, ms) = Sources.clusterMaxes(li, "l_partkey", "l_suppkey")
+    Sources.writeZorderLayout(li, "l_partkey", "l_suppkey", zpath,
+      maxes = Some((mp, ms)))
+    val (pLo, pHi, sLo, sHi) = zorderBoxFrom(mp, ms)
     spark.read.parquet(zpath)
       .filter(col("l_partkey").between(pLo, pHi) &&
         col("l_suppkey").between(sLo, sHi))

@@ -33,7 +33,9 @@ object Events {
   private[streaming] def eventsStream(spark: SparkSession, dir: String): DataFrame =
     Tables.normalizeTs(
       spark.readStream
-        .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+        // raw schema via the shared loader, so the path convention and
+        // any future layout change live in Tables alone
+        .schema(Tables.load(spark, dir, "events").schema)
         // file streams list a directory; glob-filter selects the one table
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))

@@ -165,10 +165,14 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     import org.apache.spark.sql.functions._
     // the reference's lifecycle: a scheduled entrypoint drains whatever
     // arrived since the last run and EXITS; offsets/window state carry
-    // across invocations only through the checkpoint
+    // across invocations only through the checkpoint. Same RocksDB
+    // backend as G12 — the tick path must resume RocksDB state too.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val root = java.nio.file.Files.createTempDirectory("graft_g13").toString
     val (src, out, ckpt) = (s"$root/src", s"$root/out/t", s"$root/ckpt")
-    val ev = graft.tables.Tables.events(spark, sf)
+    val ev = graft.tables.Tables.events(s2, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val mm = ev.agg(min("ts"), max("ts")).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
@@ -176,15 +180,15 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     // "day" 1/2/3 arrive between ticks; cut hours straddle the splits so
     // their final counts are only right if state survives the exits
     ev.filter(col("ts") <= c1).repartition(2).write.parquet(src)
-    graft.streaming.CheckpointRestart.tick(spark, src, out, ckpt)
+    graft.streaming.CheckpointRestart.tick(s2, src, out, ckpt)
     ev.filter(col("ts") > c1 && col("ts") <= c2).repartition(2)
       .write.mode("append").parquet(src)
-    graft.streaming.CheckpointRestart.tick(spark, src, out, ckpt)
+    graft.streaming.CheckpointRestart.tick(s2, src, out, ckpt)
     ev.filter(col("ts") > c2).repartition(2).write.mode("append").parquet(src)
-    graft.streaming.CheckpointRestart.tick(spark, src, out, ckpt)
-    val drained = graft.streaming.CheckpointRestart.finalSink(spark, out)
+    graft.streaming.CheckpointRestart.tick(s2, src, out, ckpt)
+    val drained = graft.streaming.CheckpointRestart.finalSink(s2, out)
       .select("window_start", "event_type", "n_events", "sum_value")
-    val batch = graft.streaming.Events.streamWindowAgg(spark, sf)
+    val batch = graft.streaming.Events.streamWindowAgg(s2, sf)
     assert(drained.count() > 0)
     assert(drained.exceptAll(batch).isEmpty && batch.exceptAll(drained).isEmpty,
       "AvailableNow tick sequence diverged from the batch twin")

@@ -35,11 +35,14 @@ class TablesContractSpec extends AnyFunSuite {
         "testdata schema drifted; adapt the Tables normalization layer")
   }
 
-  test("events: ts is Long epoch-nanos after load; ids integral; value double") {
+  test("events: ts is Long epoch-nanos after load; ids exactly bigint; value double") {
     implicit val s: StructType = Tables.events(spark, sf).schema
     check("events", "ts", _ == LongType, "bigint (epoch-nanos, via normalizeTs)")
-    check("events", "event_id", isIntegral, "integral")
-    check("events", "user_id", isIntegral, "integral")
+    // EXACT LongType, not merely integral: CheckpointRestart.windowedAgg
+    // declares its streaming source schema with these as 'long', and a
+    // narrower physical type would fail there, not here
+    check("events", "event_id", _ == LongType, "bigint")
+    check("events", "user_id", _ == LongType, "bigint")
     check("events", "event_type", _ == StringType, "string")
     check("events", "value", _ == DoubleType, "double")
     check("events", "props", _ == StringType, "string (JSON)")
