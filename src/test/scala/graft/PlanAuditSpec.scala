@@ -221,4 +221,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(over.isEmpty,
       s"shuffle-byte regression (plan got >2x heavier):\n${over.mkString("\n")}")
   }
+
+  test("bench/budget config is closed: every headliner is a real query with budgets at both SFs") {
+    // config-drift guard: a renamed query or a forgotten budget pin must
+    // fail HERE with the missing name, not silently un-gate the query
+    val qs = SparkEntry.queries.keySet
+    val phantom = Bench.headline.filterNot(qs.contains)
+    assert(phantom.isEmpty, s"headline names not in SparkEntry.queries: $phantom")
+    Seq("sf0.001" -> ShuffleBudget.atSf0001, "sf0.1" -> ShuffleBudget.atSf01)
+      .foreach { case (sfName, table) =>
+        val unpinned = Bench.headline.filterNot(table.contains)
+        assert(unpinned.isEmpty, s"headliners without a $sfName budget: $unpinned")
+        val stray = table.keySet.filterNot(qs.contains)
+        assert(stray.isEmpty, s"$sfName budgets for nonexistent queries: $stray")
+      }
+  }
 }
