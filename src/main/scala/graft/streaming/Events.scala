@@ -348,8 +348,10 @@ object CheckpointRestart {
 
   /** One scheduled drain — `Trigger.AvailableNow`: process everything
     * currently under `srcDir`, commit offsets/state to the checkpoint,
-    * and terminate. This IS the reference's operating mode (a cron
-    * entrypoint invoked once per day) expressed as a restartable
+    * and terminate. This IS the reference's operating mode (the daily
+    * entrypoint `main`, `function.py:652-687`, running `update_games`
+    * then `prepare_games` once per invocation) expressed as a
+    * restartable
     * streaming job: each tick resumes from the previous tick's
     * checkpoint, so the daily batch gets streaming's exactly-once
     * bookkeeping without a resident process. G13 proves N ticks over a
