@@ -67,30 +67,28 @@ object Ml5 {
     * optimal round-2 stump happens to re-split `disc` with flipped
     * weights, which is correct but undemonstrative.
     */
-  private[graft] def boostTwoStumps(base: DataFrame,
-                                 features: Seq[(String, String)]): DataFrame = {
-    val spark = base.sparkSession
+  /** (feature, bin, threshold, nl, pl, nr, pr) */
+  private type Stump = (String, Int, Double, Long, Long, Long, Long)
 
-    // Every piece of inter-round state is O(1) — one stump row, two
-    // error counters, per-feature min/max doubles — so it's collected
-    // once and INLINED AS LITERALS (the E3-codebook / C31 discipline):
-    // each boosting round becomes a single whole-stage-codegen scan with
-    // a tiny aggregate, no broadcast joins and no re-executed subtrees.
-    // The driver-side double arithmetic below repeats the exact same
-    // IEEE operations as the SQL oracle, so nothing drifts.
-
+  /** The shared histogram-stump machinery behind C30/C32: every piece of
+    * inter-round state is O(1) — one stump row, two error counters,
+    * per-feature min/max doubles — so it's collected once and INLINED AS
+    * LITERALS (the E3-codebook / C31 discipline): each boosting round
+    * becomes a single whole-stage-codegen scan with a tiny aggregate, no
+    * broadcast joins and no re-executed subtrees. The driver-side double
+    * arithmetic repeats the exact same IEEE operations as the SQL
+    * oracles, so nothing drifts.
+    */
+  private final class StumpKit(base: DataFrame, features: Seq[(String, String)]) {
     // per-feature min/max (same values as stumpCandidates' melted
     // groupBy — min/max commute with the melt); one columnar scan
-    val mmRow = base.agg(
+    private val mmRow = base.agg(
       features.flatMap { case (_, c) => Seq(min(c), max(c)) }.head,
       features.flatMap { case (_, c) => Seq(min(c), max(c)) }.tail: _*).head()
     val mm: Map[String, (Double, Double)] = features.zipWithIndex.map {
       case ((f, _), i) => f -> (mmRow.getDouble(2 * i), mmRow.getDouble(2 * i + 1))
     }.toMap
-    val featCol = features.toMap
-
-    /** (feature, bin, threshold, nl, pl, nr, pr) */
-    type Stump = (String, Int, Double, Long, Long, Long, Long)
+    private val featCol = features.toMap
 
     // identical binning expression to the histogram construction, so a
     // row's bin and its histogram cell can never disagree
@@ -99,6 +97,7 @@ object Ml5 {
       least(floor((col(featCol(f)) - lit(vmin)) / (lit(vmax) - lit(vmin)) * 10),
         lit(9.0)).cast("int")
     }
+
     // per-row stump prediction: majority leaf label (2·pos == n ties to
     // 0 deterministically), pure literal projection
     def predict(s: Stump): Column = {
@@ -128,7 +127,7 @@ object Ml5 {
     // (wgini, feature, bin) tie-break as the SQL candw argmin; phantom
     // empty-bin candidates tie with the preceding real bin and lose the
     // tie-break, so the selection matches the SQL exactly
-    def gini(p: Long, nn: Long): Double = {
+    private def gini(p: Long, nn: Long): Double = {
       val q = p.toDouble / nn
       1.0 - q * q - (1.0 - q) * (1.0 - q)
     }
@@ -152,6 +151,25 @@ object Ml5 {
       val b = cands.minBy(c => (c._8, c._1, c._2))
       (b._1, b._2, b._3, b._4, b._5, b._6, b._7)
     }
+  }
+
+  /** The AdaBoost weak-learnability contract made loud: reweighting
+    * divides by both the error and the complement, so a perfect or
+    * constant-wrong stump must fail with a named precondition, not an
+    * ArithmeticException.
+    */
+  private def requireWeakLearner(round: Int, errW: Long, totalW: Long): Unit =
+    require(errW > 0 && errW < totalW,
+      s"weak-learnability contract: stump $round is " +
+        (if (errW == 0) "perfect" else "constant-wrong") +
+        s" (weighted error $errW of $totalW) — AdaBoost reweighting needs " +
+        "0 < error < total")
+
+  private[graft] def boostTwoStumps(base: DataFrame,
+                                 features: Seq[(String, String)]): DataFrame = {
+    val spark = base.sparkSession
+    val kit = new StumpKit(base, features)
+    import kit.{argminStump, hist, predict}
 
     // stump 1 = C22's argmin on the UNIT-weight histogram (the shared
     // oracle recomputes it through the candw CTE, so the hash match
@@ -162,10 +180,10 @@ object Ml5 {
     val e1 = base.agg(
       sum((predict(s1) =!= col("y")).cast("long")), count(lit(1))).head()
     val (err1, n) = (e1.getLong(0), e1.getLong(1))
+    requireWeakLearner(1, err1, n)
     // AdaBoost reweighting in integer ticks: misclassified rows split
     // W/2 = 5·10¹¹ equally, the rest split the other half (truncating
-    // division — identical on both engines; err1 ∈ (0, n) on any data
-    // where stump 1 is neither perfect nor constant-wrong)
+    // division — identical on both engines)
     val (wErr, wCorr) = (500000000000L / err1, 500000000000L / (n - err1))
     val wCol = when(predict(s1) =!= col("y"), lit(wErr)).otherwise(lit(wCorr))
 
@@ -201,6 +219,135 @@ object Ml5 {
       r4b(lossBound(lit(err1.toDouble / n))).as("loss1"),
       r4b(lossBound(lit(err1.toDouble / n)) *
         lossBound(lit(err2w.toDouble / totalW))).as("loss2"))
+  }
+
+  /** C32 — `ml_gbt_step3`: THREE exact boosting rounds with REAL
+    * α-weighted voting. C30 stops at two voters, where
+    * sign(α₁h₁+α₂h₂) degenerates to "agree → that label, disagree → the
+    * smaller-error stump"; three-plus rounds need the general AdaBoost
+    * committee sign(Σ αₜhₜ) with αₜ = ½ln((1−εₜ)/εₜ). Nothing goes
+    * float: a prediction pattern votes 1 iff Σ_{hₜ=1}αₜ > Σ_{hₜ=0}αₜ
+    * ⟺ Π_{hₜ=1}(Tₜ−eₜ)/eₜ > Π_{hₜ=0}(Tₜ−eₜ)/eₜ, which cross-multiplies
+    * to ONE exact integer-product comparison per pattern —
+    * Π(hₜ=1 ? Tₜ−eₜ : eₜ) vs Π(hₜ=1 ? eₜ : Tₜ−eₜ) — BigInt on the
+    * driver, HUGEINT in the oracle (≤10³⁶ for 3 rounds of 10¹²-tick
+    * totals; a tie votes 0, deterministic on both engines).
+    *
+    * Weights stay in exact integer ticks like C30: per-row weight after
+    * round t is a function of the row's misclassification PATTERN under
+    * stumps 1..t — ≤2ᵗ literal values, updated driver-side in BigInt
+    * (wₜ₊₁ = (W/2)·wₜ div errₜ for wrong rows, div (Tₜ−errₜ) for right
+    * rows — each round renormalizes total mass to W=10¹², so magnitudes
+    * never grow) and inlined as a pattern-indexed literal array. Each
+    * round is one histogram scan + one 2-value aggregate over literal
+    * state; the vote pass is one more scan with the 2³-entry literal
+    * vote table. The checkpoint-free boosting shape of C30, now with the
+    * committee that scales past two voters (the reference benches ~100
+    * HistGradientBoosting rounds, modeling.ipynb cells 45-48).
+    */
+  def mlGbtStep3(spark: SparkSession, dir: String): DataFrame =
+    boostStumps(
+      Tables.lineitem(spark, dir).select(
+        col("l_discount"), col("l_extendedprice"), col("l_quantity"),
+        (col("l_returnflag") === "R").cast("int").as("y")),
+      Seq("disc" -> "l_discount", "price" -> "l_extendedprice",
+        "qty" -> "l_quantity"),
+      rounds = 3)
+
+  /** The data-generic N-round core behind `ml_gbt_step3` (generic so the
+    * round-3 dynamics are testable on synthetic data where each round
+    * provably must select a DIFFERENT stump — Round6Spec).
+    */
+  private[graft] def boostStumps(base: DataFrame,
+                                 features: Seq[(String, String)],
+                                 rounds: Int): DataFrame = {
+    val spark = base.sparkSession
+    val kit = new StumpKit(base, features)
+    val HALF = BigInt(500000000000L)
+    val W = 1000000000000L
+
+    // misclassification-pattern index under the stumps so far (bit t set
+    // = stump t+1 got the row wrong) — a pure literal projection
+    def misIdx(stumps: Seq[Stump]): Column =
+      stumps.zipWithIndex.map { case (s, i) =>
+        when(kit.predict(s) =!= col("y"), lit(1 << i)).otherwise(lit(0))
+      }.reduceOption(_ + _).getOrElse(lit(0))
+
+    // per-row weight = pattern-indexed literal array (≤2^t entries)
+    def weightCol(ws: IndexedSeq[Long], stumps: Seq[Stump]): Column =
+      if (stumps.isEmpty) lit(1L)
+      else element_at(array(ws.map(lit(_)): _*), misIdx(stumps) + 1)
+
+    // the sequential training loop: per round, one histogram scan (stump
+    // selection) + one 2-value aggregate (weighted error/total), then a
+    // driver-side BigInt weight update over the ≤2^t pattern classes
+    case class RoundState(stump: Stump, errW: Long, totalW: Long)
+    var classW: IndexedSeq[Long] = IndexedSeq(1L)
+    var stumps: Seq[Stump] = Nil
+    val trained = (1 to rounds).map { t =>
+      val w = weightCol(classW, stumps)
+      val s = kit.argminStump(kit.hist(w))
+      val e = base.agg(
+        sum(when(kit.predict(s) =!= col("y"), w).otherwise(lit(0L))).cast("long"),
+        sum(w).cast("long")).head()
+      val (errW, totalW) = (e.getLong(0), e.getLong(1))
+      requireWeakLearner(t, errW, totalW)
+      // pattern p under t stumps extends pattern p mod 2^(t-1) with the
+      // new stump's wrong-bit; a non-empty wrong class always has
+      // w_old ≤ errW so the new weight fits a Long — empty classes may
+      // not, so clamp (the value is never selected by a real row, and
+      // the oracle computes weights per ROW, so no mismatch can surface)
+      val nextW = (0 until (2 << stumps.size)).map { p =>
+        val wOld = BigInt(classW(p % classW.size))
+        val denom = if ((p & (1 << stumps.size)) != 0) errW else totalW - errW
+        ((HALF * wOld) / BigInt(denom)).min(BigInt(W)).toLong
+      }
+      stumps = stumps :+ s
+      classW = nextW.toIndexedSeq
+      RoundState(s, errW, totalW)
+    }
+
+    // the α-weighted committee vote, resolved per PREDICTION pattern as
+    // an exact BigInt product comparison and inlined as a 2^N-entry
+    // literal vote table (ties vote 0 — deterministic)
+    def voteOf(bits: Int): Int = {
+      def side(forOne: Boolean): BigInt =
+        trained.zipWithIndex.map { case (r, t) =>
+          val one = (bits & (1 << t)) != 0
+          BigInt(if (one == forOne) r.totalW - r.errW else r.errW)
+        }.product
+      if (side(forOne = true) > side(forOne = false)) 1 else 0
+    }
+    val predIdx = trained.zipWithIndex.map { case (r, t) =>
+      when(kit.predict(r.stump) === 1, lit(1 << t)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val votes = (0 until (1 << rounds)).map(voteOf)
+    val voteCol = element_at(array(votes.map(lit(_)): _*), predIdx + 1)
+
+    // one final scan: committee train accuracy + row count
+    val fin = base.agg(
+      sum((voteCol === col("y")).cast("long")), count(lit(1))).head()
+    val (correct, n) = (fin.getLong(0), fin.getLong(1))
+
+    val perRound = trained.zipWithIndex.flatMap { case (r, i) =>
+      val t = i + 1
+      Seq(
+        lit(r.stump._1).as(s"f$t"), lit(r.stump._2).as(s"bin$t"),
+        r4b(lit(r.stump._3)).as(s"thr$t")) ++
+        (if (t == 1) Seq(lit(r.errW).as("err1"))
+         else Seq(lit(r.errW).as(s"err${t}_w"), lit(r.totalW).as(s"total${t}_w")))
+    }
+    val epsLoss = {
+      val eps = trained.map(r => r.errW.toDouble / r.totalW)
+      trained.indices.flatMap { i =>
+        val t = i + 1
+        Seq(r4b(lit(eps(i))).as(s"eps$t"),
+          r4b(eps.take(t).map(e => lossBound(lit(e))).reduce(_ * _)).as(s"loss$t"))
+      }
+    }
+    spark.range(1).select(
+      perRound ++ Seq(lit(n).as("n"), lit(correct).as(s"correct$rounds"),
+        r4b(lit(correct.toDouble / n)).as(s"acc$rounds")) ++ epsLoss: _*)
   }
 
   /** C31 — `ml_kmeans_lloyd`: THREE exact Lloyd iterations over
@@ -292,21 +439,23 @@ object Ml5 {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_gbt_step2" -> (mlGbtStep2 _),
+    "ml_gbt_step3" -> (mlGbtStep3 _),
     "ml_kmeans_lloyd" -> ((s: SparkSession, d: String) => mlKmeansLloyd(s, d)))
 
-  val oracles: Map[String, String] = {
-    val wg = {
-      def g(p: String, n: String) = {
-        val q = s"(CAST($p AS DOUBLE) / $n)"
-        s"(1.0 - $q * $q - (1.0 - $q) * (1.0 - $q))"
-      }
-      s"(nl * ${g("pl", "nl")} + nr * ${g("pr", "nr")}) / (nl + nr)"
+  private def wg = {
+    def g(p: String, n: String) = {
+      val q = s"(CAST($p AS DOUBLE) / $n)"
+      s"(1.0 - $q * $q - (1.0 - $q) * (1.0 - $q))"
     }
-    def binSql(v: String) =
-      s"CAST(least(floor(($v - x.vmin) / (x.vmax - x.vmin) * 10), 9.0) AS INT)"
-    def pickSql(f: String) =
-      s"CASE $f WHEN 'disc' THEN b.l_discount WHEN 'price' THEN b.l_extendedprice ELSE b.l_quantity END"
-    def lossSql(eps: String) = s"(2.0 * sqrt(($eps) * (1.0 - ($eps))))"
+    s"(nl * ${g("pl", "nl")} + nr * ${g("pr", "nr")}) / (nl + nr)"
+  }
+  private def binSql(v: String) =
+    s"CAST(least(floor(($v - x.vmin) / (x.vmax - x.vmin) * 10), 9.0) AS INT)"
+  private def pickSql(f: String) =
+    s"CASE $f WHEN 'disc' THEN b.l_discount WHEN 'price' THEN b.l_extendedprice ELSE b.l_quantity END"
+  private def lossSql(eps: String) = s"(2.0 * sqrt(($eps) * (1.0 - ($eps))))"
+
+  val oracles: Map[String, String] = {
     // one Lloyd round: assign against cents{t-1}, keep the assignment
     // distance (that round's inertia term), update with round-half
     // integer division, carry empty clusters' previous centroids
@@ -355,7 +504,108 @@ object Ml5 {
            |       (SELECT count(*) FROM asg3 a JOIN asg2 b USING (vec_id) WHERE a.cid <> b.cid)
            |ORDER BY round""".stripMargin,
       "ml_gbt_step2" ->
-        s"""WITH ${Ml4.stumpCtes},
+        s"""WITH $boostPrefix,
+           |fin AS (
+           |  SELECT CASE WHEN e1.err1 * e2.total_w <= e2.err2_w * e1.n
+           |              THEN e1.n - e1.err1 ELSE e1.n - e2.err2_cnt END AS correct2
+           |  FROM e2 CROSS JOIN e1)
+           |SELECT s1.feature AS f1, s1.bin AS bin1,
+           |  ${sql4("s1.threshold")} AS thr1,
+           |  s2.feature AS f2, s2.bin AS bin2,
+           |  ${sql4("s2.threshold")} AS thr2,
+           |  e1.n, e1.err1, e2.err2_w, e2.total_w, fin.correct2,
+           |  ${sql4("CAST(err1 AS DOUBLE) / n")} AS eps1,
+           |  ${sql4("CAST(err2_w AS DOUBLE) / total_w")} AS eps2,
+           |  ${sql4("CAST(correct2 AS DOUBLE) / n")} AS acc2,
+           |  ${sql4(lossSql("CAST(err1 AS DOUBLE) / n"))} AS loss1,
+           |  ${sql4(s"${lossSql("CAST(err1 AS DOUBLE) / n")} * ${lossSql("CAST(err2_w AS DOUBLE) / total_w")}")} AS loss2
+           |FROM s1 CROSS JOIN s2 CROSS JOIN e1 CROSS JOIN e2 CROSS JOIN fin""".stripMargin,
+      // C32 — the general α-weighted committee: round-3 weights are the
+      // round-2 rowsw weights renormalized per the h2 outcome (HUGEINT
+      // product, truncating //), stump 3 trains on them, and the vote is
+      // the exact integer-product comparison described at [[mlGbtStep3]]
+      "ml_gbt_step3" ->
+        s"""WITH $boostPrefix,
+           |rowsw2 AS (
+           |  SELECT r.l_discount, r.l_extendedprice, r.l_quantity, r.y, r.h1, r.h2,
+           |    CAST(CAST(500000000000 AS HUGEINT) * r.w //
+           |      (CASE WHEN r.h2 <> r.y THEN e2.err2_w
+           |            ELSE e2.total_w - e2.err2_w END) AS BIGINT) AS w3
+           |  FROM rows2 r CROSS JOIN e2),
+           |melted3 AS (
+           |  SELECT 'disc' AS feature, l_discount AS value, y, w3 FROM rowsw2
+           |  UNION ALL
+           |  SELECT 'price', l_extendedprice, y, w3 FROM rowsw2
+           |  UNION ALL
+           |  SELECT 'qty', l_quantity, y, w3 FROM rowsw2),
+           |hist3 AS (
+           |  SELECT m.feature,
+           |    CAST(least(floor((m.value - x.vmin) / (x.vmax - x.vmin) * 10), 9.0) AS INT) AS bin,
+           |    CAST(sum(w3) AS BIGINT) AS wn, CAST(sum(w3 * y) AS BIGINT) AS wpos
+           |  FROM melted3 m JOIN mm x USING (feature) GROUP BY 1, 2),
+           |cand3 AS (
+           |  SELECT feature, bin,
+           |    x.vmin + (bin + 1) * (x.vmax - x.vmin) / 10 AS threshold,
+           |    CAST(cum_n AS BIGINT) AS nl, CAST(cum_pos AS BIGINT) AS pl,
+           |    CAST(n_tot - cum_n AS BIGINT) AS nr,
+           |    CAST(pos_tot - cum_pos AS BIGINT) AS pr
+           |  FROM (
+           |    SELECT feature, bin,
+           |      sum(wn) OVER (PARTITION BY feature ORDER BY bin) AS cum_n,
+           |      sum(wpos) OVER (PARTITION BY feature ORDER BY bin) AS cum_pos,
+           |      sum(wn) OVER (PARTITION BY feature) AS n_tot,
+           |      sum(wpos) OVER (PARTITION BY feature) AS pos_tot
+           |    FROM hist3) h JOIN mm x USING (feature)
+           |  WHERE bin < 9 AND cum_n > 0 AND n_tot > cum_n),
+           |cand3w AS (SELECT *, $wg AS wgini FROM cand3),
+           |s3 AS (SELECT * FROM cand3w ORDER BY wgini, feature, bin LIMIT 1),
+           |rows3 AS (
+           |  SELECT b.*,
+           |    CASE WHEN ${binSql(pickSql("s3.feature"))} <= s3.bin
+           |         THEN CAST(2 * s3.pl > s3.nl AS INT)
+           |         ELSE CAST(2 * s3.pr > s3.nr AS INT) END AS h3
+           |  FROM rowsw2 b CROSS JOIN s3 JOIN mm x ON x.feature = s3.feature),
+           |e3 AS (
+           |  SELECT CAST(sum(CASE WHEN h3 <> y THEN w3 ELSE 0 END) AS BIGINT) AS err3_w,
+           |         CAST(sum(w3) AS BIGINT) AS total3_w
+           |  FROM rows3),
+           |voted AS (
+           |  SELECT r.y,
+           |    CASE WHEN
+           |      CAST(CASE WHEN r.h1 = 1 THEN e1.n - e1.err1 ELSE e1.err1 END AS HUGEINT)
+           |      * (CASE WHEN r.h2 = 1 THEN e2.total_w - e2.err2_w ELSE e2.err2_w END)
+           |      * (CASE WHEN r.h3 = 1 THEN e3.total3_w - e3.err3_w ELSE e3.err3_w END)
+           |      >
+           |      CAST(CASE WHEN r.h1 = 1 THEN e1.err1 ELSE e1.n - e1.err1 END AS HUGEINT)
+           |      * (CASE WHEN r.h2 = 1 THEN e2.err2_w ELSE e2.total_w - e2.err2_w END)
+           |      * (CASE WHEN r.h3 = 1 THEN e3.err3_w ELSE e3.total3_w - e3.err3_w END)
+           |    THEN 1 ELSE 0 END AS vote
+           |  FROM rows3 r CROSS JOIN e1 CROSS JOIN e2 CROSS JOIN e3),
+           |fin AS (SELECT CAST(sum(CAST(vote = y AS INT)) AS BIGINT) AS correct3 FROM voted)
+           |SELECT s1.feature AS f1, s1.bin AS bin1, ${sql4("s1.threshold")} AS thr1,
+           |  e1.err1,
+           |  s2.feature AS f2, s2.bin AS bin2, ${sql4("s2.threshold")} AS thr2,
+           |  e2.err2_w, e2.total_w AS total2_w,
+           |  s3.feature AS f3, s3.bin AS bin3, ${sql4("s3.threshold")} AS thr3,
+           |  e3.err3_w, e3.total3_w,
+           |  e1.n, fin.correct3,
+           |  ${sql4("CAST(correct3 AS DOUBLE) / n")} AS acc3,
+           |  ${sql4("CAST(err1 AS DOUBLE) / n")} AS eps1,
+           |  ${sql4(lossSql("CAST(err1 AS DOUBLE) / n"))} AS loss1,
+           |  ${sql4("CAST(err2_w AS DOUBLE) / total_w")} AS eps2,
+           |  ${sql4(s"${lossSql("CAST(err1 AS DOUBLE) / n")} * ${lossSql("CAST(err2_w AS DOUBLE) / total_w")}")} AS loss2,
+           |  ${sql4("CAST(err3_w AS DOUBLE) / total3_w")} AS eps3,
+           |  ${sql4(s"${lossSql("CAST(err1 AS DOUBLE) / n")} * ${lossSql("CAST(err2_w AS DOUBLE) / total_w")} * ${lossSql("CAST(err3_w AS DOUBLE) / total3_w")}")} AS loss3
+           |FROM s1 CROSS JOIN s2 CROSS JOIN s3
+           |CROSS JOIN e1 CROSS JOIN e2 CROSS JOIN e3 CROSS JOIN fin""".stripMargin)
+  }
+
+  /** The shared 2-round boosting CTE chain (stump 1 → reweight → stump 2
+    * → weighted round-2 error) — C30's oracle body, reused verbatim as
+    * C32's prefix so the two oracles cannot drift.
+    */
+  private lazy val boostPrefix: String =
+        s"""${Ml4.stumpCtes},
            |s1 AS (SELECT * FROM candw ORDER BY wgini, feature, bin LIMIT 1),
            |base AS (
            |  SELECT l_discount, l_extendedprice, l_quantity,
@@ -413,21 +663,5 @@ object Ml5 {
            |  SELECT CAST(sum(CASE WHEN h2 <> y THEN w ELSE 0 END) AS BIGINT) AS err2_w,
            |         CAST(sum(w) AS BIGINT) AS total_w,
            |         CAST(sum(CAST(h2 <> y AS INT)) AS BIGINT) AS err2_cnt
-           |  FROM rows2),
-           |fin AS (
-           |  SELECT CASE WHEN e1.err1 * e2.total_w <= e2.err2_w * e1.n
-           |              THEN e1.n - e1.err1 ELSE e1.n - e2.err2_cnt END AS correct2
-           |  FROM e2 CROSS JOIN e1)
-           |SELECT s1.feature AS f1, s1.bin AS bin1,
-           |  ${sql4("s1.threshold")} AS thr1,
-           |  s2.feature AS f2, s2.bin AS bin2,
-           |  ${sql4("s2.threshold")} AS thr2,
-           |  e1.n, e1.err1, e2.err2_w, e2.total_w, fin.correct2,
-           |  ${sql4("CAST(err1 AS DOUBLE) / n")} AS eps1,
-           |  ${sql4("CAST(err2_w AS DOUBLE) / total_w")} AS eps2,
-           |  ${sql4("CAST(correct2 AS DOUBLE) / n")} AS acc2,
-           |  ${sql4(lossSql("CAST(err1 AS DOUBLE) / n"))} AS loss1,
-           |  ${sql4(s"${lossSql("CAST(err1 AS DOUBLE) / n")} * ${lossSql("CAST(err2_w AS DOUBLE) / total_w")}")} AS loss2
-           |FROM s1 CROSS JOIN s2 CROSS JOIN e1 CROSS JOIN e2 CROSS JOIN fin""".stripMargin)
-  }
+           |  FROM rows2)""".stripMargin
 }

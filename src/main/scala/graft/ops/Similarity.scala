@@ -210,9 +210,15 @@ object Similarity {
     * |probes| rows of S·K longs each — and is broadcast to the code scan.
     */
   private def pqDistTables(spark: SparkSession, dir: String, subs: Int,
-                           k: Int): DataFrame = {
+                           k: Int): DataFrame =
+    pqDistTablesFor(spark, dir, subs, pqCodebook(spark, dir, subs, k))
+
+  /** [[pqDistTables]] against an explicit codebook (the reloaded-index
+    * path hands in the codebook read back from storage).
+    */
+  private def pqDistTablesFor(spark: SparkSession, dir: String, subs: Int,
+                              cb: Array[(Long, Array[Array[Long]])]): DataFrame = {
     val dimsPerSub = 64 / subs
-    val cb = pqCodebook(spark, dir, subs, k)
     Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), qticks(asDouble(col("embedding"))).as("_q"))
       .select(col("qid"), array((0 until subs).map { s =>
@@ -252,10 +258,19 @@ object Similarity {
     * ever crosses the wire. Integer end to end ⇒ exact oracle.
     */
   def annPqSearch(spark: SparkSession, dir: String, subs: Int = 8, k: Int = 16,
-                  topK: Int = 5): DataFrame = {
+                  topK: Int = 5): DataFrame =
+    adcSearch(pqAssign(spark, dir, subs, k),
+      pqDistTables(spark, dir, subs, k), subs, topK)
+
+  /** The ADC scan shared by E5 (in-session codes) and E9 (codes reloaded
+    * from the persisted index): broadcast the probe distance tables over
+    * the code table, sum S lookups per pair, per-probe top-k.
+    */
+  private def adcSearch(codes: DataFrame, distTables: DataFrame, subs: Int,
+                        topK: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
-    pqAssign(spark, dir, subs, k)
-      .crossJoin(broadcast(pqDistTables(spark, dir, subs, k)))
+    codes
+      .crossJoin(broadcast(distTables))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), adcDist(subs).as("adc_dist"))
       .withColumn("rank", row_number().over(w))
@@ -263,6 +278,51 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rank"),
         col("nid").as("neighbor_id"), col("adc_dist"))
       .orderBy("query_id", "rank")
+  }
+
+  /** E9 — `ann_index_persist`: the PQ index as a PERSISTED storage
+    * artifact, the vector-side analog of C9/C10's model
+    * persist-then-reload discipline (the reference exports trained
+    * models to object storage and reloads them for serving,
+    * straslerj/mlb-win-predictor export_models.py:1-43). E4/E5 rebuild
+    * codebook + codes inside every query; a production pipeline builds
+    * the index ONCE — codebook (S·K codewords with their tick slices)
+    * and the 16 B/vector code table land in parquet — and every probe
+    * batch serves from the RELOADED artifact. The search is E5's ADC
+    * scan verbatim, so sharing E5's oracle hash-proves the storage
+    * round-trip end to end; the corpus side of the search plan reads
+    * ONLY the code artifact (Round6Spec pins that the embeddings table
+    * appears solely under the probe-side broadcast).
+    */
+  private val indexOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def pqIndexPath(spark: SparkSession, dir: String,
+                                 subs: Int = 8, k: Int = 16): String =
+    indexOnce.computeIfAbsent(s"$dir|$subs|$k", _ => {
+      import spark.implicits._
+      val base = graft.Scratch.dir("pqindex")
+      pqCodebook(spark, dir, subs, k)
+        .map { case (code, ticks) => (code, ticks.map(_.toSeq).toSeq) }
+        .toSeq.toDF("code", "subs")
+        .write.mode("overwrite").parquet(s"$base/codebook")
+      val coded = pqAssign(spark, dir, subs, k)
+      coded.select("vec_id", "ords")
+        .write.mode("overwrite").parquet(s"$base/codes")
+      coded.unpersist()
+      base
+    })
+
+  def annIndexPersist(spark: SparkSession, dir: String, subs: Int = 8,
+                      k: Int = 16, topK: Int = 5): DataFrame = {
+    val base = pqIndexPath(spark, dir, subs, k)
+    // the reloaded codebook is the bounded S·K driver state every PQ
+    // index ships to its scan side — same shape as the build-time one
+    val cb = spark.read.parquet(s"$base/codebook").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[scala.collection.Seq[Long]](1).map(_.toArray).toArray))
+      .sortBy(_._1)
+    adcSearch(spark.read.parquet(s"$base/codes"),
+      pqDistTablesFor(spark, dir, subs, cb), subs, topK)
   }
 
   /** E6 — multi-probe LSH with exact re-rank: a probe searches its own
@@ -374,6 +434,7 @@ object Similarity {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_index_persist" -> ((s, d) => annIndexPersist(s, d)),
     "ann_pq_refine" -> ((s, d) => annPqRefine(s, d)),
     "ann_knn_join" -> ((s, d) => annKnnJoin(s, d)),
     "ann_bruteforce" -> ((s, d) => annBruteforce(s, d)),
@@ -549,7 +610,12 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |        ORDER BY exact_dist, nid) AS rank FROM exact)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "ann_pq_search" ->
+    // E9 reruns E5's search over the RELOADED index — sharing the oracle
+    // verbatim hash-proves the artifact round-trip lost nothing
+    "ann_index_persist" -> pqSearchOracle,
+    "ann_pq_search" -> pqSearchOracle)
+
+  private lazy val pqSearchOracle: String =
       s"""WITH ex0 AS (
          | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
@@ -574,5 +640,5 @@ object Similarity {
          |SELECT qid AS query_id, rank, nid AS neighbor_id, adc_dist
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |        ORDER BY adc_dist, nid) AS rank FROM adc)
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }

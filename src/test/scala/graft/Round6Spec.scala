@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 invariants: the parallel deterministic clustered-layout
+  * writer (the round-5 `weak` was a `repartition(1)` global sort), the
+  * persisted PQ index, log compaction, and 3-round boosting.
+  */
+class Round6Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("hashSlots: each slot value routes to exactly its partition class") {
+    val parts = 8
+    val slots = graft.sources.Sources.hashSlots(spark, parts)
+    assert(slots.length == parts)
+    // verify with Spark's own hash — the same function repartition uses
+    import spark.implicits._
+    val got = slots.toSeq.toDF("v")
+      .select(pmod(hash(col("v")), lit(parts)).as("p")).collect().map(_.getInt(0))
+    assert(got.toSeq == (0 until parts),
+      s"slot values ${slots.mkString(",")} hash to ${got.mkString(",")}")
+  }
+
+  test("clustered writer: parallel multi-file output with DISJOINT per-file key ranges") {
+    val (zorder, _) = graft.sources.SourceQueries.zorderLayoutPaths(spark, sf)
+    val files = new java.io.File(zorder).listFiles.toSeq
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    // the round-5 writer produced exactly one file (repartition(1)); the
+    // parallel writer must spread the sort across tasks
+    assert(files.size > 1, s"clustered write not parallel: ${files.size} file(s)")
+    // recompute the write's Morton key per file: ranges must be pairwise
+    // disjoint — each contiguous key range lives in exactly one task, so
+    // no row group straddles a range gap
+    val (mp, ms) = graft.sources.Sources.clusterMaxes(
+      graft.tables.Tables.lineitem(spark, sf), "l_partkey", "l_suppkey")
+    val ranges = files.map { f =>
+      val z = graft.sources.Sources.mortonKey(
+        expr(s"CAST(l_partkey AS BIGINT) * 65535 div $mp"),
+        expr(s"CAST(l_suppkey AS BIGINT) * 65535 div $ms"))
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(z).cast("long"), max(z).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file key ranges overlap: ${ranges.mkString(" ")}")
+      case _ => ()
+    }
+  }
+
+  test("clustered writer: byte-deterministic across rewrites (literal bounds, no sampling seed)") {
+    import scala.jdk.CollectionConverters._
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def footprint(dir: String): Seq[(String, Long, Seq[(Long, Long)])] =
+      new java.io.File(dir).listFiles.toSeq
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .sortBy(_.getName.replaceAll(".*part-(\\d+)-.*", "$1"))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+              val st = b.getColumns.asScala
+                .find(_.getPath.toDotString == "l_partkey").get.getStatistics
+              (st.genericGetMin.asInstanceOf[Number].longValue,
+                st.genericGetMax.asInstanceOf[Number].longValue)
+            }
+            (f.getName.replaceAll("part-(\\d+)-.*", "$1"), f.length, blocks)
+          } finally rd.close()
+        }
+    val (d1, d2) = (Scratch.dir("det1"), Scratch.dir("det2"))
+    val tie = Seq("l_orderkey", "l_linenumber")
+    graft.sources.Sources.writeZorderLayout(li, "l_partkey", "l_suppkey", d1,
+      tieBreak = tie)
+    graft.sources.Sources.writeZorderLayout(li, "l_partkey", "l_suppkey", d2,
+      tieBreak = tie)
+    assert(footprint(d1) == footprint(d2),
+      "two writes of the same data produced different layouts")
+  }
+
+  test("ann_index_persist: search over the reloaded index equals E5; corpus side reads ONLY the artifact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, BroadcastQueryStageExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val viaIndex = graft.ops.Similarity.annIndexPersist(spark, sf)
+    val direct = graft.ops.Similarity.annPqSearch(spark, sf)
+    assert(viaIndex.collect().toSeq == direct.collect().toSeq,
+      "reloaded-index search diverged from the in-session ADC search")
+    // every parquet scan in the executed plan, tagged with whether it
+    // sits under a broadcast exchange (the probe side)
+    def scans(p: SparkPlan, inB: Boolean): Seq[(String, Boolean)] = {
+      val here = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.map(rp => (rp.toString, inB))
+        case _ => Nil
+      }
+      val kids: Seq[(SparkPlan, Boolean)] = p match {
+        case a: AdaptiveSparkPlanExec => Seq((a.executedPlan, inB))
+        case b: BroadcastQueryStageExec => Seq((b.plan, true))
+        case q: QueryStageExec => Seq((q.plan, inB))
+        case b: BroadcastExchangeExec => b.children.map((_, true))
+        case o => o.children.map((_, inB))
+      }
+      here ++ kids.flatMap { case (c, b) => scans(c, b) }
+    }
+    val ss = scans(viaIndex.queryExecution.executedPlan, inB = false)
+    assert(ss.exists { case (path, inB) => path.contains("pqindex") && !inB },
+      s"corpus side does not scan the persisted code artifact: $ss")
+    val embStreamSide = ss.collect {
+      case (path, false) if path.contains("embeddings") => path
+    }
+    assert(embStreamSide.isEmpty,
+      s"embeddings table scanned outside the probe-side broadcast: $embStreamSide")
+  }
+
+  test("src_compact: compacted read is value-identical to the raw log and scans fewer bytes") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val S = graft.sources.Sources
+    val log = Scratch.dir("cmp_log")
+    val base = Scratch.dir("cmp_base")
+    val orders = graft.tables.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus")
+    S.upsertBatch(orders.withColumn("o_orderstatus", lit("PENDING")), log, 1L)
+    S.upsertBatch(orders, log, 2L)
+    S.compactLog(spark, log, Seq("o_orderkey"), base)
+    S.upsertBatch(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("SHIPPED")), log, 3L)
+    // result-invisible: base+delta resolves to the same state as the
+    // raw full-history merge
+    val viaCompact = S.readCompacted(spark, base, log, Seq("o_orderkey"))
+    val viaRaw = S.readLatest(spark, log, Seq("o_orderkey"))
+    assert(viaCompact.exceptAll(viaRaw).isEmpty &&
+      viaRaw.exceptAll(viaCompact).isEmpty)
+    // read amplification: raw scans every historical batch; compacted
+    // scans base + only the post-watermark partition
+    def bytesUnder(dir: String, keep: java.io.File => Boolean): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) { if (keep(f)) f.listFiles.map(walk).sum else 0L }
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(dir))
+    }
+    val rawBytes = bytesUnder(log, _ => true)
+    val compactBytes = bytesUnder(s"$base/base", _ => true) +
+      bytesUnder(log, f => !f.getName.startsWith("_batch_id=") ||
+        f.getName.stripPrefix("_batch_id=").toLong > 2L)
+    assert(compactBytes < rawBytes,
+      s"compaction did not shrink the read: $compactBytes vs raw $rawBytes")
+    // and the pruning is structural: the delta scan carries a PARTITION
+    // filter on _batch_id, so pruned batches never reach file listing
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      (p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }) ++
+        kids.flatMap(scansOf)
+    }
+    viaCompact.collect()
+    val logScans = scansOf(viaCompact.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("cmp_log")))
+    assert(logScans.nonEmpty && logScans.forall(_.partitionFilters.nonEmpty),
+      "delta scan does not partition-prune the compacted batches")
+  }
+
+  test("ml_gbt_step3 on lineitem: weak learners all three rounds, strictly decreasing exp-loss") {
+    val r = graft.ml.Ml5.mlGbtStep3(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    // every round's weighted error beats random (exact integer witness)
+    assert(2 * r.getAs[Long]("err1") < n)
+    assert(2 * r.getAs[Long]("err2_w") < r.getAs[Long]("total2_w"))
+    assert(2 * r.getAs[Long]("err3_w") < r.getAs[Long]("total3_w"))
+    // the AdaBoost exp-loss bound strictly decreases at EVERY round
+    val (l1, l2, l3) = (r.getAs[Double]("loss1"), r.getAs[Double]("loss2"),
+      r.getAs[Double]("loss3"))
+    assert(l2 < l1 && l3 < l2, s"loss bound not decreasing: $l1, $l2, $l3")
+    // the α-weighted committee trains better than random
+    assert(2 * r.getAs[Long]("correct3") > n)
+  }
+
+  test("boosting dynamics: three rounds select THREE distinct stumps when the data demands it") {
+    import spark.implicits._
+    // fa wins round 1 (errs only on the 50-row E1 block); AdaBoost hands
+    // E1 half the mass, so round 2 must switch to fb (which isolates E1
+    // cleanly, erring on B5+E2); round 3's reweighting then concentrates
+    // on fb's errors, where fc's split (isolating E2 against B4) beats
+    // re-splitting either used feature — three rounds, three features
+    val groups = Seq(
+      (400, 0.1, 0.1, 0.1, 0), // B1: clean negatives
+      (250, 0.9, 0.9, 0.1, 1), // B2: positives on fa and fb
+      (100, 0.9, 0.1, 0.1, 1), // B5: positives fb gets wrong
+      (50, 0.1, 0.9, 0.1, 1), //  E1: fa's only errors
+      (50, 0.9, 0.9, 0.9, 1), //  B4: positives, also fc-high
+      (30, 0.1, 0.9, 0.9, 0)) //  E2: fb's other errors, fc-high
+    val rows = groups.zipWithIndex.flatMap { case ((cnt, a, b, c, y), g) =>
+      (0 until cnt).map(i => (a, b, c, (g * 37 + i) % 2 / 10.0, y))
+    }
+    val base = rows.toDF("fa", "fb", "fc", "fd", "y")
+    val r = graft.ml.Ml5.boostStumps(base,
+      Seq("fa" -> "fa", "fb" -> "fb", "fc" -> "fc", "fd" -> "fd"),
+      rounds = 3).collect().head
+    assert(r.getAs[String]("f1") == "fa", s"round 1 should pick fa: $r")
+    assert(r.getAs[String]("f2") == "fb", s"round 2 should switch to fb: $r")
+    assert(r.getAs[String]("f3") == "fc", s"round 3 should switch to fc: $r")
+    assert(r.getAs[Double]("loss3") < r.getAs[Double]("loss2"),
+      s"third stump should keep shrinking the bound: $r")
+  }
+
+  test("boosting guards: a perfect stump fails the weak-learnability contract loudly") {
+    import spark.implicits._
+    val separable = ((0 until 50).map(i => (0.1, i % 2 / 10.0, 0)) ++
+      (0 until 50).map(i => (0.9, i % 2 / 10.0, 1))).toDF("fa", "fb", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.Ml5.boostStumps(separable, Seq("fa" -> "fa", "fb" -> "fb"), 2)
+    }
+    assert(e.getMessage.contains("weak-learnability"),
+      s"wrong failure mode: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ml.Ml5.boostTwoStumps(separable, Seq("fa" -> "fa", "fb" -> "fb"))
+    }
+    assert(e2.getMessage.contains("weak-learnability"))
+  }
+}
