@@ -25,7 +25,10 @@ object Bench {
     "ml_ks_statistic_dist", "q_sequence_gaps_dist", "f_quantile_bucket_dist",
     "mm_chunk_dedup", "text_tfidf", "src_jdbc_roundtrip",
     "ml_gbt_step2", "ml_kmeans_lloyd", "src_sorted_layout",
-    "src_zorder_layout")
+    "src_zorder_layout",
+    // round-6 additions: the persisted-index search, log compaction,
+    // and the 3-round alpha-voting boosting loop
+    "ann_index_persist", "src_compact", "ml_gbt_step3")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -133,6 +136,20 @@ object Bench {
     }
     val sh = shuffles.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // the extended sweep: non-headline queries with pinned budgets are
+    // METERED once (not timed — the timing set stays the curated
+    // headline) so a plan regression can't hide in an ungated query
+    val extended = ShuffleBudget.extendedForDir(sfDir).keys.toSeq.sorted.map { name =>
+      val bytes = try Telemetry.measure(SparkEntry.queries(name)(spark, sfDir))
+        .shuffleBytesWritten
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] extended $name failed: ${e.getMessage}")
+        -1L
+      }
+      name -> bytes
+    }
+    val extJson = extended.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val violations = ShuffleBudget.forDir(sfDir).toSeq.flatMap { budget =>
       shuffles.collect {
         case (n, s) if s < 0 && budget.contains(n) =>
@@ -140,6 +157,10 @@ object Bench {
         case (n, s) if budget.get(n).exists(s > _) =>
           s"$n=$s > budget=${budget(n)}"
       }
+    } ++ extended.collect {
+      case (n, s) if s < 0 => s"extended $n failed during metering"
+      case (n, s) if s > ShuffleBudget.extendedForDir(sfDir)(n) =>
+        s"extended $n=$s > budget=${ShuffleBudget.extendedForDir(sfDir)(n)}"
     }
     // the hard gate only applies under the config the budgets were
     // measured on (see ShuffleBudget.fingerprint) and without the
@@ -148,7 +169,7 @@ object Bench {
     // shuffle size is a re-baselining prompt, not a plan regression
     val enforced = ShuffleBudget.enforced(spark, sfDir)
     val gate = if (enforced) "enforced" else "advisory"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"shuffle_ok":${violations.isEmpty},"budget_gate":"$gate","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"shuffle_bytes_extended":$extJson,"shuffle_ok":${violations.isEmpty},"budget_gate":"$gate","sf":"$sfDir"}""")
     if (!enforced) {
       val why = (ShuffleBudget.mismatches(spark, sfDir) ++
         sys.env.get("SPARK_GRAFT_BUDGET_GATE").filter(_.toLowerCase == "off")

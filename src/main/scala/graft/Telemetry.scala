@@ -77,7 +77,7 @@ object Telemetry {
 /** Shuffle-byte regression gate: each headline query's shuffle volume is
   * PINNED, not just prose-audited — "the plan is the one you'd want at
   * 100×" as an executable assertion. Budgets are 2× the bytes measured
-  * on the round-4 plans (`Telemetry.measure`), so compression jitter and
+  * on the round-6 plans (`Telemetry.measure`), so compression jitter and
   * partition-count variation pass while a plan regression that doubles
   * the shuffle (a lost broadcast, a dropped partial aggregate, an
   * unpersisted double-scan) fails the bench run and the plan-audit spec.
@@ -85,45 +85,127 @@ object Telemetry {
   */
 object ShuffleBudget {
   val atSf0001: Map[String, Long] = Map(
-    "q_agg_pricing" -> 3000L, "q_join_shuffle" -> 63000L,
-    "q_multi_join_agg" -> 8000L, "q_asof_join" -> 34000L,
-    "q_topk_per_key" -> 8000L, "f_comp_diff" -> 300000L,
-    "f_standard_scale" -> 230000L, "dedup_minhash_lsh" -> 30000L,
-    "ann_bruteforce" -> 5000L, "text_quality" -> 32000L,
-    "stream_window_agg" -> 84000L,
-    // round-5 widening: iterative graph/dedup, PQ/ANN, the distributed
-    // twins, JDBC and layout round-trips, the exact-training loops
-    // (probed under the 4-partition TEST config this table is gated in)
-    "dedup_cluster" -> 11000L, "graph_pagerank" -> 26000L,
-    "graph_pagerank_iter" -> 30000L,
-    "ann_pq_search" -> 2500L, "ann_pq_refine" -> 9700L,
-    "ann_centroid_ivf" -> 2500L, "ml_ks_statistic_dist" -> 133000L,
-    "q_sequence_gaps_dist" -> 4200L, "f_quantile_bucket_dist" -> 61000L,
-    "mm_chunk_dedup" -> 5500L, "text_tfidf" -> 650000L,
-    "src_jdbc_roundtrip" -> 12000L, "ml_gbt_step2" -> 7600L,
-    "ml_kmeans_lloyd" -> 500L, "src_sorted_layout" -> 3000L,
-    "src_zorder_layout" -> 12000L)
+    "q_agg_pricing" -> 2300L,
+    "q_join_shuffle" -> 54000L,
+    "q_multi_join_agg" -> 2900L,
+    "q_asof_join" -> 28000L,
+    "q_topk_per_key" -> 3700L,
+    "f_comp_diff" -> 280000L,
+    "f_standard_scale" -> 210000L,
+    "dedup_minhash_lsh" -> 19000L,
+    "ann_bruteforce" -> 2500L,
+    "text_quality" -> 25000L,
+    "stream_window_agg" -> 66000L,
+    "dedup_cluster" -> 11000L,
+    "graph_pagerank" -> 12000L,
+    "graph_pagerank_iter" -> 23000L,
+    "ann_pq_search" -> 2500L,
+    "ann_pq_refine" -> 9800L,
+    "ann_centroid_ivf" -> 2500L,
+    "ml_ks_statistic_dist" -> 140000L,
+    "q_sequence_gaps_dist" -> 4200L,
+    "f_quantile_bucket_dist" -> 62000L,
+    "mm_chunk_dedup" -> 5500L,
+    "text_tfidf" -> 650000L,
+    "src_jdbc_roundtrip" -> 12000L,
+    "ml_gbt_step2" -> 500L,
+    "ml_kmeans_lloyd" -> 500L,
+    "src_sorted_layout" -> 3000L,
+    "src_zorder_layout" -> 13000L,
+    "ann_index_persist" -> 2500L,
+    "src_compact" -> 29000L,
+    "ml_gbt_step3" -> 500L)
   val atSf01: Map[String, Long] = Map(
-    "q_agg_pricing" -> 3000L, "q_join_shuffle" -> 5200000L,
-    "q_multi_join_agg" -> 8000L, "q_asof_join" -> 2700000L,
-    "q_topk_per_key" -> 280000L, "f_comp_diff" -> 28200000L,
-    "f_standard_scale" -> 21200000L, "dedup_minhash_lsh" -> 170000L,
-    "ann_bruteforce" -> 13000L, "text_quality" -> 240000L,
+    "q_agg_pricing" -> 2900L,
+    "q_join_shuffle" -> 5200000L,
+    "q_multi_join_agg" -> 7400L,
+    "q_asof_join" -> 2700000L,
+    "q_topk_per_key" -> 280000L,
+    "f_comp_diff" -> 29000000L,
+    "f_standard_scale" -> 22000000L,
+    "dedup_minhash_lsh" -> 170000L,
+    "ann_bruteforce" -> 13000L,
+    "text_quality" -> 240000L,
     "stream_window_agg" -> 320000L,
-    "dedup_cluster" -> 105000L, "graph_pagerank" -> 260000L,
+    "dedup_cluster" -> 110000L,
+    "graph_pagerank" -> 190000L,
     "graph_pagerank_iter" -> 330000L,
-    "ann_pq_search" -> 12600L, "ann_pq_refine" -> 41000L,
-    "ann_centroid_ivf" -> 13000L, "ml_ks_statistic_dist" -> 12800000L,
-    "q_sequence_gaps_dist" -> 310000L, "f_quantile_bucket_dist" -> 5400000L,
-    "mm_chunk_dedup" -> 190000L, "text_tfidf" -> 6800000L,
-    "src_jdbc_roundtrip" -> 770000L, "ml_gbt_step2" -> 13000L,
-    "ml_kmeans_lloyd" -> 500L, "src_sorted_layout" -> 220000L,
-    "src_zorder_layout" -> 530000L)
+    "ann_pq_search" -> 13000L,
+    "ann_pq_refine" -> 42000L,
+    "ann_centroid_ivf" -> 13000L,
+    "ml_ks_statistic_dist" -> 13000000L,
+    "q_sequence_gaps_dist" -> 310000L,
+    "f_quantile_bucket_dist" -> 5400000L,
+    "mm_chunk_dedup" -> 190000L,
+    "text_tfidf" -> 6800000L,
+    "src_jdbc_roundtrip" -> 770000L,
+    "ml_gbt_step2" -> 500L,
+    "ml_kmeans_lloyd" -> 500L,
+    "src_sorted_layout" -> 220000L,
+    "src_zorder_layout" -> 570000L,
+    "ann_index_persist" -> 13000L,
+    "src_compact" -> 2600000L,
+    "ml_gbt_step3" -> 500L)
+
+  /** Round-6 sweep closure: every NON-headline query whose sf0.1 probe
+    * shuffled >1 MB, pinned at 2× measured like the headline tables — a
+    * plan regression can no longer hide in an ungated query. Metered by
+    * one extra bench pass (not timed — the timing set stays the
+    * curated headline), violations fail the run the same way.
+    */
+  val extendedAtSf01: Map[String, Long] = Map(
+    "q_unpivot" -> 64000000L,
+    "ml_item_cooccurrence" -> 52000000L,
+    "q_moving_avg" -> 43000000L,
+    "q_window_pit" -> 42000000L,
+    "f_interaction" -> 33000000L,
+    "f_minmax_scale" -> 17000000L,
+    "f_null_safe_ratio" -> 15000000L,
+    "f_impute_mean" -> 15000000L,
+    "f_drop_nulls" -> 14000000L,
+    "q_rank_funcs" -> 13000000L,
+    "f_lag_features" -> 13000000L,
+    "q_dq_checks" -> 10000000L,
+    "q_forward_fill" -> 9700000L,
+    "stream_session_window" -> 9600000L,
+    "stream_sessionize" -> 8900000L,
+    "q_range_window" -> 8400000L,
+    "ml_lift_deciles" -> 7800000L,
+    "ml_roc_auc_dist" -> 7800000L,
+    "q_scd2" -> 7600000L,
+    "f_winsorize" -> 6500000L,
+    "f_robust_scale" -> 5700000L,
+    "q_asof_nearest" -> 5400000L,
+    "f_hashed_features" -> 5000000L,
+    "src_json_nested" -> 4900000L,
+    "f_cyclical_encode" -> 4500000L,
+    "q_snapshot_diff" -> 4400000L,
+    "src_schema_evolution" -> 4300000L,
+    "q_event_transitions" -> 4100000L,
+    "src_json_roundtrip" -> 4100000L,
+    "src_incremental_merge" -> 4000000L,
+    "ml_ks_statistic" -> 4000000L,
+    "ml_auc_pr" -> 4000000L,
+    "ml_roc_auc" -> 4000000L,
+    "ml_auc_pr_dist" -> 4000000L,
+    "q_intersect_except" -> 3700000L,
+    "f_quantile_bucket" -> 3700000L,
+    "f_target_encode" -> 3400000L,
+    "q_running_distinct" -> 3200000L,
+    "q_lead_lag" -> 3000000L,
+    "q_union_dedup" -> 2700000L,
+    "q_percentile_disc" -> 2600000L,
+    "dedup_simhash" -> 2600000L,
+    "q_asof_join_native" -> 2300000L,
+    "f_binary_label" -> 2100000L)
 
   def forDir(dir: String): Option[Map[String, Long]] =
     if (dir.endsWith("sf0.001")) Some(atSf0001)
     else if (dir.endsWith("sf0.1")) Some(atSf01)
     else None
+
+  def extendedForDir(dir: String): Map[String, Long] =
+    if (dir.endsWith("sf0.1")) extendedAtSf01 else Map.empty
 
   /** The configuration each budget table was MEASURED under (2× the
     * bytes `graft.BudgetProbe` reported on these settings — the sf0.001

@@ -104,13 +104,36 @@ object Dedup2 {
     // gets broadcast, and a broadcast join preserves e's arbitrary
     // upstream partitioning — the repartition is what guarantees the
     // cached frame is hash-partitioned on src for every round's join.
+    // (deg, eDeg) are deterministic functions of the edge list — built
+    // and persisted once per distinct edge PLAN (semantic hash) per JVM
+    // via the bounded memo; the symmetry check rides the same build
+    val (deg, eDeg) = graft.QueryCaches.memo(
+      s"dedup2.pagerank:${edges.semanticHash()}") {
     val e = edges.toDF("src", "dst").persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    val eDeg = e.join(deg, "src").repartition(col("src")).persist()
+    // the SYMMETRIZED precondition made loud: with (dst,src) present for
+    // every (src,dst), the inner joins below are provably lossless
+    // (every out-degree node receives mass every round); an
+    // unsymmetrized input would silently drop sink-only/source-only
+    // nodes instead of failing. Checked as one 2-value aggregate over
+    // the cached edge frame — equal hash sums of (src,dst) and
+    // (dst,src) ⟺ the two edge multisets match (up to hash collision),
+    // no extra shuffle. decimal(38,0) keeps the sum exact and
+    // overflow-free at any edge count (ANSI long sums would throw)
+    val sym = e.agg(
+      sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+      sum(xxhash64(col("dst"), col("src")).cast("decimal(38,0)"))).head()
+    require(sym.getDecimal(0) == sym.getDecimal(1),
+      "pagerankRounds requires a SYMMETRIZED edge list (every (src,dst) " +
+        "paired with (dst,src)) — the hash sums of forward and reversed " +
+        "edges disagree")
+    val dg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val eD = e.join(dg, "src").repartition(col("src")).persist()
     // materialize the loop frame, then drop the upstream cache — only
     // deg (node-sized) and eDeg (edge-sized) live across the rounds
-    eDeg.count()
+    eD.count()
     e.unpersist()
+    (dg, eD)
+    }
     var out = deg.select(col("src").as("node"), col("deg"))
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     (1 to rounds).foreach { t =>

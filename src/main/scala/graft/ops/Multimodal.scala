@@ -115,18 +115,21 @@ object Multimodal {
     * plumbing — the payload is never interpreted.
     */
   def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val frames = withPayload(spark, dir)
-      .select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, (length(payload) - 1) div 64),
-            |  i -> substring(payload, i * 64 + 1, 64))""".stripMargin)).as("frame"))
-      .select(col("doc_id"), rollhash64(col("frame")).as("h"))
-      .distinct()
-      // self-joined below; unpersisted, the explode+hash scan would run
-      // on BOTH sides (ReusedExchange is not guaranteed under AQE). The
-      // persisted state is 16 B/row — same discipline as D2's signature
-      // table; the raw frames themselves are never cached.
-      .persist()
+    // self-joined below; unpersisted, the explode+hash scan would run
+    // on BOTH sides (ReusedExchange is not guaranteed under AQE). The
+    // persisted state is 16 B/row — same discipline as D2's signature
+    // table, built once per sf dir via the bounded memo; the raw frames
+    // themselves are never cached.
+    val frames = graft.QueryCaches.memo(s"mm.chunk:$dir") {
+      withPayload(spark, dir)
+        .select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(0, (length(payload) - 1) div 64),
+              |  i -> substring(payload, i * 64 + 1, 64))""".stripMargin)).as("frame"))
+        .select(col("doc_id"), rollhash64(col("frame")).as("h"))
+        .distinct()
+        .persist()
+    }
     frames.as("l").join(frames.as("r"), col("l.h") === col("r.h") &&
         col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))

@@ -196,12 +196,15 @@ object Similarity {
     // PQ). The cache boundary also keeps the encode loops out of the
     // downstream ADC join stage, which must stay under the JVM's 8 KB
     // JIT method limit to scan codes at speed.
-    e.select(col("vec_id") +: best: _*)
+    val coded = graft.QueryCaches.memo(s"sim.pqAssign:$dir:$subs:$k") {
+      e.select(col("vec_id") +: best: _*)
       .select(col("vec_id"),
         array((0 until subs).map(s => element_at(codeVals, ord(s) + 1)): _*).as("codes"),
         array((0 until subs).map(ord): _*).as("ords"),
         array((0 until subs).map(s => shiftright(col(s"enc_$s"), 8)): _*).as("d2s"))
       .persist()
+    }
+    coded
   }
 
   /** Per-probe ADC distance tables as ONE projection: dtm[sub][ord] =
@@ -305,10 +308,9 @@ object Similarity {
         .map { case (code, ticks) => (code, ticks.map(_.toSeq).toSeq) }
         .toSeq.toDF("code", "subs")
         .write.mode("overwrite").parquet(s"$base/codebook")
-      val coded = pqAssign(spark, dir, subs, k)
-      coded.select("vec_id", "ords")
+      // the memoized code frame stays cached — E4/E5/E8 serve from it
+      pqAssign(spark, dir, subs, k).select("vec_id", "ords")
         .write.mode("overwrite").parquet(s"$base/codes")
-      coded.unpersist()
       base
     })
 

@@ -235,5 +235,12 @@ class PlanAuditSpec extends AnyFunSuite {
         val stray = table.keySet.filterNot(qs.contains)
         assert(stray.isEmpty, s"$sfName budgets for nonexistent queries: $stray")
       }
+    // the extended (metered-only) sweep: real queries, none already in
+    // the headline timing set
+    val ext = ShuffleBudget.extendedAtSf01.keySet
+    assert(ext.filterNot(qs.contains).isEmpty,
+      s"extended budgets for nonexistent queries: ${ext.filterNot(qs.contains)}")
+    assert(ext.intersect(Bench.headline.toSet).isEmpty,
+      s"extended budgets duplicate headline entries: ${ext.intersect(Bench.headline.toSet)}")
   }
 }

@@ -194,6 +194,59 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
       "AvailableNow tick sequence diverged from the batch twin")
   }
 
+  test("G14: a tick of WATERMARK-LATE data is dropped — the drain equals the on-time-only twin") {
+    import org.apache.spark.sql.functions._
+    // The one lifecycle question G12/G13 left open: what happens when a
+    // cron tick delivers data OLDER than the watermark bound established
+    // by earlier ticks? Contract (update mode + 2h watermark): windows
+    // whose end precedes the checkpointed watermark are already evicted,
+    // so late rows into them are DROPPED — the final sink equals the
+    // batch twin over the ON-TIME rows only, never a silently-partial
+    // blend. The spec pins that semantics exactly.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("graft_g14").toString
+    val (src, out, ckpt) = (s"$root/src", s"$root/out/t", s"$root/ckpt")
+    val ev = graft.tables.Tables.events(s2, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val mm = ev.agg(min("ts"), max("ts")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val c = lo + 2 * (hi - lo) / 3
+    // precondition for total lateness: every early-cut window END
+    // (ts ≤ c, +1h window) must precede the tick-1 watermark (hi − 2h)
+    assert(c + 3L * 3600 * 1000000000 < hi,
+      "events span too short for the late-tick scenario")
+    // tick 1 drains the LAST third — the checkpoint now carries a
+    // watermark 2h below hi
+    ev.filter(col("ts") > c).repartition(2).write.parquet(src)
+    graft.streaming.CheckpointRestart.tick(s2, src, out, ckpt)
+    // tick 2 delivers the first two thirds — ALL beyond-watermark late
+    ev.filter(col("ts") <= c).repartition(2).write.mode("append").parquet(src)
+    graft.streaming.CheckpointRestart.tick(s2, src, out, ckpt)
+    val drained = graft.streaming.CheckpointRestart.finalSink(s2, out)
+      .select("window_start", "event_type", "n_events", "sum_value")
+    // the on-time-only batch twin (same quantized-agg shape)
+    def twin(rows: org.apache.spark.sql.DataFrame) = rows
+      .select(expr("timestamp_micros(ts div 1000)").as("event_ts"),
+        col("event_type"), col("value"))
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100000000L + lit(0.5)).cast("long")).as("sv_q"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"),
+        graft.ops.OracleRound.r4b(col("sv_q") / 100000000.0).as("sum_value"))
+    val onTime = twin(ev.filter(col("ts") > c))
+    val everything = twin(ev)
+    assert(drained.count() > 0)
+    assert(drained.exceptAll(onTime).isEmpty && onTime.exceptAll(drained).isEmpty,
+      "late tick leaked beyond-watermark rows into the sink (or dropped on-time ones)")
+    // and the scenario is non-vacuous: the late data would have changed
+    // the answer had it been admitted
+    assert(everything.exceptAll(onTime).count() > 0,
+      "scenario degenerate: late rows wouldn't have changed any window")
+  }
+
   test("G5: foreachBatch upsert + latest-wins read equals the source, idempotent on redelivery") {
     val out = java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString
     graft.streaming.StreamingUpsert.run(spark, sf, out)
