@@ -289,13 +289,77 @@ object Sources {
   def readCompacted(spark: SparkSession, basePath: String, logPath: String,
                     keyCols: Seq[String]): DataFrame = {
     val wm = spark.read.parquet(s"$basePath/meta").head().getLong(0)
-    val deltas = spark.read.parquet(logPath).filter(col("_batch_id") > wm)
     val base = spark.read.parquet(s"$basePath/base")
+    // a fully-vacuumed log has no partitions left to read (and no files
+    // to infer a schema from) — the steady state right after
+    // compact+vacuum; the base alone is then the complete table
+    val hasDeltas = Option(new java.io.File(logPath).listFiles)
+      .exists(_.exists(f => f.isDirectory || f.getName.endsWith(".parquet")))
+    val deltas =
+      if (hasDeltas) spark.read.parquet(logPath).filter(col("_batch_id") > wm)
+      else base.limit(0)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_batch_id").desc)
     base.unionByName(deltas)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_batch_id")
+  }
+
+  /** INCREMENTAL re-compaction: fold the post-watermark deltas into the
+    * existing base, producing a new base + watermark at `newBasePath`.
+    * This — not [[compactLog]] — is the steady-state daily operation:
+    * after a [[vacuumLog]] the raw log no longer holds the full
+    * history, so a from-scratch compaction would silently lose every
+    * key whose latest state lives only in the base (Round6Spec pins
+    * exactly that trap). Writes to a NEW path because Spark cannot
+    * safely overwrite an input it is still reading; callers alternate
+    * base paths (or swap a pointer) exactly like every LSM/table-format
+    * compactor.
+    */
+  def recompact(spark: SparkSession, basePath: String, logPath: String,
+                keyCols: Seq[String], newBasePath: String): Unit = {
+    require(new java.io.File(newBasePath).toPath.toAbsolutePath !=
+      new java.io.File(basePath).toPath.toAbsolutePath,
+      "recompact needs a NEW base path: Spark cannot overwrite an input in place")
+    val wm0 = spark.read.parquet(s"$basePath/meta").head().getLong(0)
+    val all = spark.read.parquet(s"$basePath/base")
+      .unionByName(spark.read.parquet(logPath).filter(col("_batch_id") > wm0))
+    val wm = all.agg(max(col("_batch_id")).cast("long")).head().getLong(0)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_batch_id").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumn("_batch_id", lit(wm))
+      .write.mode("overwrite").parquet(s"$newBasePath/base")
+    import spark.implicits._
+    Seq(wm).toDF("_watermark").write.mode("overwrite").parquet(s"$newBasePath/meta")
+  }
+
+  /** Storage reclaim for the compacted log (the VACUUM half of the
+    * lifecycle): batch partitions at or below the base's watermark are
+    * fully represented in `basePath/base`, so their directories can be
+    * DELETED — [[readCompacted]] never lists them (its delta filter is
+    * strictly above the watermark), and only then does compaction
+    * actually return the space the merged history occupied. Returns the
+    * number of partition directories removed. Readers of the RAW log
+    * ([[readLatest]]) lose history by design — after a vacuum, the
+    * compacted read path is the only complete one, which is why the
+    * watermark is read from the base's own sidecar rather than trusted
+    * from the caller.
+    */
+  def vacuumLog(spark: SparkSession, logPath: String, basePath: String): Int = {
+    val wm = spark.read.parquet(s"$basePath/meta").head().getLong(0)
+    val dirs = Option(new java.io.File(logPath).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_batch_id=") &&
+        f.getName.stripPrefix("_batch_id=").toLong <= wm)
+    def delete(f: java.io.File): Unit = {
+      val kids = f.listFiles
+      if (kids != null) kids.foreach(delete)
+      f.delete()
+      ()
+    }
+    dirs.foreach(delete)
+    dirs.length
   }
 }
 

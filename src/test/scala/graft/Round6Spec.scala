@@ -169,6 +169,75 @@ class Round6Spec extends AnyFunSuite {
       "delta scan does not partition-prune the compacted batches")
   }
 
+  test("src_compact lifecycle: re-compaction is idempotent and vacuum reclaims the merged history") {
+    val S = graft.sources.Sources
+    val log = Scratch.dir("vac_log")
+    val base = Scratch.dir("vac_base")
+    val orders = graft.tables.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus")
+    S.upsertBatch(orders.withColumn("o_orderstatus", lit("PENDING")), log, 1L)
+    S.upsertBatch(orders, log, 2L)
+    S.compactLog(spark, log, Seq("o_orderkey"), base)
+    S.upsertBatch(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("SHIPPED")), log, 3L)
+    val before = S.readCompacted(spark, base, log, Seq("o_orderkey")).collect().toSet
+    // vacuum: batches 1-2 are fully represented in the base — deleting
+    // their partitions must not change the compacted read, and the log
+    // must actually shrink (compaction without reclaim is bookkeeping)
+    def logBytes: Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else f.length
+      walk(new java.io.File(log))
+    }
+    val bytesBefore = logBytes
+    val removed = S.vacuumLog(spark, log, base)
+    assert(removed == 2, s"expected to vacuum batches 1 and 2, removed $removed")
+    assert(logBytes * 2 < bytesBefore,
+      s"vacuum reclaimed too little: $logBytes of $bytesBefore bytes remain")
+    assert(S.readCompacted(spark, base, log, Seq("o_orderkey")).collect().toSet == before,
+      "vacuum changed the compacted read")
+    // steady-state re-compaction must be INCREMENTAL (base + deltas):
+    // after the vacuum, the raw log no longer holds the full history, so
+    // a from-scratch compactLog over it would keep only batch 3's 10%
+    // and silently lose every other key — recompact folds the existing
+    // base forward instead, and a subsequent vacuum retires batch 3 too
+    val base2 = Scratch.dir("vac_base2")
+    S.recompact(spark, base, log, Seq("o_orderkey"), base2)
+    assert(S.readCompacted(spark, base2, log, Seq("o_orderkey")).collect().toSet == before,
+      "re-compaction changed the final state")
+    assert(S.vacuumLog(spark, log, base2) == 1)
+    assert(S.readCompacted(spark, base2, log, Seq("o_orderkey")).collect().toSet == before,
+      "vacuum after re-compaction changed the final state")
+  }
+
+  test("boostStumps generalizes past three rounds: four rounds, monotone exp-loss bound") {
+    import spark.implicits._
+    // same constructed blocks as the 3-round spec plus a fourth usable
+    // feature; the committee machinery (pattern weights, 2^N vote
+    // table, HUGEINT-free BigInt comparisons) must hold for N=4
+    val groups = Seq(
+      (400, 0.1, 0.1, 0.1, 0.1, 0),
+      (250, 0.9, 0.9, 0.1, 0.1, 1),
+      (100, 0.9, 0.1, 0.1, 0.9, 1),
+      (50, 0.1, 0.9, 0.1, 0.1, 1),
+      (50, 0.9, 0.9, 0.9, 0.1, 1),
+      (30, 0.1, 0.9, 0.9, 0.9, 0))
+    val rows = groups.zipWithIndex.flatMap { case ((cnt, a, b, c, d, y), g) =>
+      (0 until cnt).map(i => (a, b, c, d, (g * 37 + i) % 2 / 10.0, y))
+    }
+    val base = rows.toDF("fa", "fb", "fc", "fd", "fe", "y")
+    val r = graft.ml.Ml5.boostStumps(base,
+      Seq("fa" -> "fa", "fb" -> "fb", "fc" -> "fc", "fd" -> "fd", "fe" -> "fe"),
+      rounds = 4).collect().head
+    val losses = (1 to 4).map(t => r.getAs[Double](s"loss$t"))
+    assert(losses == losses.sorted.reverse && losses.distinct == losses,
+      s"exp-loss bound not strictly decreasing over 4 rounds: $losses")
+    val n = r.getAs[Long]("n")
+    assert(2 * r.getAs[Long]("correct4") > n,
+      "4-round committee no better than random")
+  }
+
   test("ml_gbt_step3 on lineitem: weak learners all three rounds, strictly decreasing exp-loss") {
     val r = graft.ml.Ml5.mlGbtStep3(spark, sf).collect().head
     val n = r.getAs[Long]("n")
