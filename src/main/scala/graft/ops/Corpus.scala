@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps.rollhash64
+import graft.tables.Tables
+
+/** Training-corpus ASSEMBLY — round 6, SURVEY.md §2.D10/D11/F12.
+  *
+  * The dedup/quality/similarity families (D/E/F) detect; these three
+  * operators are what a pretraining pipeline DOES with the detections:
+  * pick the survivor of each near-dup cluster, strip documents that
+  * leak the evaluation set, and pack what remains into balanced
+  * token-budget bins for the trainer.
+  */
+object Corpus {
+
+  /** D10 — `dedup_canonical`: per near-dup cluster (D7's connected
+    * components), keep the HIGHEST-QUALITY member (F2's quality score,
+    * lowest doc_id on ties) — the selection policy real pipelines run
+    * where D1/D6's canonical-min keeps an arbitrary survivor. Only
+    * multi-member clusters are reported (singletons have nothing to
+    * drop).
+    *
+    * Plan shape: D7's labels joined with F2's per-doc score (both
+    * doc-sized), one aggregate per cluster — `max_by` over the
+    * (quality, −doc_id) struct is the argmax with the tie-break built
+    * into lexicographic ordering, no per-cluster window needed.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.dedupCluster(spark, dir)
+    val quality = graft.ops.Text.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    clusters.join(quality, "doc_id")
+      .groupBy("cluster")
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("keep_id"),
+        max(col("quality_score")).as("keep_quality"),
+        count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster"), col("keep_id"), col("keep_quality"),
+        col("n_members"), (col("n_members") - 1).as("n_dropped"))
+      .orderBy("cluster")
+  }
+
+  /** D11 — `text_decontaminate`: benchmark-leak detection, the
+    * asymmetric overlap check every LLM data pipeline runs before
+    * training (D4's pairwise Jaccard treats all documents alike; this
+    * scores TRAINING docs against a designated EVAL set). Eval set =
+    * doc_id % 50 == 0; a training doc's contamination is the fraction
+    * of its distinct word-3-gram shingles that appear ANYWHERE in the
+    * eval set. Top-20 by overlap reported (the review queue), ratio
+    * quantized for the exact oracle.
+    *
+    * Scale shape: the eval side collapses to a DISTINCT 8-byte
+    * shingle-hash index (|eval shingles| rows, the small side at any
+    * realistic eval:train ratio); the training side explodes to
+    * (doc, shingle-hash) and semi-joins the index on the LONG hash —
+    * an O(n·shingles) equi-join, never doc×doc. Joining on
+    * RollHash64 instead of the shingle STRING keeps the shuffle rows
+    * at 16 B and replays exactly (same hash both engines, and any
+    * collision collides identically).
+    */
+  def textDecontaminate(spark: SparkSession, dir: String,
+                        topK: Int = 20): DataFrame = {
+    val sh = Dedup.shingled(Tables.documents(spark, dir))
+    val evalIdx = sh.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("shingles")).as("shingle"))
+      .select(rollhash64(col("shingle")).as("h"))
+      .distinct()
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+        explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), col("n_shingles"), rollhash64(col("shingle")).as("h"))
+    train.join(evalIdx, "h")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        OracleRound.r4b(col("n_shared").cast("double") / col("n_shingles"))
+          .as("overlap"))
+      .orderBy(col("overlap").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** F12 — `corpus_pack`: sequence packing — distribute documents into
+    * the minimum-ish number of fixed-token-budget bins (what a trainer
+    * does before batching). True first-fit packing is inherently
+    * sequential; the SCALABLE deterministic policy is sorted
+    * round-robin (longest-processing-time scheduling): rank all docs by
+    * token count descending via [[DistRank]] (full-parallelism global
+    * rank — no single-partition window), bins = ⌈total/capacity⌉ from
+    * one bounded driver aggregate, bin = (rank−1) mod bins. LPT is the
+    * classic 4/3-approximation to balanced makespan, and unlike
+    * first-fit it is order-independent and replayable as one window
+    * expression.
+    */
+  def corpusPack(spark: SparkSession, dir: String,
+                 capacity: Long = 2048): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    // ⌈Σtokens / capacity⌉ — one bounded driver aggregate (2 longs)
+    val total = toks.agg(sum("n_tokens")).head().getLong(0)
+    val nbins = math.max(1L, (total + capacity - 1) / capacity)
+    val ranked = DistRank.withGlobalRank(toks, "rank",
+      col("n_tokens").desc, col("doc_id"))
+    ranked
+      .select(col("n_tokens"), ((col("rank") - 1) % nbins).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        max("n_tokens").as("max_doc_tokens"))
+      .orderBy("bin")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical" -> (dedupCanonical _),
+    "text_decontaminate" -> ((s, d) => textDecontaminate(s, d)),
+    "corpus_pack" -> ((s, d) => corpusPack(s, d)))
+
+  /** F2's quality-score expression, verbatim (shared with the
+    * text_quality oracle's formula so the two can never drift in
+    * meaning — the canonical pick depends on it).
+    */
+  private val qualitySql =
+    """floor((least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) *
+      |       (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+      |        / CAST(length(text) AS DOUBLE))) * 10000 + 0.5) / 10000""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // D7's recursive-component oracle + F2's quality formula + per-
+    // cluster argmax with the same (quality desc, doc_id asc) tie-break
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE ${Dedup.minhashJacCtes},
+         |edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.5
+         |          UNION ALL SELECT b, a FROM jac WHERE jaccard >= 0.5),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+         |clus AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY 1),
+         |q AS (SELECT doc_id, $qualitySql AS quality_score FROM documents),
+         |m AS (
+         |  SELECT c.cluster, c.doc_id, q.quality_score,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |      ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.cluster) AS n_members
+         |  FROM clus c JOIN q USING (doc_id))
+         |SELECT cluster, doc_id AS keep_id, quality_score AS keep_quality,
+         |  n_members, n_members - 1 AS n_dropped
+         |FROM m WHERE rn = 1 AND n_members >= 2 ORDER BY cluster""".stripMargin,
+    // same shingling + RollHash64 as the minhash oracle; the eval index
+    // is DISTINCT hashes, overlap counts a train doc's hashes in it
+    "text_decontaminate" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+         |sh AS (
+         | SELECT doc_id, list_distinct([concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])
+         |   FOR i IN range(1, greatest(len(tokens) - 3, 0) + 2)]) AS shingles
+         | FROM tok),
+         |expl AS (SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle FROM sh),
+         |h AS (SELECT doc_id, n_shingles, ${Dedup.rollSql("shingle")} AS hu FROM expl),
+         |ev AS (SELECT DISTINCT hu FROM h WHERE doc_id % 50 = 0),
+         |hits AS (
+         |  SELECT t.doc_id, t.n_shingles, count(*) AS n_shared
+         |  FROM h t JOIN ev USING (hu)
+         |  WHERE t.doc_id % 50 <> 0
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  n_shared,
+         |  floor((CAST(n_shared AS DOUBLE) / n_shingles) * 10000 + 0.5) / 10000 AS overlap
+         |FROM hits ORDER BY overlap DESC, doc_id LIMIT 20""".stripMargin,
+    // sorted round-robin replay: rank by (tokens desc, doc_id), bins
+    // from the same ceil-total scalar, identical mod arithmetic
+    "corpus_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS nbins FROM t),
+        |r AS (
+        |  SELECT n_tokens,
+        |    (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % p.nbins AS bin
+        |  FROM t CROSS JOIN p)
+        |SELECT bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -31,7 +31,7 @@ object Dedup {
     * does O(1) element access — `slice(split(...))` inside the lambda
     * would re-split the text for every shingle position (O(words²)/row).
     */
-  private def shingled(df: DataFrame): DataFrame =
+  private[graft] def shingled(df: DataFrame): DataFrame =
     df.withColumn("tokens", split(trim(col("text")), "\\s+"))
       .select(col("doc_id"), array_distinct(expr(
         """transform(sequence(0, greatest(size(tokens) - 3, 0)),

@@ -211,6 +211,59 @@ class Round6Spec extends AnyFunSuite {
       "vacuum after re-compaction changed the final state")
   }
 
+  test("dedup_canonical: the kept doc is its cluster's quality argmax") {
+    val picks = graft.ops.Corpus.dedupCanonical(spark, sf).collect()
+    assert(picks.nonEmpty)
+    val clusters = graft.ops.Dedup.dedupCluster(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+    val quality = graft.ops.Text.textQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    val byCluster = clusters.groupBy(_._2)
+    picks.foreach { p =>
+      val (c, keep) = (p.getAs[Long]("cluster"), p.getAs[Long]("keep_id"))
+      val members = byCluster(c).map(_._1)
+      assert(members.contains(keep), s"keep_id $keep not in cluster $c")
+      assert(p.getAs[Long]("n_members") == members.length)
+      val best = members.map(quality).max
+      assert(quality(keep) == best,
+        s"cluster $c kept $keep (q=${quality(keep)}) but best is $best")
+      // tie-break: lowest doc_id among the best-quality members
+      assert(keep == members.filter(m => quality(m) == best).min)
+    }
+  }
+
+  test("text_decontaminate: overlap is a valid ratio over TRAINING docs only, sorted desc") {
+    val rows = graft.ops.Corpus.textDecontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 50 != 0, "eval doc leaked into the report")
+      val (sh, shared) = (r.getAs[Int]("n_shingles").toLong, r.getAs[Long]("n_shared"))
+      assert(shared >= 1 && shared <= sh)
+      val ov = r.getAs[Double]("overlap")
+      assert(ov > 0.0 && ov <= 1.0)
+    }
+    val ovs = rows.map(_.getAs[Double]("overlap")).toSeq
+    assert(ovs == ovs.sorted.reverse, "report not sorted by overlap desc")
+  }
+
+  test("corpus_pack: bins conserve tokens, hit the ceil count, and stay LPT-balanced") {
+    import org.apache.spark.sql.functions._
+    val bins = graft.ops.Corpus.corpusPack(spark, sf).collect()
+    val toks = graft.tables.Tables.documents(spark, sf)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    val agg = toks.agg(sum("n"), max("n"), count(lit(1))).head()
+    val (total, maxDoc, nDocs) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val expectBins = (total + 2047) / 2048
+    assert(bins.length == expectBins, s"${bins.length} bins, want $expectBins")
+    assert(bins.map(_.getAs[Long]("bin_tokens")).sum == total, "tokens not conserved")
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // sorted round-robin balance: no bin exceeds another by more than
+    // the largest document
+    val sums = bins.map(_.getAs[Long]("bin_tokens"))
+    assert(sums.max - sums.min <= maxDoc,
+      s"bins unbalanced beyond the LPT bound: ${sums.max - sums.min} > $maxDoc")
+  }
+
   test("boostStumps generalizes past three rounds: four rounds, monotone exp-loss bound") {
     import spark.implicits._
     // same constructed blocks as the 3-round spec plus a fourth usable
