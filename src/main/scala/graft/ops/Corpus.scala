@@ -123,7 +123,7 @@ object Corpus {
     * text_quality oracle's formula so the two can never drift in
     * meaning — the canonical pick depends on it).
     */
-  private val qualitySql =
+  private[ops] val qualitySql =
     """floor((least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) *
       |       (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
       |        / CAST(length(text) AS DOUBLE))) * 10000 + 0.5) / 10000""".stripMargin

@@ -1,0 +1,295 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps.{cosine, rollhash64}
+import graft.tables.Tables
+
+/** Corpus CURATION — round 6 continuation, SURVEY.md §2.F13/F14/F15/D12.
+  *
+  * The second half of the assembly story [[Corpus]] started: repetition
+  * screening (the Gopher-style intra-document filters), deterministic
+  * mixture sampling (hit a target language/domain mix with replayable
+  * hash draws), the staged filter-cascade audit every curation run
+  * reports, and SemDeDup-style semantic dedup over the embedding space
+  * (prune near-duplicates WITHIN a coarse cluster — pairwise work
+  * bounded by cell size, never n²).
+  */
+object Corpus2 {
+
+  /** Max run length over the SORTED token array == max multiplicity of
+    * any element — a pure codegen fold (aggregate HOF), so per-document
+    * repetition stats need ZERO shuffle: sort-the-array + one linear
+    * fold per row, embarrassingly parallel at 100 TB. The oracle
+    * computes the same number the relational way (unnest → group →
+    * max), which pins the fold's semantics from a different direction.
+    */
+  private def maxRunSql(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+       |  (a, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x = a.prev, a.run + 1L, 1L),
+       |    'best', GREATEST(a.best, IF(x = a.prev, a.run + 1L, 1L))),
+       |  a -> a.best)""".stripMargin
+
+  /** F13 — `text_repetition`: Gopher-style intra-document repetition
+    * signals — distinct-token ratio, top-unigram fraction, top-bigram
+    * fraction — with the 20 most repetitive documents as the review
+    * queue. All three are per-row projections (see [[maxRunSql]]); the
+    * only shuffle in the plan is the final top-k.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("bgs", expr(
+        """IF(size(toks) >= 2,
+          |   transform(sequence(0, size(toks) - 2),
+          |             i -> concat(toks[i], ' ', toks[i+1])),
+          |   CAST(array() AS ARRAY<STRING>))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        expr(maxRunSql("toks")).as("top_uni"),
+        expr(maxRunSql("bgs")).as("top_big"))
+    base.select(col("doc_id"), col("n_tokens"),
+      OracleRound.r4b(col("n_distinct") / col("n_tokens")).as("distinct_ratio"),
+      OracleRound.r4b(col("top_uni") / col("n_tokens")).as("top_token_frac"),
+      OracleRound.r4b(col("top_big") / greatest(col("n_tokens") - 1, lit(1L)))
+        .as("top_bigram_frac"))
+      .orderBy(col("top_bigram_frac").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** The target language mixture, in exact ppm (sums to 10⁶). */
+  private val targetPpm: Seq[(String, Long)] = Seq(
+    "de" -> 150000L, "en" -> 350000L, "es" -> 150000L,
+    "fr" -> 150000L, "zh" -> 200000L)
+
+  /** F14 — `corpus_mix_sample`: deterministic mixture sampling — hit a
+    * target per-language share of a total budget (half the corpus) with
+    * hash-draw keeps, the way pretraining mixes rebalance domains.
+    * Every quantity is INTEGER (ppm targets, floor quotas, floor
+    * keep-rates, a RollHash64 draw mod 10⁶), so the sample replays
+    * bit-for-bit in the oracle — no RNG, no seed drift.
+    *
+    * Scale shape: two column-pruned scans of (doc_id, lang) — one for
+    * per-language counts, one for the filtered keep — with the 5-row
+    * rate table broadcast between them; no driver collect (rates stay a
+    * frame), no shuffle beyond the two tiny aggregates.
+    */
+  def corpusMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val tmap = map(targetPpm.flatMap { case (l, p) => Seq(lit(l), lit(p)) }: _*)
+    val ppm = pmod(rollhash64(concat(lit("mix|"), col("doc_id").cast("string"))),
+      lit(1000000L))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), ppm.as("ppm"))
+    val totals = docs.agg(expr("count(1) div 2").as("budget"))
+    val rates = docs.groupBy("lang").agg(count(lit(1)).as("n_avail"))
+      .crossJoin(broadcast(totals))
+      .withColumn("target_ppm", element_at(tmap, col("lang")))
+      .withColumn("quota", expr("target_ppm * budget div 1000000"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("quota * 1000000 div n_avail")))
+    val kept = docs.join(broadcast(rates.select("lang", "rate_ppm")), Seq("lang"))
+      .filter(col("ppm") < col("rate_ppm"))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    val totKept = kept.agg(sum("n_kept").as("total_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .crossJoin(broadcast(totKept))
+      .select(col("lang"), col("n_avail"), col("quota"), col("rate_ppm"),
+        col("n_kept"),
+        OracleRound.r4b(col("n_kept").cast("double") / col("total_kept"))
+          .as("share"))
+      .orderBy("lang")
+  }
+
+  /** F15 — `corpus_filter_cascade`: the staged keep/drop funnel a
+    * curation run reports — language gate, minimum length, quality
+    * threshold (F2's exact formula via [[Text.qualityScoreCol]]), and a
+    * repetition cap (F13's top-token fraction). ONE aggregate computes
+    * every stage's survivor count (conditional sums over the cascade
+    * prefixes); `stack` unpivots the single row into the 4-stage audit
+    * table. Thresholds compare on QUANTIZED scores so the boundary
+    * replays exactly.
+    */
+  def corpusFilterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+    val nTok = size(col("toks")).cast("long")
+    val topFrac = OracleRound.r4b(expr(maxRunSql("toks")) / nTok)
+    val flags = base.select(
+      (col("lang") === "en").as("r1"),
+      (nTok >= 30).as("r2"),
+      (Text.qualityScoreCol >= 0.85).as("r3"),
+      (topFrac <= 0.12).as("r4"))
+    flags.agg(
+      count(lit(1)).as("s0"),
+      sum(when(col("r1"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("r1") && col("r2"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("r1") && col("r2") && col("r3"), 1L).otherwise(0L)).as("s3"),
+      sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L).otherwise(0L))
+        .as("s4"))
+      .selectExpr(
+        """stack(4,
+          | 1, 'lang_en',    s0, s1,
+          | 2, 'min_tokens', s1, s2,
+          | 3, 'quality',    s2, s3,
+          | 4, 'repetition', s3, s4) AS (stage, rule, n_in, n_out)""".stripMargin)
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .orderBy("stage")
+  }
+
+  /** D12 — `dedup_semantic`: SemDeDup — near-duplicate pruning in
+    * EMBEDDING space, scoped to a coarse cluster (E3's integer-centroid
+    * assignment, shared via [[Similarity.ivfAssignment]] so D12 and E3
+    * can never disagree about cells). A vector is dropped when a
+    * LOWER-id vector in its cell has cosine ≥ τ; its keeper is the
+    * best-matching such vector (highest cosine, lowest id on ties).
+    *
+    * Scale shape: the pairwise stage is a self-equi-join ON THE CELL —
+    * O(Σ cellᵢ²) instead of n², the entire point of SemDeDup; at real
+    * scale the cell count grows with √n (and a skewed giant cell is
+    * salted or split by the same recursive assignment), so per-task
+    * work stays bounded. Assignment itself is a zero-shuffle
+    * literal-codebook projection.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String,
+                    tau: Double = 0.30): DataFrame = {
+    val (assigned, _) = Similarity.ivfAssignment(spark, dir)
+    val cands = assigned.select(col("cell"), col("vec_id").as("cand"),
+      col("emb").as("cand_emb"))
+    val pairs = assigned.join(cands, Seq("cell"))
+      .filter(col("cand") < col("vec_id"))
+      .select(col("vec_id"), col("cell"), col("cand"),
+        cosine(col("cand_emb"), col("emb")).as("cos"))
+      .filter(col("cos") >= tau)
+    pairs.groupBy("vec_id", "cell")
+      .agg(
+        max_by(col("cand"), struct(col("cos"), (-col("cand")).as("nid")))
+          .as("keeper"),
+        max(col("cos")).as("mx"),
+        count(lit(1)).as("n_cands"))
+      .select(col("vec_id"), col("cell"), col("keeper"),
+        OracleRound.r4b(col("mx")).as("cos_sim"), col("n_cands"))
+      .orderBy("vec_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
+    "corpus_mix_sample" -> (corpusMixSample _),
+    "corpus_filter_cascade" -> (corpusFilterCascade _),
+    "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    // max multiplicity via unnest → group → max (the relational route to
+    // the engine's sorted-run fold); bigrams by 1-indexed adjacency
+    "text_repetition" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |base AS (
+        | SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM tok),
+        |uni AS (
+        | SELECT doc_id, max(cnt) AS top_uni FROM (
+        |   SELECT doc_id, count(*) AS cnt
+        |   FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t)
+        | GROUP BY doc_id),
+        |bg AS (
+        | SELECT doc_id, max(cnt) AS top_big FROM (
+        |   SELECT doc_id, count(*) AS cnt FROM (
+        |     SELECT doc_id,
+        |            unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
+        |     FROM tok) GROUP BY doc_id, g)
+        | GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  floor((CAST(n_distinct AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS distinct_ratio,
+        |  floor((CAST(top_uni AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS top_token_frac,
+        |  floor((CAST(coalesce(top_big, 0) AS DOUBLE) / greatest(n_tokens - 1, 1)) * 10000 + 0.5) / 10000 AS top_bigram_frac
+        |FROM base b JOIN uni USING (doc_id) LEFT JOIN bg USING (doc_id)
+        |ORDER BY top_bigram_frac DESC, doc_id LIMIT 20""".stripMargin,
+    // identical integer arithmetic end-to-end: ppm targets, floor
+    // quotas/rates, RollHash64 draw wrapped to signed then pmod 10⁶
+    "corpus_mix_sample" -> {
+      val h = Dedup.wrapSql(Dedup.rollSql("s"))
+      s"""WITH d0 AS (
+         | SELECT doc_id, lang, 'mix|' || CAST(doc_id AS VARCHAR) AS s FROM documents),
+         |d AS (
+         | SELECT doc_id, lang, (($h % 1000000) + 1000000) % 1000000 AS ppm FROM d0),
+         |t AS (SELECT count(*) // 2 AS budget FROM d),
+         |a AS (SELECT lang, count(*) AS n_avail FROM d GROUP BY 1),
+         |r AS (
+         | SELECT lang, n_avail,
+         |   CASE lang WHEN 'de' THEN 150000 WHEN 'en' THEN 350000
+         |             WHEN 'es' THEN 150000 WHEN 'fr' THEN 150000
+         |             WHEN 'zh' THEN 200000 END AS target_ppm,
+         |   budget
+         | FROM a CROSS JOIN t),
+         |r2 AS (
+         | SELECT lang, n_avail, target_ppm * budget // 1000000 AS quota,
+         |   least(1000000, (target_ppm * budget // 1000000) * 1000000 // n_avail) AS rate_ppm
+         | FROM r),
+         |k AS (
+         | SELECT d.lang, count(*) AS n_kept
+         | FROM d JOIN r2 USING (lang) WHERE d.ppm < r2.rate_ppm GROUP BY 1),
+         |tk AS (SELECT sum(n_kept) AS total_kept FROM k)
+         |SELECT r2.lang, CAST(n_avail AS BIGINT) AS n_avail,
+         |  CAST(quota AS BIGINT) AS quota, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  floor((CAST(coalesce(k.n_kept, 0) AS DOUBLE) / total_kept) * 10000 + 0.5) / 10000 AS share
+         |FROM r2 LEFT JOIN k USING (lang) CROSS JOIN tk ORDER BY lang""".stripMargin
+    },
+    // the cascade as conditional prefix-sums over one scan; quality is
+    // Corpus.qualitySql (= F2's formula) so all three consumers agree
+    "corpus_filter_cascade" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, lang, text,
+         |        string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |uni AS (
+         | SELECT doc_id, max(cnt) AS top_uni FROM (
+         |   SELECT doc_id, count(*) AS cnt
+         |   FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t)
+         | GROUP BY doc_id),
+         |f AS (
+         | SELECT (lang = 'en') AS r1, (len(toks) >= 30) AS r2,
+         |   (${Corpus.qualitySql} >= 0.85) AS r3,
+         |   (floor((CAST(top_uni AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000 <= 0.12) AS r4
+         | FROM tok JOIN uni USING (doc_id)),
+         |a AS (
+         | SELECT count(*) AS s0,
+         |   sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS s1,
+         |   sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS s2,
+         |   sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS s3,
+         |   sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS s4
+         | FROM f)
+         |SELECT CAST(stage AS INTEGER) AS stage, rule,
+         |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+         |  CAST(n_in - n_out AS BIGINT) AS n_dropped
+         |FROM (
+         | SELECT 1 AS stage, 'lang_en' AS rule, s0 AS n_in, s1 AS n_out FROM a
+         | UNION ALL SELECT 2, 'min_tokens', s1, s2 FROM a
+         | UNION ALL SELECT 3, 'quality', s2, s3 FROM a
+         | UNION ALL SELECT 4, 'repetition', s3, s4 FROM a)
+         |ORDER BY stage""".stripMargin,
+    // E3's cell assignment verbatim (shared CTE chain), then the
+    // within-cell lower-id pairing and the (cos desc, id) keeper pick
+    "dedup_semantic" ->
+      s"""WITH ${Similarity.ivfAsgCtes},
+         |p AS (
+         | SELECT b.vec_id AS vec_id, a.cell, a.vec_id AS cand,
+         |   list_cosine_similarity(ae.embedding::DOUBLE[], be.embedding::DOUBLE[]) AS cos
+         | FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         | JOIN embeddings ae ON ae.vec_id = a.vec_id
+         | JOIN embeddings be ON be.vec_id = b.vec_id),
+         |f AS (SELECT * FROM p WHERE cos >= 0.3),
+         |r AS (
+         | SELECT vec_id, cell, cand, cos,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand) AS rn,
+         |   count(*) OVER (PARTITION BY vec_id) AS n_cands
+         | FROM f)
+         |SELECT vec_id, cell, cand AS keeper,
+         |  floor(cos * 10000 + 0.5) / 10000 AS cos_sim, n_cands
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+}

@@ -90,8 +90,15 @@ object Similarity {
     * are the codebook's k·dim-group aggregate and the final per-probe
     * top-k.
     */
-  def annCentroidIvf(spark: SparkSession, dir: String, k: Int = 5,
-                     nprobe: Int = 2): DataFrame = {
+  /** E3's coarse quantizer, exposed for reuse (D12 `dedup_semantic`
+    * clusters with the SAME assignment): returns the corpus with each
+    * vector's cell — (vec_id, emb, cell) — plus the literal-codebook
+    * distance fold a probe side uses to route itself. The codebook is
+    * |cells|·dim longs collected ONCE (bounded by the coarse-quantizer
+    * size, never by n); assignment is a pure codegen projection.
+    */
+  private[graft] def ivfAssignment(spark: SparkSession,
+                                 dir: String): (DataFrame, Column => Column) = {
     val e = emb(spark, dir)
     // per-(cell, dim) integer centroid ticks: cq = round(sum(q)/cnt),
     // computed as (2·sq + cnt) div (2·cnt) — both engines truncate
@@ -126,7 +133,13 @@ object Similarity {
     val assigned = e.withColumn("_q", qticks(col("emb")))
       .select(col("vec_id"), col("emb"),
         array_min(cellDists(col("_q"))).getField("cell").as("cell"))
-    val probeCells = probesOf(e).withColumn("_q", qticks(col("q_emb")))
+    (assigned, cellDists)
+  }
+
+  def annCentroidIvf(spark: SparkSession, dir: String, k: Int = 5,
+                     nprobe: Int = 2): DataFrame = {
+    val (assigned, cellDists) = ivfAssignment(spark, dir)
+    val probeCells = probesOf(emb(spark, dir)).withColumn("_q", qticks(col("q_emb")))
       .select(col("qid"), col("q_emb"),
         explode(transform(
           slice(array_sort(cellDists(col("_q"))), 1, nprobe),
@@ -327,6 +340,56 @@ object Similarity {
       pqDistTablesFor(spark, dir, subs, cb), subs, topK)
   }
 
+  /** E10 — `ann_ivf_pq`: IVF + PQ composed — the FAISS-IVFADC layout
+    * that actually serves billion-vector corpora. The index is ONE
+    * projection over the embeddings scan (cell = E3's literal-codebook
+    * argmin, codes = E4's per-subspace `PqNearest` argmins — zero
+    * shuffle, zero join), memoized as the cell-tagged 17 B/vector code
+    * list. A probe routes to its `nprobe` nearest cells and runs E5's
+    * ADC lookup-table scan ONLY over those cells' code lists: where E5
+    * broadcasts its tables against every code, the IVFADC join on
+    * `cell` touches nprobe/|cells| of the corpus — the missing
+    * composition between E3 (routing, full-width vectors) and E5
+    * (compression, full scan).
+    */
+  def annIvfPq(spark: SparkSession, dir: String, subs: Int = 8, k: Int = 16,
+               nprobe: Int = 2, topK: Int = 5): DataFrame = {
+    val dimsPerSub = 64 / subs
+    val (assigned, cellDists) = ivfAssignment(spark, dir)
+    val cb = pqCodebook(spark, dir, subs, k)
+    val best = (0 until subs).map { s =>
+      pqNearest(slice(col("_q"), s * dimsPerSub + 1, dimsPerSub),
+        cb.map(_._2(s).toSeq)).as(s"enc_$s")
+    }
+    def ord(s: Int): Column = col(s"enc_$s").bitwiseAND(lit(255L)).cast("int")
+    val idx = graft.QueryCaches.memo(s"sim.ivfPqIndex:$dir:$subs:$k") {
+      assigned.withColumn("_q", qticks(col("emb")))
+        .select(Seq(col("vec_id"), col("cell")) ++ best: _*)
+        .select(col("vec_id"), col("cell"),
+          array((0 until subs).map(ord): _*).as("ords"))
+        .persist()
+    }
+    val probes = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), qticks(asDouble(col("embedding"))).as("_q"))
+      .select(col("qid"),
+        explode(transform(
+          slice(array_sort(cellDists(col("_q"))), 1, nprobe),
+          p => p.getField("cell"))).as("cell"),
+        array((0 until subs).map { s =>
+          pqDists(slice(col("_q"), s * dimsPerSub + 1, dimsPerSub),
+            cb.map(_._2(s).toSeq))
+        }: _*).as("dtm"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
+    idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), adcDist(subs).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** E6 — multi-probe LSH with exact re-rank: a probe searches its own
     * sign-bucket PLUS the 4 Hamming-1 neighbor buckets (flip one plane
     * bit), then candidates are re-ranked by EXACT cosine. This is the
@@ -444,29 +507,38 @@ object Similarity {
     "ann_rerank" -> ((s, d) => annRerank(s, d)),
     "ann_centroid_ivf" -> ((s, d) => annCentroidIvf(s, d)),
     "ann_pq" -> ((s, d) => annPq(s, d)),
-    "ann_pq_search" -> ((s, d) => annPqSearch(s, d)))
+    "ann_pq_search" -> ((s, d) => annPqSearch(s, d)),
+    "ann_ivf_pq" -> ((s, d) => annIvfPq(s, d)))
+
+  /** E3's integer cell-assignment replay as a reusable CTE chain
+    * (`ex` → `cells` → `d` → `asg`), shared verbatim by D12
+    * `dedup_semantic`'s oracle so the two operators can never disagree
+    * about which cell a vector lives in.
+    */
+  private[ops] val ivfAsgCtes: String =
+    """ex AS (
+      | SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+      |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
+      | FROM embeddings),
+      |cells AS (
+      | SELECT label AS cell, dim,
+      |        CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS BIGINT) AS cq
+      | FROM ex GROUP BY 1, 2),
+      |d AS (
+      | SELECT e.vec_id, c.cell, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+      | FROM ex e JOIN cells c ON c.dim = e.dim GROUP BY 1, 2),
+      |asg AS (
+      | SELECT vec_id, cell FROM (
+      |   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |   FROM d)
+      | WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // integer-exact IVF replay: same 10^-6 tick quantization, same
     // round-half integer-division centroid ticks, same (d2, cell)
     // assignment tie-break; candidate scoring shares E1's cosine shape
     "ann_centroid_ivf" ->
-      """WITH ex AS (
-        | SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
-        |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
-        | FROM embeddings),
-        |cells AS (
-        | SELECT label AS cell, dim,
-        |        CAST((2 * sum(q) + count(*)) // (2 * count(*)) AS BIGINT) AS cq
-        | FROM ex GROUP BY 1, 2),
-        |d AS (
-        | SELECT e.vec_id, c.cell, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
-        | FROM ex e JOIN cells c ON c.dim = e.dim GROUP BY 1, 2),
-        |asg AS (
-        | SELECT vec_id, cell FROM (
-        |   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-        |   FROM d)
-        | WHERE rn = 1),
+      s"""WITH $ivfAsgCtes,
         |pc AS (
         | SELECT vec_id AS qid, cell FROM (
         |   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
@@ -615,7 +687,41 @@ object Similarity {
     // E9 reruns E5's search over the RELOADED index — sharing the oracle
     // verbatim hash-proves the artifact round-trip lost nothing
     "ann_index_persist" -> pqSearchOracle,
-    "ann_pq_search" -> pqSearchOracle)
+    "ann_pq_search" -> pqSearchOracle,
+    // IVFADC replay: E3's assignment CTEs verbatim (cells), E5's PQ
+    // encode/table CTEs with a `p` prefix (the two chains both name an
+    // `ex`/`d`), joined through asg+pc so the ADC scan sees ONLY the
+    // probed cells' code lists
+    "ann_ivf_pq" ->
+      s"""WITH $ivfAsgCtes,
+         |pex AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
+         |        (dim - 1) % 8 AS dimin, q FROM ex),
+         |pcb AS (SELECT sub, dimin, vec_id AS code, q AS cq FROM pex WHERE vec_id < 16),
+         |pd AS (SELECT e.vec_id, e.sub, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+         |       FROM pex e JOIN pcb c USING (sub, dimin) GROUP BY 1, 2, 3),
+         |pcodes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM pd)
+         | WHERE rn = 1),
+         |pc AS (SELECT vec_id AS qid, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |  FROM d WHERE vec_id % 100 = 0)
+         | WHERE rn <= 2),
+         |pdt AS (SELECT p.vec_id AS qid, p.sub, c.code,
+         |        sum((p.q - c.cq) * (p.q - c.cq)) AS dt
+         |       FROM pex p JOIN pcb c USING (sub, dimin)
+         |       WHERE p.vec_id % 100 = 0 GROUP BY 1, 2, 3),
+         |adc AS (SELECT pc.qid, k.vec_id AS nid, CAST(sum(t.dt) AS BIGINT) AS adc_dist
+         |        FROM pcodes k
+         |        JOIN asg a ON a.vec_id = k.vec_id
+         |        JOIN pc ON pc.cell = a.cell
+         |        JOIN pdt t ON t.qid = pc.qid AND t.sub = k.sub AND t.code = k.code
+         |        WHERE k.vec_id <> pc.qid
+         |        GROUP BY 1, 2)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id, adc_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY adc_dist, nid) AS rank FROM adc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 
   private lazy val pqSearchOracle: String =
       s"""WITH ex0 AS (

@@ -32,6 +32,18 @@ object Text {
     * token length, and a linear composite score. Mirrors the heuristic
     * quality filters used on large web corpora.
     */
+  /** F2's composite score as a reusable expression over `text` — shared
+    * with F15 `corpus_filter_cascade` (and D10's oracle via
+    * [[Corpus]]) so the engine-side formula can never drift from its
+    * consumers. Quantized (r4) so threshold compares replay exactly.
+    */
+  private[ops] def qualityScoreCol: Column = {
+    val len = length(col("text")).cast("double")
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast("double")
+    val punct = len - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")).cast("double")
+    r4(least(nTokens / lit(50.0), lit(1.0)) * (lit(1.0) - punct / len))
+  }
+
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val len = length(col("text")).cast("double")
     val nTokens = size(split(trim(col("text")), "\\s+")).cast("double")
@@ -46,7 +58,7 @@ object Text {
         r4(punct / len).as("punct_ratio"),
         r4(digits / len).as("digit_ratio"),
         r4(nonSpace / nTokens).as("mean_token_len"),
-        r4(least(nTokens / lit(50.0), lit(1.0)) * (lit(1.0) - punct / len)).as("quality_score"))
+        qualityScoreCol.as("quality_score"))
       .orderBy("doc_id")
   }
 

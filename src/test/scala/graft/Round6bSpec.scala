@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 curation additions: repetition screening, deterministic
+  * mixture sampling, the filter-cascade audit, and SemDeDup-style
+  * semantic dedup (F13/F14/F15/D12).
+  */
+class Round6bSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("text_repetition: the sorted-run fold equals an independent multiplicity count, with ZERO shuffle") {
+    val rows = graft.ops.Corpus2.textRepetition(spark, sf)
+    val got = rows.collect()
+    assert(got.length == 20)
+    // independent replay on the driver: max multiplicity via a plain
+    // Scala groupBy over the raw text — pins the aggregate-HOF fold
+    // from outside Catalyst entirely
+    val raw = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def q4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+    got.foreach { r =>
+      val toks = raw(r.getAs[Long]("doc_id")).trim.split("\\s+").toSeq
+      val n = toks.length.toLong
+      assert(r.getAs[Long]("n_tokens") == n)
+      val topUni = toks.groupBy(identity).values.map(_.length).max
+      assert(r.getAs[Double]("top_token_frac") == q4(topUni.toDouble / n))
+      val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topBig = if (bgs.isEmpty) 0 else bgs.groupBy(identity).values.map(_.length).max
+      assert(r.getAs[Double]("top_bigram_frac") ==
+        q4(topBig.toDouble / math.max(n - 1, 1)))
+      assert(r.getAs[Double]("distinct_ratio") == q4(toks.distinct.length.toDouble / n))
+    }
+    // per-document repetition is a pure projection; the only movement in
+    // the plan is the driver-merged local top-k (TakeOrderedAndProject)
+    val m = Telemetry.measure(rows)
+    assert(m.shuffleBytesWritten == 0,
+      s"repetition stats should not shuffle: ${m.shuffleBytesWritten} B")
+  }
+
+  test("corpus_mix_sample: integer quotas/rates, kept ⊆ avail, shares sum to 1, replay-deterministic") {
+    val rows = graft.ops.Corpus2.corpusMixSample(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSeq.sorted ==
+      Seq("de", "en", "es", "fr", "zh"))
+    rows.foreach { r =>
+      val (avail, quota, rate, kept) = (r.getAs[Long]("n_avail"),
+        r.getAs[Long]("quota"), r.getAs[Long]("rate_ppm"), r.getAs[Long]("n_kept"))
+      assert(rate >= 0 && rate <= 1000000)
+      assert(kept >= 0 && kept <= avail)
+      // a full-rate language keeps everything; any partial rate is a
+      // strict subsample
+      if (rate == 1000000) assert(kept == avail) else assert(kept < avail)
+      assert(quota <= avail || rate == 1000000,
+        s"quota $quota over avail $avail should clamp the rate")
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 0.001)
+    // hash draws, not RNG: a second invocation is bit-identical
+    val again = graft.ops.Corpus2.corpusMixSample(spark, sf).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("corpus_filter_cascade: stages chain (n_in(k+1) = n_out(k)) and every rule drops documents") {
+    val rows = graft.ops.Corpus2.corpusFilterCascade(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("rule")).toSeq ==
+      Seq("lang_en", "min_tokens", "quality", "repetition"))
+    val total = graft.tables.Tables.documents(spark, sf).count()
+    assert(rows.head.getAs[Long]("n_in") == total)
+    rows.sliding(2).foreach {
+      case Array(prev, next) =>
+        assert(next.getAs[Long]("n_in") == prev.getAs[Long]("n_out"),
+          "cascade stages do not chain")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_out"))
+      // non-vacuous on the synthetic corpus: every rule fires
+      assert(r.getAs[Long]("n_dropped") > 0,
+        s"rule ${r.getAs[String]("rule")} dropped nothing")
+    }
+  }
+
+  test("dedup_semantic: drops pair with a LOWER-id same-cell keeper at cos ≥ τ, scoped to E3's cells") {
+    val rows = graft.ops.Corpus2.dedupSemantic(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (assigned, _) = graft.ops.Similarity.ivfAssignment(spark, sf)
+    val cellOf = assigned.select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    rows.foreach { r =>
+      val (v, keeper) = (r.getAs[Long]("vec_id"), r.getAs[Long]("keeper"))
+      assert(keeper < v, "keeper must be the lower id")
+      assert(r.getAs[Int]("cell") == cellOf(v), "reported cell is not the vector's")
+      assert(cellOf(keeper) == cellOf(v), "keeper crossed a cell boundary")
+      assert(r.getAs[Double]("cos_sim") >= 0.3)
+      assert(r.getAs[Long]("n_cands") >= 1)
+    }
+    // the dropped set is cluster-scoped near-dup detection, not a blanket
+    // sweep: strictly fewer drops than vectors
+    assert(rows.length < cellOf.size)
+  }
+}
