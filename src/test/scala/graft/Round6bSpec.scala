@@ -101,4 +101,40 @@ class Round6bSpec extends AnyFunSuite {
     // sweep: strictly fewer drops than vectors
     assert(rows.length < cellOf.size)
   }
+
+  test("ann_ivf_pq: neighbors come only from the probe's routed cells, at E5's exact ADC distances") {
+    val rows = graft.ops.Similarity.annIvfPq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // routing contract: every returned neighbor lives in one of its
+    // probe's nprobe nearest cells (recomputed via the shared E3
+    // assignment + routing fold)
+    val (assigned, cellDists) = graft.ops.Similarity.ivfAssignment(spark, sf)
+    val cellOf = assigned.select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val routed = assigned.filter(col("vec_id") % 100 === 0)
+      .withColumn("_q", expr(
+        "transform(emb, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"))
+      .select(col("vec_id"),
+        slice(array_sort(cellDists(col("_q"))), 1, 2).as("near"))
+      .select(col("vec_id"), expr("transform(near, p -> p.cell)").as("cells"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Int]]("cells").toSet).toMap
+    rows.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(routed(q).contains(cellOf(n)),
+        s"neighbor $n (cell ${cellOf(n)}) outside probe $q's routed cells ${routed(q)}")
+    }
+    // compression contract: for pairs E5's full ADC scan also returns,
+    // the cell-restricted distance is IDENTICAL (same codes, same
+    // tables — IVF only narrows the candidate set)
+    val full = graft.ops.Similarity.annPqSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("adc_dist")).toMap
+    val shared = rows.flatMap { r =>
+      full.get((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .map(_ == r.getAs[Long]("adc_dist"))
+    }
+    assert(shared.nonEmpty && shared.forall(identity),
+      "cell-restricted ADC distances diverge from the full scan")
+  }
 }
