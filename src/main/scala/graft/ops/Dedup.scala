@@ -38,24 +38,18 @@ object Dedup {
           |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
         .as("shingles"))
 
-  /** The candidate-pair + Jaccard-verify core of D2, exposed so composite
-    * pipelines (see [[Pipeline]]) can reuse the LSH machinery: returns
-    * (a, b, jaccard) for every band-colliding doc pair, a < b.
+  /** The (doc_id, band, sig) table — the ONLY persisted MinHash state
+    * (~40 B/row), built once per sf dir via the bounded memo and shared
+    * by every consumer: D2's self-join, D7/D9's graph builds, and D13's
+    * incremental probe (where it plays the standing corpus INDEX a
+    * daily delta joins against).
     */
-  def minhashCandidatePairs(spark: SparkSession, dir: String,
-                            numPerm: Int = 32, bands: Int = 8): DataFrame = {
+  private[graft] def bandSignatures(spark: SparkSession, dir: String,
+                                    numPerm: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerm / bands
     // shingles are a pure projection over the text scan — re-derived
-    // per use, NEVER cached: the shingle arrays are larger than the
-    // corpus itself, and pinning them in the block-manager cache is
-    // exactly what dies first at 100 TB. The only persisted state is
-    // the (doc_id, band, sig) table below (~40 B/row).
+    // per use, NEVER cached (the arrays outweigh the corpus; see D2)
     val docs = shingled(Tables.documents(spark, dir))
-    // ONE string hash per shingle (native RollHash64); the numPerm
-    // "permutations" are wrapping affine mixes aᵢ·h + bᵢ (mod 2⁶⁴) via the
-    // native Mix64 expression — cheaper than numPerm string hashes, immune
-    // to ANSI overflow checks, and (unlike xxhash64) replayable in the
-    // DuckDB oracle with HUGEINT arithmetic
     val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .withColumn("h0", rollhash64(col("shingle")))
     val consts = mixConsts(numPerm)
@@ -63,11 +57,7 @@ object Dedup {
       min(mix64(col("h0"), consts(i)._1, consts(i)._2)).as(s"mh_$i")
     }
     val minhashes = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    // self-joined below AND shared by every minhash consumer (LSH,
-    // cluster, pagerank, pipeline): built+persisted once per sf dir via
-    // the bounded memo — unpersisted it would re-run minhashing twice
-    // per query and once more per invocation
-    val bandSigs = graft.QueryCaches.memo(s"dedup.bandSigs:$dir:$numPerm:$bands") {
+    graft.QueryCaches.memo(s"dedup.bandSigs:$dir:$numPerm:$bands") {
       minhashes.select(col("doc_id"), explode(array(
         (0 until bands).map { b =>
           val sig = combine64(array(
@@ -77,6 +67,21 @@ object Dedup {
         .select(col("doc_id"), col("bs.band"), col("bs.sig"))
         .persist()
     }
+  }
+
+  /** The candidate-pair + Jaccard-verify core of D2, exposed so composite
+    * pipelines (see [[Pipeline]]) can reuse the LSH machinery: returns
+    * (a, b, jaccard) for every band-colliding doc pair, a < b.
+    *
+    * ONE string hash per shingle (native RollHash64); the numPerm
+    * "permutations" are wrapping affine mixes aᵢ·h + bᵢ (mod 2⁶⁴) via the
+    * native Mix64 expression — cheaper than numPerm string hashes, immune
+    * to ANSI overflow checks, and (unlike xxhash64) replayable in the
+    * DuckDB oracle with HUGEINT arithmetic.
+    */
+  def minhashCandidatePairs(spark: SparkSession, dir: String,
+                            numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val bandSigs = bandSignatures(spark, dir, numPerm, bands)
     val l = bandSigs.select(col("band"), col("sig"), col("doc_id").as("a"))
     val r = bandSigs.select(col("band"), col("sig"), col("doc_id").as("b"))
     val candidates = l.join(r, Seq("band", "sig"))

@@ -168,12 +168,82 @@ object Dedup2 {
       .orderBy("doc_id")
   }
 
+  /** D13 — `dedup_incremental`: dedup of a DAILY DELTA against the
+    * standing corpus, the shape production pipelines actually run —
+    * yesterday's corpus is already indexed; today's arrivals (here
+    * doc_id % 10 == 0, ~10% of docs) must be checked against base ∪
+    * delta WITHOUT ever re-pairing base×base. The delta side probes the
+    * persisted (doc_id, band, sig) index ([[Dedup.bandSignatures]] —
+    * the exact state D2 already maintains) with a band+sig equi-join;
+    * candidates are verified by exact shingle Jaccard and each delta
+    * doc gets an admit/reject verdict.
+    *
+    * Scale shape: per day the join cost is O(|delta|·bands) probe rows
+    * against the index — independent of corpus size beyond the index
+    * lookup — and the only new state is the delta's own signature rows
+    * appended to the index. Base×base pairs (the quadratic bulk D2
+    * pays) are structurally excluded by the probe-side filter.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.bandSignatures(spark, dir)
+    val probe = sigs.filter(col("doc_id") % 10 === 0)
+      .select(col("band"), col("sig"), col("doc_id").as("d"))
+    val index = sigs.select(col("band"), col("sig"), col("doc_id").as("o"))
+    val cands = probe.join(index, Seq("band", "sig"))
+      .filter(col("o") =!= col("d"))
+      .select("d", "o").distinct()
+    val sh = Dedup.shingled(Tables.documents(spark, dir))
+    val withJac = cands
+      .join(sh.select(col("doc_id").as("d"), col("shingles").as("sh_d")), "d")
+      .join(sh.select(col("doc_id").as("o"), col("shingles").as("sh_o")), "o")
+      .select(col("d"),
+        (size(array_intersect(col("sh_d"), col("sh_o"))).cast("double") /
+          size(array_union(col("sh_d"), col("sh_o")))).as("jaccard"))
+    val perDelta = withJac.groupBy("d")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("jaccard") >= 0.5, 1)).as("n_near_dups"))
+    Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
+      .select("doc_id")
+      .join(perDelta.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        when(coalesce(col("n_near_dups"), lit(0L)) > 0, lit("reject"))
+          .otherwise(lit("admit")).as("verdict"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_doc_chunk" -> (dedupDocChunk _),
     "graph_pagerank" -> (graphPagerank _),
-    "graph_pagerank_iter" -> (graphPagerankIter _))
+    "graph_pagerank_iter" -> (graphPagerankIter _),
+    "dedup_incremental" -> (dedupIncremental _))
 
   val oracles: Map[String, String] = Map(
+    // shares D2's full signature chain (tok→sh→expl→h0→mh→sigs); only
+    // the candidate CTE changes — one side pinned to the delta
+    "dedup_incremental" ->
+      s"""WITH ${Dedup.minhashJacCtes},
+         |icand AS (
+         | SELECT DISTINCT r.doc_id AS d, l.doc_id AS o
+         | FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+         |  AND r.doc_id % 10 = 0 AND l.doc_id <> r.doc_id),
+         |ijac AS (
+         | SELECT c.d,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |  len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         | FROM icand c JOIN sh sa ON sa.doc_id = c.d JOIN sh sb ON sb.doc_id = c.o),
+         |agg AS (
+         | SELECT d, count(*) AS n_candidates,
+         |   count(CASE WHEN jaccard >= 0.5 THEN 1 END) AS n_near_dups
+         | FROM ijac GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(coalesce(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(agg.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+         |  CASE WHEN coalesce(agg.n_near_dups, 0) > 0 THEN 'reject'
+         |       ELSE 'admit' END AS verdict
+         |FROM documents LEFT JOIN agg ON agg.d = doc_id
+         |WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
     // the 3-round recurrence unrolled as chained CTEs — each rT is the
     // exact integer image of the Spark loop's round-T frame
     "graph_pagerank_iter" ->

@@ -137,4 +137,27 @@ class Round6bSpec extends AnyFunSuite {
     assert(shared.nonEmpty && shared.forall(identity),
       "cell-restricted ADC distances diverge from the full scan")
   }
+
+  test("dedup_incremental: the delta probe gives EXACTLY the batch answer restricted to the delta") {
+    val inc = graft.ops.Dedup2.dedupIncremental(spark, sf).collect()
+    assert(inc.nonEmpty)
+    // D2's full batch run, restricted to delta docs, must agree number
+    // for number — incremental dedup may skip base×base work but must
+    // never miss a delta pairing
+    val batch = graft.ops.Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_near_dups"))).toMap
+    inc.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 10 == 0, "non-delta doc in the incremental report")
+      assert((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_near_dups")) ==
+        batch(id), s"delta doc $id diverges from the batch answer")
+      val expect = if (r.getAs[Long]("n_near_dups") > 0) "reject" else "admit"
+      assert(r.getAs[String]("verdict") == expect)
+    }
+    assert(inc.length ==
+      graft.tables.Tables.documents(spark, sf)
+        .filter(col("doc_id") % 10 === 0).count(),
+      "every delta doc must receive a verdict")
+  }
 }
