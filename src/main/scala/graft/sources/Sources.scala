@@ -529,6 +529,40 @@ object SourceQueries {
     * is the final state computed directly from `orders` — compaction
     * must be result-invisible.
     */
+  /** I16 — `corpus_shard`: the curated corpus written as TRAINING
+    * SHARDS — the hand-off artifact between a data pipeline and a
+    * trainer's data loader. Shard assignment is a deterministic hash
+    * draw (RollHash64("shard|"+doc_id) mod N — order-independent,
+    * replayable, no RNG), the layout is a `partitionBy("shard")`
+    * parquet sink (each shard is its own directory a loader rank reads
+    * in isolation — spec-pinned partition pruning), and the MANIFEST
+    * the contract query returns is aggregated FROM THE WRITTEN LAYOUT,
+    * so the oracle hash-proves the physical round-trip (E9's
+    * read-what-you-wrote discipline applied to the corpus itself).
+    * Write-once per JVM per sf dir, like the other layout artifacts.
+    */
+  def corpusShardPath(spark: SparkSession, dir: String,
+                      nshards: Int = 8): String =
+    once(s"corpus_shard:$dir:$nshards") {
+      val path = scratch("corpus_shard")
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        pmod(graft.functions.VectorOps.rollhash64(
+          concat(lit("shard|"), col("doc_id").cast("string"))),
+          lit(nshards.toLong)).as("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      path
+    }
+
+  def corpusShard(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(corpusShardPath(spark, dir))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("shard")
+
   def srcCompact(spark: SparkSession, dir: String): DataFrame = {
     val log = scratch("compactlog")
     val base = scratch("compactbase")
@@ -731,7 +765,8 @@ object SourceQueries {
     "src_sorted_layout" -> (srcSortedLayout _),
     "src_zorder_layout" -> (srcZorderLayout _),
     "src_compact" -> (srcCompact _),
-    "src_incremental_merge" -> (srcIncrementalMerge _))
+    "src_incremental_merge" -> (srcIncrementalMerge _),
+    "corpus_shard" -> (corpusShard _))
 
   /** A faithful round-trip preserves every value, so the oracle is the
     * equivalent select on the ORIGINAL table — any sink/source corruption
@@ -799,5 +834,22 @@ object SourceQueries {
         |FROM lineitem, b
         |WHERE l_partkey BETWEEN mp // 4 AND 3 * mp // 4
         |  AND l_suppkey BETWEEN ms // 10 AND ms // 10 + ms // 25
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the manifest the engine aggregates from the WRITTEN layout must
+    // equal this direct replay of the hash assignment — any loss,
+    // duplication, or misrouting in the partitioned sink round-trip
+    // surfaces as a hash mismatch
+    "corpus_shard" -> {
+      val h = graft.ops.Dedup.wrapSql(graft.ops.Dedup.rollSql("s"))
+      s"""WITH d0 AS (
+         | SELECT doc_id, lang,
+         |   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |   'shard|' || CAST(doc_id AS VARCHAR) AS s
+         | FROM documents),
+         |a AS (SELECT (($h % 8) + 8) % 8 AS shard, lang, n_tokens FROM d0)
+         |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+    })
 }

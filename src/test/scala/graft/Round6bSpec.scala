@@ -160,4 +160,41 @@ class Round6bSpec extends AnyFunSuite {
         .filter(col("doc_id") % 10 === 0).count(),
       "every delta doc must receive a verdict")
   }
+
+  test("corpus_shard: one directory per shard, partition-pruned single-shard reads, conserved totals") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val manifest = graft.sources.SourceQueries.corpusShard(spark, sf).collect()
+    assert(manifest.length == 8, "expected 8 shards")
+    val docs = graft.tables.Tables.documents(spark, sf)
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "sharding lost or duplicated documents")
+    manifest.foreach(r => assert(r.getAs[Long]("n_docs") > 0,
+      s"shard ${r.getAs[Long]("shard")} is empty"))
+    // physical layout: each shard is its own directory (what a loader
+    // rank mounts in isolation)
+    val path = graft.sources.SourceQueries.corpusShardPath(spark, sf)
+    val dirs = new java.io.File(path).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == (0 until 8).map(i => s"shard=$i"),
+      s"unexpected shard directories: ${dirs.mkString(",")}")
+    // a single-shard read must partition-prune, not list every shard
+    val one = spark.read.parquet(path).filter(col("shard") === 3)
+    one.collect()
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      (p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }) ++
+        kids.flatMap(scansOf)
+    }
+    val scans = scansOf(one.queryExecution.executedPlan)
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "single-shard read does not carry a partition filter")
+    // hash assignment, not arrival order: bit-identical on re-aggregate
+    val again = graft.sources.SourceQueries.corpusShard(spark, sf).collect()
+    assert(manifest.toSeq == again.toSeq)
+  }
 }
