@@ -44,30 +44,38 @@ object Dedup {
     * incremental probe (where it plays the standing corpus INDEX a
     * daily delta joins against).
     */
-  private[graft] def bandSignatures(spark: SparkSession, dir: String,
-                                    numPerm: Int = 32, bands: Int = 8): DataFrame = {
+  /** The signature plan over an ARBITRARY (doc_id, text) frame — the
+    * un-memoized core, so a streaming micro-batch (G15) can sign just
+    * its own arrivals with the exact arithmetic the standing index was
+    * built with.
+    */
+  private[graft] def bandSignaturesOf(docs: DataFrame,
+                                      numPerm: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerm / bands
     // shingles are a pure projection over the text scan — re-derived
     // per use, NEVER cached (the arrays outweigh the corpus; see D2)
-    val docs = shingled(Tables.documents(spark, dir))
-    val exploded = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val exploded = shingled(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .withColumn("h0", rollhash64(col("shingle")))
     val consts = mixConsts(numPerm)
     val mhCols = (0 until numPerm).map { i =>
       min(mix64(col("h0"), consts(i)._1, consts(i)._2)).as(s"mh_$i")
     }
-    val minhashes = exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    graft.QueryCaches.memo(s"dedup.bandSigs:$dir:$numPerm:$bands") {
-      minhashes.select(col("doc_id"), explode(array(
+    exploded.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      .select(col("doc_id"), explode(array(
         (0 until bands).map { b =>
           val sig = combine64(array(
             (Seq(lit(b.toLong): Column) ++ (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))): _*))
           struct(lit(b).as("band"), sig.as("sig"))
         }: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band"), col("bs.sig"))
-        .persist()
-    }
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
   }
+
+  private[graft] def bandSignatures(spark: SparkSession, dir: String,
+                                    numPerm: Int = 32, bands: Int = 8): DataFrame =
+    graft.QueryCaches.memo(s"dedup.bandSigs:$dir:$numPerm:$bands") {
+      bandSignaturesOf(Tables.documents(spark, dir), numPerm, bands).persist()
+    }
 
   /** The candidate-pair + Jaccard-verify core of D2, exposed so composite
     * pipelines (see [[Pipeline]]) can reuse the LSH machinery: returns

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.Dedup
+import graft.tables.Tables
+
+/** G15 — `stream_corpus_admit`: D13's daily-delta admission gate run as
+  * a REAL Structured Streaming drain — documents arrive as a file
+  * stream, each micro-batch signs its own delta arrivals
+  * ([[Dedup.bandSignaturesOf]] — the exact arithmetic the standing
+  * index was built with), probes the PERSISTED band-signature index,
+  * Jaccard-verifies the collisions, and appends admit/reject verdicts
+  * to the sink. `Trigger.AvailableNow` + checkpoint is the scheduled
+  *-drain shape G13 established; the contract query returns the SINK,
+  * and shares D13's oracle VERBATIM — hash-proving that the streaming
+  * ingest path and the batch backfill can never disagree on a verdict.
+  *
+  * Scale shape: per micro-batch the work is O(|batch delta|·bands)
+  * probe rows against the index plus the Jaccard verify of actual
+  * collisions — the index is the one shared memoized frame, the batch
+  * side is arrival-sized, and the sink grows by verdict rows only.
+  */
+object CorpusAdmit {
+
+  private val drained = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drain once per JVM per sf dir; later invocations read the sink. */
+  private def sinkPath(spark: SparkSession, dir: String): String =
+    drained.computeIfAbsent(dir, _ => {
+      val base = graft.Scratch.dir("corpus_admit")
+      val (sink, ckpt) = (s"$base/sink", s"$base/ckpt")
+      val q = spark.readStream
+        .schema(Tables.load(spark, dir, "documents").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val s = batch.sparkSession
+          val delta = batch.filter(col("doc_id") % 10 === 0)
+          val probe = Dedup.bandSignaturesOf(delta)
+            .select(col("band"), col("sig"), col("doc_id").as("d"))
+          val index = Dedup.bandSignatures(s, dir)
+            .select(col("band"), col("sig"), col("doc_id").as("o"))
+          val cands = probe.join(index, Seq("band", "sig"))
+            .filter(col("o") =!= col("d"))
+            .select("d", "o").distinct()
+          val withJac = cands
+            .join(Dedup.shingled(delta)
+              .select(col("doc_id").as("d"), col("shingles").as("sh_d")), "d")
+            .join(Dedup.shingled(Tables.documents(s, dir))
+              .select(col("doc_id").as("o"), col("shingles").as("sh_o")), "o")
+            .select(col("d"),
+              (size(array_intersect(col("sh_d"), col("sh_o"))).cast("double") /
+                size(array_union(col("sh_d"), col("sh_o")))).as("jaccard"))
+          val perDelta = withJac.groupBy("d")
+            .agg(count(lit(1)).as("n_candidates"),
+              count(when(col("jaccard") >= 0.5, 1)).as("n_near_dups"))
+          delta.select("doc_id")
+            .join(perDelta.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+              coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+              when(coalesce(col("n_near_dups"), lit(0L)) > 0, lit("reject"))
+                .otherwise(lit("admit")).as("verdict"))
+            .write.mode("append").parquet(sink)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      sink
+    })
+
+  def streamCorpusAdmit(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(sinkPath(spark, dir)).orderBy("doc_id")
+}

@@ -138,7 +138,8 @@ object Events {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_session_window" -> (streamSessionWindow _),
-    "stream_window_topk" -> (streamWindowTopk _))
+    "stream_window_topk" -> (streamWindowTopk _),
+    "stream_corpus_admit" -> (CorpusAdmit.streamCorpusAdmit _))
 
   /** G9 — windowed heavy hitters: top-3 event types per tumbling hour
     * (the live "what's trending this hour" report). The per-window rank
@@ -160,6 +161,9 @@ object Events {
   }
 
   val oracles: Map[String, String] = Map(
+    // D13's oracle VERBATIM: the streaming ingest gate and the batch
+    // backfill must hash-agree verdict for verdict
+    "stream_corpus_admit" -> graft.ops.Dedup2.oracles("dedup_incremental"),
     "stream_window_topk" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events

@@ -197,4 +197,18 @@ class Round6bSpec extends AnyFunSuite {
     val again = graft.sources.SourceQueries.corpusShard(spark, sf).collect()
     assert(manifest.toSeq == again.toSeq)
   }
+
+  test("stream_corpus_admit: the streaming drain's verdicts equal the batch backfill, row for row") {
+    val streamed = graft.streaming.CorpusAdmit.streamCorpusAdmit(spark, sf)
+      .collect().toSeq
+    val batch = graft.ops.Dedup2.dedupIncremental(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "streaming admission gate diverges from the batch backfill")
+    // drained once per JVM: a re-invocation serves the sink (same rows,
+    // no second stream start — the drained-map holds the sink path)
+    val again = graft.streaming.CorpusAdmit.streamCorpusAdmit(spark, sf)
+      .collect().toSeq
+    assert(again == batch)
+  }
 }
