@@ -28,7 +28,11 @@ object Bench {
     "src_zorder_layout",
     // round-6 additions: the persisted-index search, log compaction,
     // and the 3-round alpha-voting boosting loop
-    "ann_index_persist", "src_compact", "ml_gbt_step3")
+    "ann_index_persist", "src_compact", "ml_gbt_step3",
+    // round-6 second wave: the incremental-index probe, the IVFADC
+    // composition, and SemDeDup's cell-scoped pairwise join — the three
+    // new plan shapes worth a standing regression gate
+    "dedup_incremental", "ann_ivf_pq", "dedup_semantic")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

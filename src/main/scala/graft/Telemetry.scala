@@ -114,7 +114,10 @@ object ShuffleBudget {
     "src_zorder_layout" -> 13000L,
     "ann_index_persist" -> 2500L,
     "src_compact" -> 29000L,
-    "ml_gbt_step3" -> 500L)
+    "ml_gbt_step3" -> 500L,
+    "dedup_incremental" -> 4400L,
+    "ann_ivf_pq" -> 2500L,
+    "dedup_semantic" -> 18000L)
   val atSf01: Map[String, Long] = Map(
     "q_agg_pricing" -> 2900L,
     "q_join_shuffle" -> 5200000L,
@@ -145,7 +148,10 @@ object ShuffleBudget {
     "src_zorder_layout" -> 570000L,
     "ann_index_persist" -> 13000L,
     "src_compact" -> 2600000L,
-    "ml_gbt_step3" -> 500L)
+    "ml_gbt_step3" -> 500L,
+    "dedup_incremental" -> 76000L,
+    "ann_ivf_pq" -> 13000L,
+    "dedup_semantic" -> 162000L)
 
   /** Round-6 sweep closure: every NON-headline query whose sf0.1 probe
     * shuffled >1 MB, pinned at 2× measured like the headline tables — a

@@ -25,7 +25,7 @@ object Corpus2 {
     * computes the same number the relational way (unnest → group →
     * max), which pins the fold's semantics from a different direction.
     */
-  private def maxRunSql(arr: String): String =
+  private[graft] def maxRunSql(arr: String): String =
     s"""aggregate(array_sort($arr),
        |  named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
        |  (a, x) -> named_struct(

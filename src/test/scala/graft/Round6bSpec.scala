@@ -211,4 +211,23 @@ class Round6bSpec extends AnyFunSuite {
       .collect().toSeq
     assert(again == batch)
   }
+
+  test("repetition fold property: max sorted-run equals max multiplicity on random arrays") {
+    import spark.implicits._
+    // seeded random arrays over a tiny alphabet (forces long runs, ties,
+    // and empties — the cases the fixed corpus can't stress); one Spark
+    // job evaluates the fold on all of them
+    val rnd = new scala.util.Random(7)
+    val arrays = (1 to 200).map { _ =>
+      List.fill(rnd.nextInt(30))(s"t${rnd.nextInt(5)}")
+    }
+    val got = arrays.toDF("toks")
+      .select(expr(graft.ops.Corpus2.maxRunSql("toks")).as("m"))
+      .collect().map(_.getLong(0))
+    arrays.zip(got).foreach { case (a, m) =>
+      val want =
+        if (a.isEmpty) 0L else a.groupBy(identity).values.map(_.size).max.toLong
+      assert(m == want, s"fold said $m for $a (want $want)")
+    }
+  }
 }
