@@ -177,13 +177,67 @@ object Corpus2 {
       .orderBy("vec_id")
   }
 
+  /** F16 — `text_novelty`: corpus-frequency novelty scoring — the
+    * exact-arithmetic stand-in for LM-perplexity filtering (CCNet-style:
+    * score each document by how UNUSUAL its n-grams are against the
+    * corpus itself). Per doc: the average corpus frequency of its bigram
+    * occurrences (an exact integer sum — no logs, no floats until the
+    * final quantized ratio) and the count of rare (freq ≤ 2) bigrams;
+    * the bottom-20 by average frequency is the reject-review queue.
+    *
+    * Scale shape: bigrams explode to (doc, gram); the corpus frequency
+    * table is gram-keyed state that CANNOT broadcast at 100 TB, so the
+    * score join is an equi-join on the gram with both sides
+    * hash-partitioned — the honest shuffle — and the per-doc aggregate
+    * map-side combines. A frequency floor (drop grams seen once) would
+    * shrink the table at real scale; the synthetic corpus needs none.
+    */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("g"))
+    val freq = bg.groupBy("g").agg(count(lit(1)).as("c"))
+    bg.join(freq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("c").as("sum_freq"),
+        count(when(col("c") <= 2, 1)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        OracleRound.r4b(col("sum_freq").cast("double") / col("n_bigrams"))
+          .as("avg_freq"))
+      .orderBy(col("avg_freq"), col("doc_id"))
+      .limit(20)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "corpus_mix_sample" -> (corpusMixSample _),
     "corpus_filter_cascade" -> (corpusFilterCascade _),
-    "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)))
+    "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
+    "text_novelty" -> (textNovelty _))
 
   val oracles: Map[String, String] = Map(
+    // same 1-indexed bigram comprehension as F13's oracle; the score is
+    // an exact integer sum of per-occurrence corpus frequencies
+    "text_novelty" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (
+        | SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
+        | FROM tok WHERE len(toks) >= 2),
+        |freq AS (SELECT g, count(*) AS c FROM bg GROUP BY 1),
+        |per AS (
+        | SELECT b.doc_id, count(*) AS n_bigrams,
+        |   CAST(sum(f.c) AS BIGINT) AS sum_freq,
+        |   count(CASE WHEN f.c <= 2 THEN 1 END) AS n_rare
+        | FROM bg b JOIN freq f USING (g) GROUP BY 1)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(n_rare AS BIGINT) AS n_rare,
+        |  floor((CAST(sum_freq AS DOUBLE) / n_bigrams) * 10000 + 0.5) / 10000 AS avg_freq
+        |FROM per ORDER BY avg_freq, doc_id LIMIT 20""".stripMargin,
     // max multiplicity via unnest → group → max (the relational route to
     // the engine's sorted-run fold); bigrams by 1-indexed adjacency
     "text_repetition" ->

@@ -85,6 +85,40 @@ object Features3 {
     * repartitions). Output is the per-fold class profile a CV driver
     * consumes; the fold column itself is a shuffle-free projection.
     */
+  /** B23 — `f_target_encode_oof`: LEAKAGE-SAFE target encoding — the
+    * out-of-fold variant of B12 every careful ML pipeline uses: a row's
+    * segment rate is computed from the OTHER folds only (B19's
+    * deterministic fold assignment), so no row's own label leaks into
+    * its feature. The returned frame IS the encoder: per (segment,
+    * fold), the in-fold rate (for leak comparison) and the
+    * rate-excluding-this-fold a row in that cell would receive —
+    * (seg_total − cell) / (seg_n − cell_n), all integer sums until the
+    * final quantized ratio.
+    *
+    * Scale shape: one fact aggregate to the (segments × folds) cell
+    * table, one re-aggregate of that TINY table, one broadcast join
+    * between the two — the encoder never touches fact-table cardinality
+    * after the first combine.
+    */
+  def fTargetEncodeOof(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = broadcast(Tables.customer(spark, dir))
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"),
+        pmod(col("o_orderkey") * lit(2654435761L), lit(k.toLong)).as("fold"),
+        (col("o_totalprice") > lit(150000.0)).cast("long").as("label"))
+    val cell = joined.groupBy("c_mktsegment", "fold")
+      .agg(count(lit(1)).as("n"), sum("label").as("pos"))
+    val seg = cell.groupBy("c_mktsegment")
+      .agg(sum("n").as("seg_n"), sum("pos").as("seg_pos"))
+    cell.join(broadcast(seg), "c_mktsegment")
+      .select(col("c_mktsegment"), col("fold"), col("n"),
+        OracleRound.r4b(col("pos").cast("double") / col("n")).as("in_fold_rate"),
+        OracleRound.r4b((col("seg_pos") - col("pos")).cast("double") /
+          (col("seg_n") - col("n"))).as("oof_rate"))
+      .orderBy("c_mktsegment", "fold")
+  }
+
   def fCvFolds(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     Tables.orders(spark, dir)
       .select(
@@ -171,11 +205,31 @@ object Features3 {
     "f_interaction" -> (fInteraction _),
     "f_hashed_features" -> (fHashedFeatures _),
     "f_cv_folds" -> ((s, d) => fCvFolds(s, d)),
+    "f_target_encode_oof" -> ((s, d) => fTargetEncodeOof(s, d)),
     "f_lag_features" -> (fLagFeatures _),
     "f_embedding_norm" -> (fEmbeddingNorm _),
     "f_cyclical_encode" -> (fCyclicalEncode _))
 
   val oracles: Map[String, String] = Map(
+    // B12's join + B19's fold arithmetic; OOF = (seg − cell) / (n − n_cell)
+    "f_target_encode_oof" ->
+      """WITH j AS (
+        | SELECT c_mktsegment,
+        |  (o_orderkey * 2654435761) % 5 AS fold,
+        |  CAST(o_totalprice > 150000.0 AS BIGINT) AS label
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cell AS (
+        | SELECT c_mktsegment, fold, count(*) AS n, sum(label) AS pos
+        | FROM j GROUP BY 1, 2),
+        |seg AS (
+        | SELECT c_mktsegment, sum(n) AS seg_n, sum(pos) AS seg_pos
+        | FROM cell GROUP BY 1)
+        |SELECT cell.c_mktsegment, CAST(fold AS BIGINT) AS fold,
+        |  CAST(n AS BIGINT) AS n,
+        |  floor((CAST(pos AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS in_fold_rate,
+        |  floor((CAST(seg_pos - pos AS DOUBLE) / (seg_n - n)) * 10000 + 0.5) / 10000 AS oof_rate
+        |FROM cell JOIN seg USING (c_mktsegment)
+        |ORDER BY 1, 2""".stripMargin,
     "f_winsorize" ->
       """WITH ranked AS (
         | SELECT event_type, event_id, value,

@@ -212,6 +212,56 @@ class Round6bSpec extends AnyFunSuite {
     assert(again == batch)
   }
 
+  test("text_novelty: reject queue sorted by ascending average corpus frequency, bounds hold") {
+    val rows = graft.ops.Corpus2.textNovelty(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (n, rare) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_rare"))
+      assert(n >= 1 && rare >= 0 && rare <= n)
+      // every bigram occurrence counts at least itself in the corpus
+      assert(r.getAs[Double]("avg_freq") >= 1.0)
+    }
+    val fs = rows.map(_.getAs[Double]("avg_freq")).toSeq
+    assert(fs == fs.sorted, "queue not sorted by ascending avg frequency")
+    // non-vacuous: the most-novel doc really is rarer than the corpus
+    // norm (word-salad corpus: common bigrams repeat hundreds of times)
+    assert(fs.head < fs.last || rows.map(_.getAs[Long]("n_rare")).exists(_ > 0))
+  }
+
+  test("f_target_encode_oof: the OOF rate provably excludes the fold's own labels") {
+    val cells = graft.ops.Features3.fTargetEncodeOof(spark, sf).collect()
+    assert(cells.nonEmpty)
+    // independent replay on the driver from the raw tables
+    val o = graft.tables.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
+        r.getAs[Double]("o_totalprice")))
+    val segOf = graft.tables.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("c_mktsegment")).toMap
+    def q4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+    val rows = o.flatMap { case (ok, ck, tp) =>
+      segOf.get(ck).map(seg => (seg, ((ok * 2654435761L) % 5 + 5) % 5,
+        if (tp > 150000.0) 1L else 0L))
+    }
+    val byCell = rows.groupBy(r => (r._1, r._2))
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._3).sum) }
+    val bySeg = rows.groupBy(_._1)
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._3).sum) }
+    cells.foreach { r =>
+      val key = (r.getAs[String]("c_mktsegment"), r.getAs[Long]("fold"))
+      val (n, pos) = byCell(key)
+      val (sn, spos) = bySeg(key._1)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("in_fold_rate") == q4(pos.toDouble / n))
+      // the leakage-safety contract: the published rate uses ONLY the
+      // other folds' labels
+      assert(r.getAs[Double]("oof_rate") ==
+        q4((spos - pos).toDouble / (sn - n)),
+        s"cell $key leaks its own fold")
+    }
+  }
+
   test("repetition fold property: max sorted-run equals max multiplicity on random arrays") {
     import spark.implicits._
     // seeded random arrays over a tiny alphabet (forces long runs, ties,
