@@ -262,6 +262,26 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-count invariance: curation results are bit-identical under a different shuffle layout") {
+    // the order-independence claims (integer hash draws, DistRank global
+    // ranks, sorted-run folds — never "first row wins" or sampled
+    // boundaries) as an EXECUTED property: re-run on a session with a
+    // different, prime shuffle-partition count and require bit-equality
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    val checks: Seq[(String, org.apache.spark.sql.SparkSession => Array[org.apache.spark.sql.Row])] = Seq(
+      ("corpus_pack", s => graft.ops.Corpus.corpusPack(s, sf).collect()),
+      ("corpus_mix_sample", s => graft.ops.Corpus2.corpusMixSample(s, sf).collect()),
+      ("text_repetition", s => graft.ops.Corpus2.textRepetition(s, sf).collect()),
+      ("corpus_filter_cascade", s => graft.ops.Corpus2.corpusFilterCascade(s, sf).collect()),
+      ("text_novelty", s => graft.ops.Corpus2.textNovelty(s, sf).collect()),
+      ("f_target_encode_oof", s => graft.ops.Features3.fTargetEncodeOof(s, sf).collect()))
+    checks.foreach { case (name, run) =>
+      assert(run(spark).toSeq == run(alt).toSeq,
+        s"$name changed under a 7-partition shuffle layout")
+    }
+  }
+
   test("repetition fold property: max sorted-run equals max multiplicity on random arrays") {
     import spark.implicits._
     // seeded random arrays over a tiny alphabet (forces long runs, ties,
