@@ -27,51 +27,71 @@ object CorpusAdmit {
 
   private val drained = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One micro-batch's admission work: sign the batch's delta arrivals,
+    * probe the standing index of `indexDir`, verify, append verdicts.
+    * Exposed (private[graft]) so the multi-batch spec can drive it over
+    * a SPLIT source and prove per-batch independence.
+    */
+  private[graft] def admitBatch(batch: DataFrame, indexDir: String,
+                                sink: String): Unit = {
+    val s = batch.sparkSession
+    val delta = batch.filter(col("doc_id") % 10 === 0)
+    val probe = Dedup.bandSignaturesOf(delta)
+      .select(col("band"), col("sig"), col("doc_id").as("d"))
+    val index = Dedup.bandSignatures(s, indexDir)
+      .select(col("band"), col("sig"), col("doc_id").as("o"))
+    val cands = probe.join(index, Seq("band", "sig"))
+      .filter(col("o") =!= col("d"))
+      .select("d", "o").distinct()
+    val withJac = cands
+      .join(Dedup.shingled(delta)
+        .select(col("doc_id").as("d"), col("shingles").as("sh_d")), "d")
+      .join(Dedup.shingled(Tables.documents(s, indexDir))
+        .select(col("doc_id").as("o"), col("shingles").as("sh_o")), "o")
+      .select(col("d"),
+        (size(array_intersect(col("sh_d"), col("sh_o"))).cast("double") /
+          size(array_union(col("sh_d"), col("sh_o")))).as("jaccard"))
+    val perDelta = withJac.groupBy("d")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("jaccard") >= 0.5, 1)).as("n_near_dups"))
+    delta.select("doc_id")
+      .join(perDelta.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        when(coalesce(col("n_near_dups"), lit(0L)) > 0, lit("reject"))
+          .otherwise(lit("admit")).as("verdict"))
+      .write.mode("append").parquet(sink)
+  }
+
+  /** Drain a document source into verdicts: AvailableNow + checkpoint.
+    * `srcDir`/`glob` select the arriving files; `indexDir` holds the
+    * standing corpus the index and verify sides read.
+    */
+  private[graft] def drain(spark: SparkSession, srcDir: String, glob: String,
+                           indexDir: String, sink: String, ckpt: String,
+                           maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val reader = spark.readStream
+      .schema(Tables.load(spark, indexDir, "documents").schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val q = reader.parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatch(batch, indexDir, sink)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain once per JVM per sf dir; later invocations read the sink. */
   private def sinkPath(spark: SparkSession, dir: String): String =
     drained.computeIfAbsent(dir, _ => {
       val base = graft.Scratch.dir("corpus_admit")
       val (sink, ckpt) = (s"$base/sink", s"$base/ckpt")
-      val q = spark.readStream
-        .schema(Tables.load(spark, dir, "documents").schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-        .writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val s = batch.sparkSession
-          val delta = batch.filter(col("doc_id") % 10 === 0)
-          val probe = Dedup.bandSignaturesOf(delta)
-            .select(col("band"), col("sig"), col("doc_id").as("d"))
-          val index = Dedup.bandSignatures(s, dir)
-            .select(col("band"), col("sig"), col("doc_id").as("o"))
-          val cands = probe.join(index, Seq("band", "sig"))
-            .filter(col("o") =!= col("d"))
-            .select("d", "o").distinct()
-          val withJac = cands
-            .join(Dedup.shingled(delta)
-              .select(col("doc_id").as("d"), col("shingles").as("sh_d")), "d")
-            .join(Dedup.shingled(Tables.documents(s, dir))
-              .select(col("doc_id").as("o"), col("shingles").as("sh_o")), "o")
-            .select(col("d"),
-              (size(array_intersect(col("sh_d"), col("sh_o"))).cast("double") /
-                size(array_union(col("sh_d"), col("sh_o")))).as("jaccard"))
-          val perDelta = withJac.groupBy("d")
-            .agg(count(lit(1)).as("n_candidates"),
-              count(when(col("jaccard") >= 0.5, 1)).as("n_near_dups"))
-          delta.select("doc_id")
-            .join(perDelta.withColumnRenamed("d", "doc_id"), Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-              coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
-              when(coalesce(col("n_near_dups"), lit(0L)) > 0, lit("reject"))
-                .otherwise(lit("admit")).as("verdict"))
-            .write.mode("append").parquet(sink)
-          ()
-        }
-        .start()
-      q.awaitTermination()
+      drain(spark, dir, "documents.parquet", dir, sink, ckpt)
       sink
     })
 

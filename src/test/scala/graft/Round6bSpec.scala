@@ -262,6 +262,39 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_corpus_admit: verdicts survive the delta arriving across MULTIPLE micro-batches") {
+    // the per-batch independence claim, executed: split the corpus into
+    // two arrival files, force one file per micro-batch, and require the
+    // multi-batch drain to equal the batch backfill exactly — a verdict
+    // may only depend on (arrival, standing index), never on what else
+    // shares its micro-batch
+    val base = Scratch.dir("admit_split")
+    val (srcDir, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val docs = graft.tables.Tables.documents(spark, sf)
+    // the file source lists FLAT files: write each half, then move its
+    // single part file up as <name>.parquet
+    Seq("even" -> (col("doc_id") % 2 === 0), "odd" -> (col("doc_id") % 2 =!= 0))
+      .foreach { case (name, cond) =>
+        val tmp = s"$base/tmp_$name"
+        docs.filter(cond).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .get
+        new java.io.File(srcDir).mkdirs()
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+      }
+    graft.streaming.CorpusAdmit.drain(spark, srcDir, "*.parquet", sf,
+      sink, ckpt, maxFilesPerTrigger = Some(1))
+    // the checkpoint records one offset file per micro-batch
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 2, s"expected a multi-batch drain, got $batches batch(es)")
+    val got = spark.read.parquet(sink).orderBy("doc_id").collect().toSeq
+    val want = graft.ops.Dedup2.dedupIncremental(spark, sf).collect().toSeq
+    assert(got == want, "split-arrival drain diverges from the batch backfill")
+  }
+
   test("partition-count invariance: curation results are bit-identical under a different shuffle layout") {
     // the order-independence claims (integer hash draws, DistRank global
     // ranks, sorted-run folds — never "first row wins" or sampled
