@@ -160,6 +160,7 @@ object ShuffleBudget {
     * curated headline), violations fail the run the same way.
     */
   val extendedAtSf01: Map[String, Long] = Map(
+    "q_interpolate" -> 5100000L,
     "q_unpivot" -> 64000000L,
     "ml_item_cooccurrence" -> 52000000L,
     "q_moving_avg" -> 43000000L,

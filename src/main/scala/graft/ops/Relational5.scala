@@ -197,7 +197,46 @@ object Relational5 {
       .orderBy("digit")
   }
 
+  /** A54 — `q_interpolate`: per-entity LINEAR time interpolation of
+    * missing measurements — the standard repair step a time-series
+    * feature pipeline runs where A34's forward-fill would bias toward
+    * the past. Missingness is synthetic (event_id % 5 == 0 masked) so
+    * the op is self-contained; each masked row is rebuilt from its
+    * nearest non-missing neighbors on BOTH sides, weighted by actual
+    * time position ((t−t₀)/(t₁−t₀) over exact micros longs), with
+    * nearest-fill at sequence edges.
+    *
+    * Plan shape: both neighbor lookups are `last/first(..,
+    * ignoreNulls)` frames over ONE per-user window sort — partitioned
+    * by the entity key, no global window, one fact shuffle. The
+    * interpolation expression is written identically on both engines
+    * (same IEEE op order), so the oracle matches bit-for-bit after
+    * quantization.
+    */
+  def qInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wn = w.rowsBetween(1, Window.unboundedFollowing)
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("v"))
+      .withColumn("pv", last("v", ignoreNulls = true).over(wp))
+      .withColumn("pt",
+        last(when(col("v").isNotNull, col("us")), ignoreNulls = true).over(wp))
+      .withColumn("nv", first("v", ignoreNulls = true).over(wn))
+      .withColumn("nt",
+        first(when(col("v").isNotNull, col("us")), ignoreNulls = true).over(wn))
+    val frac = (col("us") - col("pt")).cast("double") / (col("nt") - col("pt"))
+    base.filter(col("v").isNull)
+      .select(col("user_id"), col("event_id"),
+        r4b(when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) * frac)).as("interp"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interpolate" -> (qInterpolate _),
     "q_chi_square" -> (qChiSquare _),
     "q_mode_per_group" -> (qModePerGroup _),
     "q_percent_total" -> (qPercentTotal _),
@@ -218,6 +257,28 @@ object Relational5 {
       |ORDER BY n_missing DESC, gap_start LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical masking, neighbor frames, and IEEE op order; micros are
+    // exact longs (< 2^53) so the time fraction is exact cross-engine
+    "q_interpolate" ->
+      """WITH b AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us,
+        |   CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        | FROM events),
+        |f AS (
+        | SELECT user_id, event_id, us, v,
+        |   last_value(v IGNORE NULLS) OVER wp AS pv,
+        |   last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wp AS pt,
+        |   first_value(v IGNORE NULLS) OVER wn AS nv,
+        |   first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wn AS nt
+        | FROM b
+        | WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wn AS (PARTITION BY user_id ORDER BY us, event_id
+        |   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id,
+        |  floor((CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * (CAST(us - pt AS DOUBLE) / (nt - pt)) END) * 10000 + 0.5) / 10000 AS interp
+        |FROM f WHERE v IS NULL ORDER BY user_id, event_id""".stripMargin,
     "q_chi_square" ->
       """WITH cells AS (
         |  SELECT c.c_mktsegment AS segment,

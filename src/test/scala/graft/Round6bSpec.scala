@@ -315,6 +315,41 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("q_interpolate: every masked event rebuilt; driver replay agrees value for value") {
+    val got = graft.ops.Relational5.qInterpolate(spark, sf).collect()
+    val events = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        col("value")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"), r.getAs[Double]("value")))
+    val masked = events.filter(_._2 % 5 == 0)
+    assert(got.length == masked.length,
+      "every masked event must receive an interpolated value")
+    def q4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+    // independent replay: nearest non-missing neighbors by (us, event_id)
+    val byUser = events.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(e => (e._3, e._2))
+    }
+    val expect = masked.map { case (u, id, us, _) =>
+      val seq = byUser(u)
+      val i = seq.indexWhere(e => e._2 == id && e._3 == us)
+      val prev = seq.take(i).reverse.find(_._2 % 5 != 0)
+      val next = seq.drop(i + 1).find(_._2 % 5 != 0)
+      val v = (prev, next) match {
+        case (Some(p), Some(n)) =>
+          p._4 + (n._4 - p._4) * ((us - p._3).toDouble / (n._3 - p._3))
+        case (Some(p), None) => p._4
+        case (None, Some(n)) => n._4
+        case _ => Double.NaN
+      }
+      (u, id) -> q4(v)
+    }.toMap
+    got.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))
+      assert(r.getAs[Double]("interp") == expect(k), s"row $k diverges from replay")
+    }
+  }
+
   test("repetition fold property: max sorted-run equals max multiplicity on random arrays") {
     import spark.implicits._
     // seeded random arrays over a tiny alphabet (forces long runs, ties,
