@@ -390,6 +390,29 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** E11 — `ann_recall_eval`: index-quality evaluation — recall@k of
+    * the LSH index (E2) against the exact baseline (E1) per probe, the
+    * acceptance gate every ANN deployment runs before serving. Ground
+    * truth is computed only for the PROBE SAMPLE (vec_id % 100 — the
+    * standard offline recall estimate: the exact side is |probes|·n
+    * with the probe set broadcast, never n²), and the hit join is on
+    * (query, neighbor) pairs — k-bounded rows per probe.
+    */
+  def annRecallEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = annBruteforce(spark, dir, k).select("query_id", "neighbor_id")
+    val approx = annLsh(spark, dir, k).select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_truth"),
+        OracleRound.r4b(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_truth")).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** E6 — multi-probe LSH with exact re-rank: a probe searches its own
     * sign-bucket PLUS the 4 Hamming-1 neighbor buckets (flip one plane
     * bit), then candidates are re-ranked by EXACT cosine. This is the
@@ -508,7 +531,8 @@ object Similarity {
     "ann_centroid_ivf" -> ((s, d) => annCentroidIvf(s, d)),
     "ann_pq" -> ((s, d) => annPq(s, d)),
     "ann_pq_search" -> ((s, d) => annPqSearch(s, d)),
-    "ann_ivf_pq" -> ((s, d) => annIvfPq(s, d)))
+    "ann_ivf_pq" -> ((s, d) => annIvfPq(s, d)),
+    "ann_recall_eval" -> ((s, d) => annRecallEval(s, d)))
 
   /** E3's integer cell-assignment replay as a reusable CTE chain
     * (`ex` → `cells` → `d` → `asg`), shared verbatim by D12
@@ -688,6 +712,45 @@ object Similarity {
     // verbatim hash-proves the artifact round-trip lost nothing
     "ann_index_persist" -> pqSearchOracle,
     "ann_pq_search" -> pqSearchOracle,
+    // E1's exact CTEs (x-prefix) + E2's bucketed CTEs (l-prefix), then
+    // the per-probe hit join — the same rank/tie rules both oracles
+    // already hash-prove individually
+    "ann_recall_eval" -> {
+      val planes = Dedup.hyperplanes(4, 64)
+      s"""WITH b AS (
+         | SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  ${Dedup.bucketSql(planes)} AS bucket
+         | FROM embeddings),
+         |xprobes AS (
+         | SELECT vec_id AS qid, embedding::DOUBLE[] AS q_emb FROM embeddings
+         | WHERE vec_id % 100 = 0),
+         |xscored AS (
+         | SELECT p.qid, e.vec_id AS nid,
+         |  list_cosine_similarity(p.q_emb, e.embedding::DOUBLE[]) AS cos
+         | FROM xprobes p CROSS JOIN embeddings e WHERE e.vec_id <> p.qid),
+         |exact AS (
+         | SELECT qid, nid FROM (SELECT *, row_number() OVER (
+         |   PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM xscored)
+         | WHERE rk <= 5),
+         |lprobes AS (SELECT vec_id AS qid, emb AS q_emb, bucket FROM b WHERE vec_id % 100 = 0),
+         |lscored AS (
+         | SELECT p.qid, e.vec_id AS nid,
+         |  list_cosine_similarity(p.q_emb, e.emb) AS cos
+         | FROM b e JOIN lprobes p USING (bucket) WHERE e.vec_id <> p.qid),
+         |approx AS (
+         | SELECT qid, nid FROM (SELECT *, row_number() OVER (
+         |   PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM lscored)
+         | WHERE rk <= 5),
+         |h AS (SELECT e.qid, count(*) AS n_hits
+         |      FROM exact e JOIN approx a ON a.qid = e.qid AND a.nid = e.nid
+         |      GROUP BY 1),
+         |t AS (SELECT qid, count(*) AS n_truth FROM exact GROUP BY 1)
+         |SELECT t.qid AS query_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(n_truth AS BIGINT) AS n_truth,
+         |  floor((CAST(coalesce(h.n_hits, 0) AS DOUBLE) / n_truth) * 10000 + 0.5) / 10000 AS recall
+         |FROM t LEFT JOIN h USING (qid) ORDER BY query_id""".stripMargin
+    },
     // IVFADC replay: E3's assignment CTEs verbatim (cells), E5's PQ
     // encode/table CTEs with a `p` prefix (the two chains both name an
     // `ex`/`d`), joined through asg+pc so the ADC scan sees ONLY the

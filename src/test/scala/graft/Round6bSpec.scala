@@ -350,6 +350,44 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_recall_eval: per-probe recall equals the exact/approx set intersection") {
+    val eval = graft.ops.Similarity.annRecallEval(spark, sf).collect()
+    assert(eval.nonEmpty)
+    val exact = graft.ops.Similarity.annBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val approx = graft.ops.Similarity.annLsh(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    eval.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val hits = exact(q).intersect(approx.getOrElse(q, Set.empty)).size.toLong
+      assert(r.getAs[Long]("n_hits") == hits, s"probe $q hit count wrong")
+      assert(r.getAs[Long]("n_truth") == exact(q).size.toLong)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the eval is non-vacuous: single-bucket LSH misses SOME true
+    // neighbor on this corpus (otherwise the op couldn't detect loss)
+    assert(eval.map(_.getAs[Double]("recall")).min < 1.0)
+  }
+
+  test("AQE-off invariance: results identical with adaptive execution disabled") {
+    // the plans lean on AQE (broadcast conversion, skew handling) for
+    // SPEED — results must not depend on it. Re-run a cross-section on
+    // a session with AQE off and require bit-equality.
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.adaptive.enabled", "false")
+    val checks: Seq[(String, org.apache.spark.sql.SparkSession => Array[org.apache.spark.sql.Row])] = Seq(
+      ("ann_recall_eval", s => graft.ops.Similarity.annRecallEval(s, sf).collect()),
+      ("q_interpolate", s => graft.ops.Relational5.qInterpolate(s, sf).collect()),
+      ("dedup_incremental", s => graft.ops.Dedup2.dedupIncremental(s, sf).collect()),
+      ("corpus_filter_cascade", s => graft.ops.Corpus2.corpusFilterCascade(s, sf).collect()))
+    checks.foreach { case (name, run) =>
+      assert(run(spark).toSeq == run(alt).toSeq, s"$name changed with AQE off")
+    }
+  }
+
   test("repetition fold property: max sorted-run equals max multiplicity on random arrays") {
     import spark.implicits._
     // seeded random arrays over a tiny alphabet (forces long runs, ties,
