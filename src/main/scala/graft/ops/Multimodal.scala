@@ -114,14 +114,14 @@ object Multimodal {
     * finds re-encoded containers sharing embedded streams. Pure binary
     * plumbing — the payload is never interpreted.
     */
-  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    // self-joined below; unpersisted, the explode+hash scan would run
-    // on BOTH sides (ReusedExchange is not guaranteed under AQE). The
-    // persisted state is 16 B/row — same discipline as D2's signature
-    // table, built once per sf dir via the bounded memo; the raw frames
-    // themselves are never cached.
-    val frames = graft.QueryCaches.memo(s"mm.chunk:$dir") {
-      withPayload(spark, dir)
+  /** The DISTINCT (doc_id, frame-hash) table — the persisted 16 B/row
+    * state H4's self-join and H5's signature build both read (same
+    * discipline as D2's signature table; built once per sf dir via the
+    * bounded memo; the raw frames themselves are never cached).
+    */
+  private[ops] def frameHashes(spark: SparkSession, dir: String): DataFrame =
+    graft.QueryCaches.memo(s"mm.chunk:$dir") {
+      val f = withPayload(spark, dir)
         .select(col("doc_id"),
           explode(expr(
             """transform(sequence(0, (length(payload) - 1) div 64),
@@ -129,7 +129,18 @@ object Multimodal {
         .select(col("doc_id"), rollhash64(col("frame")).as("h"))
         .distinct()
         .persist()
+      // materialize NOW (one bounded job): H5 fans out into four
+      // concurrent consumers of this frame, and stages launched before
+      // the lazy cache fills each recompute the whole explode+hash scan
+      // (measured: 4 × 3.3 MB duplicate exchanges at sf0.1)
+      f.count()
+      f
     }
+
+  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    // self-joined below; unpersisted, the explode+hash scan would run
+    // on BOTH sides (ReusedExchange is not guaranteed under AQE)
+    val frames = frameHashes(spark, dir)
     frames.as("l").join(frames.as("r"), col("l.h") === col("r.h") &&
         col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
@@ -137,11 +148,86 @@ object Multimodal {
       .orderBy("a", "b")
   }
 
+  /** H5 — `mm_payload_near_dup`: near-duplicate PAYLOADS (not just
+    * shared chunks) — MinHash resemblance over each payload's
+    * frame-hash SET, the video/audio analog of D2: two encodings of the
+    * same asset share most frames without being byte-identical, and at
+    * corpus scale the pairwise check must be candidate-generated, not
+    * exhaustive. 16 affine permutations of the 64-bit frame hashes →
+    * 4 band signatures → band-collision candidates → EXACT frame-set
+    * Jaccard verify. All arithmetic is the mod-2⁶⁴ pipeline D2 already
+    * replays (Mix64/Combine64), applied to H4's persisted frame table —
+    * one memoized 16 B/row input serves both operators.
+    *
+    * Scale shape: candidates are O(n·bands) band-bucket rows, never
+    * payload×payload; the verify joins touch only colliding pairs'
+    * frame rows.
+    */
+  def mmPayloadNearDup(spark: SparkSession, dir: String,
+                       numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    import graft.functions.VectorOps.{combine64, mix64}
+    val rpb = numPerm / bands
+    val frames = frameHashes(spark, dir)
+    val consts = Dedup.mixConsts(numPerm)
+    val mhCols = (0 until numPerm).map { i =>
+      min(mix64(col("h"), consts(i)._1, consts(i)._2)).as(s"mh_$i")
+    }
+    val sigs = frames.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      .select(col("doc_id"), explode(array((0 until bands).map { b =>
+        val sig = combine64(array((Seq(lit(b.toLong): org.apache.spark.sql.Column) ++
+          (0 until rpb).map(r => col(s"mh_${b * rpb + r}"))): _*))
+        struct(lit(b).as("band"), sig.as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    // memoized + materialized: the pair list is referenced TWICE below
+    // (verify input + final left-join), and a lazy plan re-evaluates
+    // the sigs self-join — and through it the minhash aggregate — per
+    // reference (measured: 4 duplicate 3.3 MB exchanges at sf0.1).
+    // Collision pairs are O(colliding pairs) rows, input-determined.
+    val cand = graft.QueryCaches.memo(s"mm.nearDupCand:$dir:$numPerm:$bands") {
+      val c = sigs.select(col("band"), col("sig"), col("doc_id").as("a"))
+        .join(sigs.select(col("band"), col("sig"), col("doc_id").as("b")),
+          Seq("band", "sig"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .persist()
+      c.count()
+      c
+    }
+    val cnt = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(frames.select(col("doc_id").as("a"), col("h")), "a")
+      .join(frames.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_frames"))
+    cand.join(shared, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("shared_frames"))
+      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"), col("shared_frames"),
+        OracleRound.r4b(col("shared_frames").cast("double") /
+          (col("na") + col("nb") - col("shared_frames"))).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_payload_stats" -> (mmPayloadStats _),
-    "mm_chunk_dedup" -> (mmChunkDedup _))
+    "mm_chunk_dedup" -> (mmChunkDedup _),
+    "mm_payload_near_dup" -> ((s, d) => mmPayloadNearDup(s, d)))
+
+  /** H4/H5 shared replay: the frame slicing over the payload's hex
+    * image + the DISTINCT per-doc frame-hash set (`fr` → `fs`).
+    */
+  private lazy val mmFrameCtes: String =
+    s"""fr AS (
+       | SELECT doc_id,
+       |  CAST(unnest(range(0, (octet_length(encode(text)) - 1) // 64 + 1)) AS INT) AS frame_idx,
+       |  hex(encode(text)) AS hx
+       | FROM documents),
+       |fs AS (
+       | SELECT DISTINCT doc_id, ${Dedup.wrapSql(Dedup.rollHexSql("fh", "length(fh) // 2"))} AS h
+       | FROM (SELECT doc_id, substr(hx, frame_idx * 128 + 1, 128) AS fh FROM fr))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -176,17 +262,51 @@ object Multimodal {
          | FROM sampled)
          |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_chunk_dedup" ->
-      s"""WITH fr AS (
-         | SELECT doc_id,
-         |  CAST(unnest(range(0, (octet_length(encode(text)) - 1) // 64 + 1)) AS INT) AS frame_idx,
-         |  hex(encode(text)) AS hx
-         | FROM documents),
-         |fs AS (
-         | SELECT DISTINCT doc_id, ${Dedup.wrapSql(Dedup.rollHexSql("fh", "length(fh) // 2"))} AS h
-         | FROM (SELECT doc_id, substr(hx, frame_idx * 128 + 1, 128) AS fh FROM fr))
+      s"""WITH $mmFrameCtes
          |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_chunks
          |FROM fs l JOIN fs r ON l.h = r.h AND l.doc_id < r.doc_id
          |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+    // H4's frame CTEs verbatim + D2's mod-2^64 minhash/band replay over
+    // the frame-hash column; exact set-Jaccard verify on fs
+    "mm_payload_near_dup" -> {
+      val numPerm = 16; val bands = 4; val rpb = numPerm / bands
+      val consts = Dedup.mixConsts(numPerm)
+      val mhSelect = (0 until numPerm).map { i =>
+        val (a, b) = consts(i)
+        val mix = s"((${Dedup.unsignedSql("h")} * $a::HUGEINT + $b::HUGEINT) % ${Dedup.U64})"
+        s"min(${Dedup.wrapSql(mix)}) AS mh_$i"
+      }.mkString(",\n  ")
+      val bandSelects = (0 until bands).map { bi =>
+        val elems = (s"$bi::HUGEINT" +:
+          (0 until rpb).map(r => Dedup.unsignedSql(s"mh_${bi * rpb + r}"))).mkString(", ")
+        val fold = s"list_reduce(list_prepend(1125899906842597::HUGEINT, [$elems]), " +
+          s"(a, b) -> (a * 31 + b) % ${Dedup.U64})"
+        s"SELECT doc_id, $bi AS band, ${Dedup.wrapSql(fold)} AS sig FROM mh"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $mmFrameCtes,
+         |mh AS (SELECT doc_id,
+         |  $mhSelect
+         | FROM fs GROUP BY doc_id),
+         |sigs AS (
+         |  $bandSelects),
+         |cand AS (
+         | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         | FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+         |  AND l.doc_id < r.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM fs GROUP BY 1),
+         |sh AS (
+         | SELECT c.a, c.b, count(*) AS shared_frames
+         | FROM cand c JOIN fs fa ON fa.doc_id = c.a
+         |  JOIN fs fb ON fb.doc_id = c.b AND fb.h = fa.h
+         | GROUP BY 1, 2)
+         |SELECT c.a, c.b,
+         |  CAST(coalesce(sh.shared_frames, 0) AS BIGINT) AS shared_frames,
+         |  floor((CAST(coalesce(sh.shared_frames, 0) AS DOUBLE) /
+         |    (ca.n + cb.n - coalesce(sh.shared_frames, 0))) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM cand c LEFT JOIN sh ON sh.a = c.a AND sh.b = c.b
+         | JOIN cnt ca ON ca.doc_id = c.a JOIN cnt cb ON cb.doc_id = c.b
+         |ORDER BY c.a, c.b""".stripMargin
+    },
     "mm_payload_stats" ->
       """WITH p AS (
         |  SELECT CASE WHEN octet_length(encode(text)) > 300 THEN 'large'

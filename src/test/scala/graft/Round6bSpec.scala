@@ -372,6 +372,28 @@ class Round6bSpec extends AnyFunSuite {
     assert(eval.map(_.getAs[Double]("recall")).min < 1.0)
   }
 
+  test("mm_payload_near_dup: candidate pairs agree with H4's exact shared-chunk counts") {
+    val near = graft.ops.Multimodal.mmPayloadNearDup(spark, sf).collect()
+    assert(near.nonEmpty)
+    val chunk = graft.ops.Multimodal.mmChunkDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("shared_chunks")).toMap
+    near.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(a < b)
+      val sf5 = r.getAs[Long]("shared_frames")
+      // the two operators read the SAME persisted frame table, so a
+      // candidate pair's shared count must equal H4's exact count (a
+      // pair H4 omits shares zero frames)
+      assert(sf5 == chunk.getOrElse((a, b), 0L),
+        s"pair ($a,$b): near-dup says $sf5, chunk dedup says ${chunk.get((a, b))}")
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    // non-vacuous: at least one candidate really shares frames
+    assert(near.exists(_.getAs[Long]("shared_frames") > 0))
+  }
+
   test("AQE-off invariance: results identical with adaptive execution disabled") {
     // the plans lean on AQE (broadcast conversion, skew handling) for
     // SPEED — results must not depend on it. Re-run a cross-section on
