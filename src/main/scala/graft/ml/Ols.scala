@@ -1,0 +1,100 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** C33 — `ml_linreg_normal`: closed-form ordinary least squares via the
+  * normal equations, EXACT end to end — the missing regression analog
+  * of the C28/C29/C30 exact-training program (which is classification
+  * throughout). Fit: price_cents ~ b0 + b1·quantity + b2·discount_pct
+  * over lineitem.
+  *
+  * The whole fit is ONE aggregate: the 3×3 Gram matrix XᵀX and Xᵀy are
+  * nine exact integer sums (quantity, discount ticks, price cents —
+  * per-row products ≤ 5·10⁸, sums < 2⁶³ up to ~10⁹ rows; past that the
+  * same sums run as decimal(38,0)). The solve is Cramer's rule on the
+  * driver in BigInt — four 3×3 determinants, zero floating point until
+  * the final quantized ratio, which rounds with INTEGER arithmetic
+  * ((2·10⁴·|detᵢ| + |det|) div (2·|det|), sign handled separately) so
+  * the oracle's HUGEINT replay is bit-identical.
+  *
+  * Scale shape: one codegen'd scan ending in a 9-long aggregate with
+  * map-side partials; driver state is 9 longs + 4 BigInts; the result
+  * is a literal 1-row frame. This is how linear models actually train
+  * at 100 TB when d is small — the Gram matrix is the only reduction.
+  */
+object Ols {
+
+  private def q4(num: BigInt, den: BigInt): Double = {
+    require(den != 0, "ml_linreg_normal: singular normal matrix (det = 0)")
+    val sign = if ((num < 0) ^ (den < 0)) -1 else 1
+    val ticks = (num.abs * 20000 + den.abs) / (den.abs * 2)
+    sign * ticks.toDouble / 10000.0
+  }
+
+  def mlLinregNormal(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("x1"),
+      floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("x2"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("y"))
+    val r = li.agg(
+      count(lit(1)).as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum("y").as("sy"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y")).head()
+    val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+      (0 until 9).map(i => BigInt(r.getLong(i)))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    import spark.implicits._
+    Seq((r.getLong(0), q4(det0, det), q4(det1, det), q4(det2, det)))
+      .toDF("n", "b0", "b1", "b2")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_linreg_normal" -> (mlLinregNormal _))
+
+  val oracles: Map[String, String] = Map(
+    // same tick quantization, same HUGEINT Gram sums, same Cramer
+    // expansion, same sign-separated integer rounding
+    "ml_linreg_normal" -> {
+      def q(num: String) =
+        s"(CASE WHEN ($num < 0) <> (det < 0) THEN -1 ELSE 1 END * " +
+          s"((abs($num) * 20000 + abs(det)) // (2 * abs(det)))) / 10000.0"
+      """WITH t AS (
+        | SELECT CAST(l_quantity AS HUGEINT) AS x1,
+        |   CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS x2,
+        |   CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+        | FROM lineitem),
+        |s AS (
+        | SELECT count(*)::HUGEINT AS n, sum(x1) AS s1, sum(x2) AS s2,
+        |   sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+        |   sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+        | FROM t),
+        |d AS (
+        | SELECT n,
+        |  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+        |  sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+        |  n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+        |  n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+        | FROM s)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  Q0 AS b0,
+        |  Q1 AS b1,
+        |  Q2 AS b2
+        |FROM d""".stripMargin
+        .replace("Q0", q("det0")).replace("Q1", q("det1")).replace("Q2", q("det2"))
+    })
+}

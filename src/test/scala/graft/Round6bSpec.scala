@@ -394,6 +394,35 @@ class Round6bSpec extends AnyFunSuite {
     assert(near.exists(_.getAs[Long]("shared_frames") > 0))
   }
 
+  test("ml_linreg_normal: residuals are orthogonal to every regressor (up to quantization)") {
+    val r = graft.ml.Ols.mlLinregNormal(spark, sf).collect().head
+    val (b0, b1, b2) = (r.getAs[Double]("b0"), r.getAs[Double]("b1"),
+      r.getAs[Double]("b2"))
+    // independent replay of the design matrix on the driver
+    val rows = graft.tables.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        floor(col("l_discount") * 100 + lit(0.5)).cast("long"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.getAs[Long]("n") == rows.length)
+    // OLS normal equations ⇔ residuals ⟂ {1, x1, x2}; the quantized
+    // coefficients perturb each sum by ≤ 5e-5 per unit of regressor
+    // mass, so the RELATIVE residual moments must be ~0
+    val res = rows.map { case (x1, x2, y) => (x1, x2, y - b0 - b1 * x1 - b2 * x2) }
+    val sy = rows.map(_._3.toDouble.abs).sum
+    assert(math.abs(res.map(_._3).sum) / sy < 1e-6, "Σr not ~0")
+    assert(math.abs(res.map(t => t._1 * t._3).sum) /
+      rows.map(t => (t._1 * t._3).toDouble.abs max 1.0).sum < 1e-4, "Σr·x1 not ~0")
+    assert(math.abs(res.map(t => t._2 * t._3).sum) /
+      rows.map(t => (t._2 * t._3).toDouble.abs max 1.0).sum < 1e-4, "Σr·x2 not ~0")
+    // sanity: the intercept carries the price level (the synthetic
+    // generator draws price INDEPENDENT of quantity/discount — corr
+    // ≈ −0.01 — so slope signs are noise, but b0 must sit near mean y)
+    val meanY = rows.map(_._3.toDouble).sum / rows.length
+    assert(b0 > 0.5 * meanY && b0 < 1.5 * meanY,
+      s"intercept $b0 far from the mean price level $meanY")
+  }
+
   test("AQE-off invariance: results identical with adaptive execution disabled") {
     // the plans lean on AQE (broadcast conversion, skew handling) for
     // SPEED — results must not depend on it. Re-run a cross-section on
