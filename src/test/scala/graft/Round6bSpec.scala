@@ -439,6 +439,101 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("boostStumps property: the Spark scans agree with an independent Scala AdaBoost on random frames") {
+    import spark.implicits._
+    // full from-scratch reimplementation (binning, weighted histogram,
+    // Gini argmin with the (wg, feature, bin) tie-break, BigInt tick
+    // reweighting, product-comparison committee vote) driven over
+    // seeded random frames — validates the SPARK-side arithmetic the
+    // fixed-frame specs can't stress
+    def refBoost(rows: Seq[(Array[Double], Int)], names: Seq[String],
+                 rounds: Int): (Seq[(String, Int)], Seq[(Long, Long)], Long) = {
+      val d = names.size
+      val mins = (0 until d).map(i => rows.map(_._1(i)).min)
+      val maxs = (0 until d).map(i => rows.map(_._1(i)).max)
+      def binOf(i: Int, v: Double): Int =
+        math.min(math.floor((v - mins(i)) / (maxs(i) - mins(i)) * 10), 9.0).toInt
+      def gini(p: Long, nn: Long): Double = {
+        val q = p.toDouble / nn; 1.0 - q * q - (1.0 - q) * (1.0 - q)
+      }
+      val HALF = BigInt(500000000000L)
+      var w: Array[Long] = Array.fill(rows.length)(1L)
+      var picked = List.empty[(String, Int)] // (feature name, bin)
+      var chosen = List.empty[(Int, Int, Int, Int)] // (fIdx, bin, leftLab, rightLab)
+      var errs = List.empty[(Long, Long)]
+      (1 to rounds).foreach { _ =>
+        val cands = for {
+          fi <- 0 until d
+          cells = rows.indices.groupBy(r => binOf(fi, rows(r)._1(fi)))
+            .map { case (b, rs) =>
+              b -> (rs.map(w(_)).sum, rs.filter(rows(_)._2 == 1).map(w(_)).sum)
+            }
+          nTot = cells.values.map(_._1).sum
+          posTot = cells.values.map(_._2).sum
+          bin <- 0 until 9
+          nl = cells.filter(_._1 <= bin).values.map(_._1).sum
+          pl = cells.filter(_._1 <= bin).values.map(_._2).sum
+          if nl > 0 && nTot > nl
+        } yield {
+          val (nr, pr) = (nTot - nl, posTot - pl)
+          val wg = (nl * gini(pl, nl) + nr * gini(pr, nr)) / (nl + nr)
+          (wg, names(fi), bin, fi, nl, pl, nr, pr)
+        }
+        val b = cands.minBy(c => (c._1, c._2, c._3))
+        val (fi, bin) = (b._4, b._3)
+        val (ll, rl) = (if (2 * b._6 > b._5) 1 else 0, if (2 * b._8 > b._7) 1 else 0)
+        def pred(r: Int): Int = if (binOf(fi, rows(r)._1(fi)) <= bin) ll else rl
+        val wrong = rows.indices.filter(r => pred(r) != rows(r)._2)
+        val errW = wrong.map(w(_)).sum
+        val totalW = w.sum
+        assert(errW > 0 && errW < totalW, "seed produced a non-weak learner")
+        val wrongSet = wrong.toSet
+        w = rows.indices.map { r =>
+          val denom = if (wrongSet(r)) errW else totalW - errW
+          ((HALF * BigInt(w(r))) / BigInt(denom)).toLong
+        }.toArray
+        picked :+= (names(fi), bin); chosen :+= ((fi, bin, ll, rl)); errs :+= ((errW, totalW))
+      }
+      def vote(r: Int): Int = {
+        def side(forOne: Boolean): BigInt =
+          chosen.zip(errs).map { case ((fi, bin, ll, rl), (e, t)) =>
+            val one = (if (binOf(fi, rows(r)._1(fi)) <= bin) ll else rl) == 1
+            BigInt(if (one == forOne) t - e else e)
+          }.product
+        if (side(true) > side(false)) 1 else 0
+      }
+      val correct = rows.indices.count(r => vote(r) == rows(r)._2).toLong
+      (picked, errs, correct)
+    }
+    Seq(11, 23, 47).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 300).map { _ =>
+        val fs = Array.fill(3)(rnd.nextInt(10) / 10.0 + 0.05)
+        val y = if (fs(0) > 0.5) { if (rnd.nextDouble() < 0.85) 1 else 0 }
+                else { if (rnd.nextDouble() < 0.15) 1 else 0 }
+        (fs, y)
+      }
+      val names = Seq("fa", "fb", "fc")
+      val df = rows.map(r => (r._1(0), r._1(1), r._1(2), r._2))
+        .toDF("fa", "fb", "fc", "y")
+      val got = graft.ml.Ml5.boostStumps(df, names.map(n => n -> n), 3)
+        .collect().head
+      val (picked, errs, correct) = refBoost(rows, names, 3)
+      (1 to 3).foreach { t =>
+        assert(got.getAs[String](s"f$t") == picked(t - 1)._1,
+          s"seed $seed round $t picked wrong feature")
+        assert(got.getAs[Int](s"bin$t") == picked(t - 1)._2,
+          s"seed $seed round $t picked wrong bin")
+      }
+      assert(got.getAs[Long]("err1") == errs.head._1, s"seed $seed err1")
+      assert(got.getAs[Long]("err2_w") == errs(1)._1 &&
+        got.getAs[Long]("total2_w") == errs(1)._2, s"seed $seed round 2")
+      assert(got.getAs[Long]("err3_w") == errs(2)._1 &&
+        got.getAs[Long]("total3_w") == errs(2)._2, s"seed $seed round 3")
+      assert(got.getAs[Long]("correct3") == correct, s"seed $seed committee")
+    }
+  }
+
   test("repetition fold property: max sorted-run equals max multiplicity on random arrays") {
     import spark.implicits._
     // seeded random arrays over a tiny alphabet (forces long runs, ties,
