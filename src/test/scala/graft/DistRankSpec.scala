@@ -139,6 +139,44 @@ class DistRankSpec extends AnyFunSuite {
     }
   }
 
+  test("property: rank and running sums equal the window on seeded RANDOM dirty frames") {
+    import spark.implicits._
+    // heavy duplication (7-value key space), nulls, NaNs, random sizes
+    // across several seeds — boundary placement lands INSIDE duplicate
+    // runs and degenerate slices by construction, which the fixed test
+    // table cannot force
+    Seq(5, 17, 91).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(200)
+      val rows = (1 to n).map { i =>
+        val k: Option[Double] = rnd.nextInt(10) match {
+          case 0 => None
+          case 1 => Some(Double.NaN)
+          case d => Some((d % 7).toDouble)
+        }
+        (i.toLong, k, rnd.nextInt(5).toLong)
+      }
+      val df = rows.toDF("id", "key", "v")
+      Seq(col("key"), col("key").desc).foreach { order =>
+        val w = org.apache.spark.sql.expressions.Window.orderBy(order, col("id"))
+        val viaWindow = df.withColumn("rank", row_number().over(w).cast("long"))
+        val viaDist = DistRank.withGlobalRank(df, "rank", order, col("id"))
+        assert(viaDist.exceptAll(viaWindow).isEmpty &&
+          viaWindow.exceptAll(viaDist).isEmpty,
+          s"rank diverged (seed $seed, order $order)")
+        val wf = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        val sumWindow = df.withColumn("cum_v", sum(col("v")).over(wf))
+        val sumDist = DistRank.withRunningSums(df,
+          Seq((col("v"), "cum_v")), order, col("id"))
+        assert(sumDist.exceptAll(sumWindow).isEmpty &&
+          sumWindow.exceptAll(sumDist).isEmpty,
+          s"running sums diverged (seed $seed, order $order)")
+      }
+    }
+  }
+
   test("withGlobalRank and withRunningSums handle EMPTY input (no offsets, no NPE)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Double, Long)].toDF("id", "key", "v")
