@@ -49,6 +49,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("the rows-only set is EXACTLY the declared sketch/iterative-fit tail") {
+    // every contract query must carry an oracle UNLESS it is one of the
+    // seven declared rows-only entries (HLL and GK sketches whose exact
+    // twins exist, and the four multi-iteration MLlib fits each paired
+    // with an exact oracled twin) — a new query landing without an
+    // oracle fails HERE, not silently in the driver report
+    val declared = Set("q_approx_distinct", "q_approx_quantile",
+      "ml_logreg", "ml_linear_svc", "ml_gbt", "ml_cv_grid", "ml_model_select")
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual == declared,
+      s"rows-only drift: undeclared ${actual -- declared}, stale ${declared -- actual}")
+  }
+
   test("q_agg_pricing groups are complete and counts sum to table size") {
     val df = Relational.qAggPricing(spark, TestSpark.sf)
     val total = df.agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0)
