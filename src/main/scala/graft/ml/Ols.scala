@@ -27,18 +27,30 @@ import graft.tables.Tables
   */
 object Ols {
 
-  private def q4(num: BigInt, den: BigInt): Double = {
+  /** Coefficient in 10⁻⁴ ticks via sign-separated integer rounding —
+    * the exactly-replayable bridge between the BigInt Cramer ratios and
+    * a double column.
+    */
+  private def qticks(num: BigInt, den: BigInt): Long = {
     require(den != 0, "ml_linreg_normal: singular normal matrix (det = 0)")
     val sign = if ((num < 0) ^ (den < 0)) -1 else 1
-    val ticks = (num.abs * 20000 + den.abs) / (den.abs * 2)
-    sign * ticks.toDouble / 10000.0
+    (sign * ((num.abs * 20000 + den.abs) / (den.abs * 2))).toLong
   }
 
-  def mlLinregNormal(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(
+  private def q4(num: BigInt, den: BigInt): Double =
+    qticks(num, den).toDouble / 10000.0
+
+  private def designMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
       col("l_quantity").cast("long").as("x1"),
       floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("x2"),
       floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("y"))
+
+  /** (n, det, det0, det1, det2) — the full Cramer state, shared by the
+    * fit (C33) and the batch scorer (C34).
+    */
+  private def gramSolve(spark: SparkSession, dir: String): (Long, Seq[BigInt]) = {
+    val li = designMatrix(spark, dir)
     val r = li.agg(
       count(lit(1)).as("n"),
       sum("x1").as("s1"), sum("x2").as("s2"),
@@ -58,13 +70,58 @@ object Ols {
       s2 * (s1 * s2y - s1y * s2)
     val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
       sy * (s1 * s12 - s11 * s2)
+    (r.getLong(0), Seq(det, det0, det1, det2))
+  }
+
+  def mlLinregNormal(spark: SparkSession, dir: String): DataFrame = {
+    val (n, Seq(det, det0, det1, det2)) = gramSolve(spark, dir)
     import spark.implicits._
-    Seq((r.getLong(0), q4(det0, det), q4(det1, det), q4(det2, det)))
+    Seq((n, q4(det0, det), q4(det1, det), q4(det2, det)))
       .toDF("n", "b0", "b1", "b2")
   }
 
+  /** C34 — `ml_batch_score`: the SERVING path of the exact-training
+    * program — score every row with C33's coefficients and report
+    * residual quality per group, all in integer ticks: with Tᵢ the
+    * 10⁻⁴-tick coefficients, ŷ·10⁴ = T₀ + T₁x₁ + T₂x₂ is an exact
+    * integer per row, the residual r = 10⁴·y − ŷ·10⁴ an exact integer
+    * difference, and the per-group MAE/bias are integer sums quantized
+    * only at the end. Train exactly → score exactly → evaluate exactly,
+    * one declarative lineage, bit-replayable in the oracle.
+    *
+    * Scale shape: the coefficients are 3 literal longs (driver state
+    * from C33's one-aggregate fit); scoring is a pure codegen
+    * projection over the fact scan; the evaluation is a ≤|groups|
+    * aggregate with map-side partials. This is exactly how a linear
+    * model serves at 100 TB.
+    */
+  def mlBatchScore(spark: SparkSession, dir: String): DataFrame = {
+    val (_, Seq(det, det0, det1, det2)) = gramSolve(spark, dir)
+    val (t0, t1, t2) =
+      (qticks(det0, det), qticks(det1, det), qticks(det2, det))
+    val scored = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("x1"),
+      floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("x2"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("y"))
+      .withColumn("r",
+        col("y") * lit(10000L) -
+          (lit(t0) + lit(t1) * col("x1") + lit(t2) * col("x2")))
+    scored.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("r"))).as("sae"),
+        sum(col("r")).as("sre"))
+      .select(col("l_returnflag"), col("n"),
+        graft.ops.OracleRound.r4b(col("sae").cast("double") /
+          (col("n") * 10000.0)).as("mae_cents"),
+        graft.ops.OracleRound.r4b(col("sre").cast("double") /
+          (col("n") * 10000.0)).as("bias_cents"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ml_linreg_normal" -> (mlLinregNormal _))
+    "ml_linreg_normal" -> (mlLinregNormal _),
+    "ml_batch_score" -> (mlBatchScore _))
 
   val oracles: Map[String, String] = Map(
     // same tick quantization, same HUGEINT Gram sums, same Cramer
@@ -96,5 +153,43 @@ object Ols {
         |  Q2 AS b2
         |FROM d""".stripMargin
         .replace("Q0", q("det0")).replace("Q1", q("det1")).replace("Q2", q("det2"))
+    },
+    // C33's Gram/Cramer CTEs verbatim, coefficients kept as INTEGER
+    // ticks, scoring and residual sums in HUGEINT, quantized at the end
+    "ml_batch_score" -> {
+      def tick(num: String) =
+        s"(CASE WHEN ($num < 0) <> (det < 0) THEN -1 ELSE 1 END * " +
+          s"((abs($num) * 20000 + abs(det)) // (2 * abs(det))))"
+      """WITH t AS (
+        | SELECT CAST(l_quantity AS HUGEINT) AS x1,
+        |   CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS x2,
+        |   CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+        | FROM lineitem),
+        |s AS (
+        | SELECT count(*)::HUGEINT AS n, sum(x1) AS s1, sum(x2) AS s2,
+        |   sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+        |   sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+        | FROM t),
+        |d AS (
+        | SELECT
+        |  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+        |  sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+        |  n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+        |  n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+        | FROM d0),
+        |k AS (SELECT T0 AS t0, T1 AS t1, T2 AS t2 FROM d),
+        |sc AS (
+        | SELECT l_returnflag,
+        |   CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) * 10000 -
+        |   (k.t0 + k.t1 * CAST(l_quantity AS HUGEINT) +
+        |    k.t2 * CAST(floor(l_discount * 100 + 0.5) AS HUGEINT)) AS r
+        | FROM lineitem CROSS JOIN k)
+        |SELECT l_returnflag, count(*) AS n,
+        |  floor((CAST(sum(abs(r)) AS DOUBLE) / (count(*) * 10000.0)) * 10000 + 0.5) / 10000 AS mae_cents,
+        |  floor((CAST(sum(r) AS DOUBLE) / (count(*) * 10000.0)) * 10000 + 0.5) / 10000 AS bias_cents
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+        .replace("FROM d0", "FROM s")
+        .replace("T0", tick("det0")).replace("T1", tick("det1"))
+        .replace("T2", tick("det2"))
     })
 }

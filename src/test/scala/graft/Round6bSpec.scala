@@ -423,6 +423,28 @@ class Round6bSpec extends AnyFunSuite {
       s"intercept $b0 far from the mean price level $meanY")
   }
 
+  test("ml_batch_score: full coverage, MAE dominates bias, and the global bias vanishes") {
+    val scored = graft.ml.Ols.mlBatchScore(spark, sf).collect()
+    assert(scored.nonEmpty)
+    val total = graft.tables.Tables.lineitem(spark, sf).count()
+    assert(scored.map(_.getAs[Long]("n")).sum == total,
+      "every lineitem row must be scored exactly once")
+    scored.foreach { r =>
+      assert(r.getAs[Double]("mae_cents") >=
+        math.abs(r.getAs[Double]("bias_cents")) - 1e-9,
+        "per-group MAE must dominate |bias|")
+    }
+    // OLS residuals sum to ~0 (quantized coefficients perturb by
+    // ≤ 5e-5/unit): the n-weighted group biases must cancel, at cents
+    // scale, to noise far below the MAE level
+    val globalBias = scored.map(r =>
+      r.getAs[Long]("n") * r.getAs[Double]("bias_cents")).sum / total
+    val meanMae = scored.map(r =>
+      r.getAs[Long]("n") * r.getAs[Double]("mae_cents")).sum / total
+    assert(math.abs(globalBias) < 1e-3 * meanMae,
+      s"global bias $globalBias not ~0 against MAE $meanMae")
+  }
+
   test("AQE-off invariance: results identical with adaptive execution disabled") {
     // the plans lean on AQE (broadcast conversion, skew handling) for
     // SPEED — results must not depend on it. Re-run a cross-section on
