@@ -556,6 +556,56 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_kmeans_lloyd: an independent Scala integer Lloyd agrees round for round") {
+    // from-scratch reimplementation of the exact integer Lloyd loop
+    // (tick quantization from the raw floats, lowest-cid argmin
+    // tie-break, round-half truncating centroid division, empty-cluster
+    // carry) — the Spark scans validated from outside Catalyst
+    val raw = graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(x =>
+          math.floor(x.toDouble * 10000.0 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    val k = 8
+    val dim = raw.head._2.length
+    var cents: IndexedSeq[Array[Long]] = raw.take(k).map(_._2).toIndexedSeq
+    def assign(cs: IndexedSeq[Array[Long]], q: Array[Long]): (Int, Long) = {
+      var best = (Long.MaxValue, -1)
+      cs.zipWithIndex.foreach { case (c, cid) =>
+        var d2 = 0L; var i = 0
+        while (i < dim) { val d = q(i) - c(i); d2 += d * d; i += 1 }
+        if (d2 < best._1) best = (d2, cid)
+      }
+      (best._2, best._1)
+    }
+    var prev: Option[IndexedSeq[Array[Long]]] = None
+    val ref = (1 to 3).map { t =>
+      val asg = raw.map { case (_, q) => assign(cents, q) }
+      val inertia = asg.map(_._2).sum
+      val moved = prev match {
+        case None => raw.length.toLong
+        case Some(p) => raw.indices.count { i =>
+          assign(p, raw(i)._2)._1 != asg(i)._1
+        }.toLong
+      }
+      val upd = raw.indices.groupBy(i => asg(i)._1).map { case (cid, is) =>
+        cid -> Array.tabulate(dim) { d =>
+          val sq = is.map(i => raw(i)._2(d)).sum
+          (2 * sq + is.size) / (2L * is.size)
+        }
+      }
+      prev = Some(cents)
+      cents = cents.indices.map(cid => upd.getOrElse(cid, cents(cid)))
+      (t.toLong, inertia, moved)
+    }
+    val got = graft.ml.Ml5.mlKmeansLloyd(spark, sf).collect()
+      .map(r => (r.getAs[Int]("round").toLong, r.getAs[Long]("inertia"),
+        r.getAs[Long]("moved")))
+    assert(got.toSeq == ref,
+      s"Lloyd loop diverged from the independent replay:\n got $got\n ref $ref")
+  }
+
   test("repetition fold property: max sorted-run equals max multiplicity on random arrays") {
     import spark.implicits._
     // seeded random arrays over a tiny alphabet (forces long runs, ties,
