@@ -46,10 +46,10 @@ object Ols {
       floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("x2"),
       floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("y"))
 
-  /** (n, det, det0, det1, det2) — the full Cramer state, shared by the
-    * fit (C33) and the batch scorer (C34).
+  /** The nine exact Gram sums — ONE aggregate, the only cross-row
+    * communication any normal-equations fit in this file needs.
     */
-  private def gramSolve(spark: SparkSession, dir: String): (Long, Seq[BigInt]) = {
+  private def gramSums(spark: SparkSession, dir: String): IndexedSeq[BigInt] = {
     val li = designMatrix(spark, dir)
     val r = li.agg(
       count(lit(1)).as("n"),
@@ -60,8 +60,16 @@ object Ols {
       sum("y").as("sy"),
       sum(col("x1") * col("y")).as("s1y"),
       sum(col("x2") * col("y")).as("s2y")).head()
-    val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
-      (0 until 9).map(i => BigInt(r.getLong(i)))
+    (0 until 9).map(i => BigInt(r.getLong(i)))
+  }
+
+  /** Cramer determinants for the (optionally L2-damped) normal system:
+    * `lam` is added to the two slope diagonal entries (the intercept is
+    * never penalized — the standard ridge convention).
+    */
+  private def cramer(s: IndexedSeq[BigInt], lam: BigInt): Seq[BigInt] = {
+    val Seq(n, s1, s2, s11r, s12, s22r, sy, s1y, s2y) = s.toSeq
+    val (s11, s22) = (s11r + lam, s22r + lam)
     val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
       s2 * (s1 * s12 - s11 * s2)
     val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
@@ -70,7 +78,15 @@ object Ols {
       s2 * (s1 * s2y - s1y * s2)
     val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
       sy * (s1 * s12 - s11 * s2)
-    (r.getLong(0), Seq(det, det0, det1, det2))
+    Seq(det, det0, det1, det2)
+  }
+
+  /** (n, det, det0, det1, det2) — the full Cramer state, shared by the
+    * fit (C33) and the batch scorer (C34).
+    */
+  private def gramSolve(spark: SparkSession, dir: String): (Long, Seq[BigInt]) = {
+    val s = gramSums(spark, dir)
+    (s(0).toLong, cramer(s, BigInt(0)))
   }
 
   def mlLinregNormal(spark: SparkSession, dir: String): DataFrame = {
@@ -119,11 +135,74 @@ object Ols {
       .orderBy("l_returnflag")
   }
 
+  /** The ridge λ grid, in Gram-tick units (spans the s22≈10⁸ / s11≈10⁹
+    * diagonal scale at sf0.1, so the path shows real shrinkage at every
+    * SF). Shared with the oracle as literals.
+    */
+  private[graft] val ridgeLambdas: Seq[Long] = Seq(0L, 100000000L, 10000000000L)
+
+  /** C35 — `ml_ridge_path`: the L2-regularization path, EXACT — ridge
+    * β(λ) = (XᵀX + λ·diag(0,1,1))⁻¹ Xᵀy for a literal λ grid, solved
+    * from the SAME nine Gram sums as C33 (regularization costs zero
+    * additional scans: the damped system differs only in two diagonal
+    * entries of driver-side BigInt state). λ=0 row ≡ C33's OLS fit —
+    * the oracle hash proves it — and the penalized-norm shrinkage down
+    * the path is the spec's witness.
+    */
+  def mlRidgePath(spark: SparkSession, dir: String): DataFrame = {
+    val s = gramSums(spark, dir)
+    import spark.implicits._
+    ridgeLambdas.map { lam =>
+      val Seq(det, det0, det1, det2) = cramer(s, BigInt(lam))
+      (lam, q4(det0, det), q4(det1, det), q4(det2, det))
+    }.toDF("lambda", "b0", "b1", "b2")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg_normal" -> (mlLinregNormal _),
-    "ml_batch_score" -> (mlBatchScore _))
+    "ml_batch_score" -> (mlBatchScore _),
+    "ml_ridge_path" -> (mlRidgePath _))
+
+  /** The tick-design + Gram-sum CTEs (`t` → `s`), shared verbatim by
+    * every oracle in this file so the three estimators can never
+    * disagree about the sums they solve from.
+    */
+  private val gramCtes: String =
+    """t AS (
+      | SELECT CAST(l_quantity AS HUGEINT) AS x1,
+      |   CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS x2,
+      |   CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+      | FROM lineitem),
+      |s AS (
+      | SELECT count(*)::HUGEINT AS n, sum(x1) AS s1, sum(x2) AS s2,
+      |   sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+      |   sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+      | FROM s0)""".stripMargin.replace("FROM s0", "FROM t")
 
   val oracles: Map[String, String] = Map(
+    // same Gram CTEs, diagonal-damped dets per literal lambda, same
+    // sign-separated integer rounding; the lambda=0 row hash-proves
+    // ridge(0) == OLS
+    "ml_ridge_path" -> {
+      def q(num: String) =
+        s"(CASE WHEN ($num < 0) <> (det < 0) THEN -1 ELSE 1 END * " +
+          s"((abs($num) * 20000 + abs(det)) // (2 * abs(det)))) / 10000.0"
+      def dets(lam: Long): String = {
+        val (a, b) = (s"(s11 + $lam)", s"(s22 + $lam)")
+        s""" SELECT CAST($lam AS BIGINT) AS lambda,
+           |  n*($a*$b - s12*s12) - s1*(s1*$b - s12*s2) + s2*(s1*s12 - $a*s2) AS det,
+           |  sy*($a*$b - s12*s12) - s1*(s1y*$b - s12*s2y) + s2*(s1y*s12 - $a*s2y) AS det0,
+           |  n*(s1y*$b - s12*s2y) - sy*(s1*$b - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+           |  n*($a*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - $a*s2) AS det2
+           | FROM s""".stripMargin
+      }
+      s"""WITH $gramCtes,
+         |d AS (
+         |${ridgeLambdas.map(dets).mkString("\n UNION ALL\n")})
+         |SELECT lambda, Q0 AS b0, Q1 AS b1, Q2 AS b2
+         |FROM d ORDER BY lambda""".stripMargin
+        .replace("Q0", q("det0")).replace("Q1", q("det1")).replace("Q2", q("det2"))
+    },
     // same tick quantization, same HUGEINT Gram sums, same Cramer
     // expansion, same sign-separated integer rounding
     "ml_linreg_normal" -> {

@@ -445,6 +445,28 @@ class Round6bSpec extends AnyFunSuite {
       s"global bias $globalBias not ~0 against MAE $meanMae")
   }
 
+  test("ml_ridge_path: lambda=0 equals the OLS fit and the penalized norm shrinks down the path") {
+    val path = graft.ml.Ols.mlRidgePath(spark, sf).collect()
+      .sortBy(_.getAs[Long]("lambda"))
+    assert(path.length == 3)
+    val ols = graft.ml.Ols.mlLinregNormal(spark, sf).collect().head
+    // ridge(0) IS OLS — same sums, same Cramer, same rounding
+    assert(path.head.getAs[Double]("b0") == ols.getAs[Double]("b0") &&
+      path.head.getAs[Double]("b1") == ols.getAs[Double]("b1") &&
+      path.head.getAs[Double]("b2") == ols.getAs[Double]("b2"),
+      "lambda=0 diverged from the OLS fit")
+    // the penalized slope norm is non-increasing in lambda (strictly
+    // decreasing whenever the slopes are nonzero)
+    val norms = path.map { r =>
+      val (b1, b2) = (r.getAs[Double]("b1"), r.getAs[Double]("b2"))
+      b1 * b1 + b2 * b2
+    }
+    norms.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a || (a == 0.0 && b == 0.0),
+        s"ridge path not shrinking: ${norms.mkString(", ")}")
+    }
+  }
+
   test("AQE-off invariance: results identical with adaptive execution disabled") {
     // the plans lean on AQE (broadcast conversion, skew handling) for
     // SPEED — results must not depend on it. Re-run a cross-section on
