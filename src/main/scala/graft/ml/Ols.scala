@@ -209,16 +209,7 @@ object Ols {
       def q(num: String) =
         s"(CASE WHEN ($num < 0) <> (det < 0) THEN -1 ELSE 1 END * " +
           s"((abs($num) * 20000 + abs(det)) // (2 * abs(det)))) / 10000.0"
-      """WITH t AS (
-        | SELECT CAST(l_quantity AS HUGEINT) AS x1,
-        |   CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS x2,
-        |   CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
-        | FROM lineitem),
-        |s AS (
-        | SELECT count(*)::HUGEINT AS n, sum(x1) AS s1, sum(x2) AS s2,
-        |   sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
-        |   sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
-        | FROM t),
+      s"""WITH $gramCtes,
         |d AS (
         | SELECT n,
         |  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
@@ -239,16 +230,7 @@ object Ols {
       def tick(num: String) =
         s"(CASE WHEN ($num < 0) <> (det < 0) THEN -1 ELSE 1 END * " +
           s"((abs($num) * 20000 + abs(det)) // (2 * abs(det))))"
-      """WITH t AS (
-        | SELECT CAST(l_quantity AS HUGEINT) AS x1,
-        |   CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) AS x2,
-        |   CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
-        | FROM lineitem),
-        |s AS (
-        | SELECT count(*)::HUGEINT AS n, sum(x1) AS s1, sum(x2) AS s2,
-        |   sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
-        |   sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
-        | FROM t),
+      s"""WITH $gramCtes,
         |d AS (
         | SELECT
         |  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
