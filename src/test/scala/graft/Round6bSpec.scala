@@ -628,6 +628,46 @@ class Round6bSpec extends AnyFunSuite {
       s"Lloyd loop diverged from the independent replay:\n got $got\n ref $ref")
   }
 
+  test("pagerankRounds property: an independent Scala loop agrees on random graphs") {
+    import spark.implicits._
+    // seeded random symmetric graphs (hubs, cycles, dangling pairs —
+    // component shapes the near-dup corpus graph cannot force), each
+    // replayed by a from-scratch integer PageRank on the driver
+    def ref(edges: Seq[(Long, Long)],
+            rounds: Int): Map[Long, (Long, Seq[Long])] = {
+      val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      var r: Map[Long, Long] = deg.map { case (n, _) => n -> 1000000L }
+      val ranks = (1 to rounds).map { _ =>
+        val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+        }
+        r = contrib.map { case (n, s) => n -> (150000L + 85L * s / 100L) }
+        r
+      }
+      deg.map { case (n, d) => n -> (d, ranks.map(_(n))) }
+    }
+    Seq(3, 29, 71).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 12 + rnd.nextInt(20)
+      val undirected = (
+        // random pairs + a guaranteed hub and a cycle
+        (0 until 3 * n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+          .filter { case (a, b) => a != b }.map { case (a, b) => (a min b, a max b) } ++
+          (1 until n).map(i => (0L, i.toLong)) ++
+          (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+            .map { case (a, b) => (a min b, a max b) }
+        ).distinct
+      val edges = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val got = graft.ops.Dedup2.pagerankRounds(edges.toDF("src", "dst"), 3)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> (r.getAs[Long]("deg"),
+          Seq(r.getAs[Long]("rank_q1"), r.getAs[Long]("rank_q2"),
+            r.getAs[Long]("rank_q3")))).toMap
+      val want = ref(edges, 3)
+      assert(got == want, s"seed $seed: pagerank diverged from the replay")
+    }
+  }
+
   test("repetition fold property: max sorted-run equals max multiplicity on random arrays") {
     import spark.implicits._
     // seeded random arrays over a tiny alphabet (forces long runs, ties,
