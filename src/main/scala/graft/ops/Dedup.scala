@@ -344,14 +344,16 @@ object Dedup {
     * scale, the same loop GraphX/GraphFrames CC runs. DuckDB replays it
     * as a recursive CTE over the identical edge set.
     */
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
-    // the fixpoint's label table is deterministic per sf dir, so the
-    // whole propagation loop runs ONCE per JVM (bounded memo) and every
-    // later invocation serves the final join from the persisted labels
-    // — the same write-once discipline as the layout artifacts
-    val finalLabels = graft.QueryCaches.memo(s"dedup.cluster:$dir") {
-    val pairs = minhashCandidatePairs(spark, dir)
-      .filter(col("jaccard") >= 0.5).select("a", "b").persist()
+  /** Data-generic distributed connected components over an (a, b) pair
+    * list: min-label propagation to the fixpoint, labels = component-min
+    * node id, edge-touched nodes only (isolated vertices are the
+    * caller's identity case). Memoized per distinct pair PLAN per JVM
+    * (the propagation is deterministic in its input), same discipline
+    * as [[Dedup2.pagerankRounds]].
+    */
+  private[graft] def labelPropagation(pairs0: DataFrame): DataFrame =
+    graft.QueryCaches.memo(s"dedup.labelProp:${pairs0.semanticHash()}") {
+    val pairs = pairs0.toDF("a", "b").persist()
     // hash-partitioned on the propagation key: every fixpoint round joins
     // on src, so the edge list (the big side at scale) shuffles once here
     // and never again — each round only shuffles the label frame
@@ -382,6 +384,15 @@ object Dedup {
     pairs.unpersist(); edges.unpersist()
     labels
     }
+
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    // the fixpoint's label table is deterministic per sf dir, so the
+    // whole propagation loop runs ONCE per JVM (bounded memo) and every
+    // later invocation serves the final join from the persisted labels
+    // — the same write-once discipline as the layout artifacts
+    val finalLabels = labelPropagation(
+      minhashCandidatePairs(spark, dir)
+        .filter(col("jaccard") >= 0.5).select("a", "b"))
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(finalLabels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster"))

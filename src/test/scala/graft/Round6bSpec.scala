@@ -668,6 +668,45 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation property: min-label fixpoint equals union-find on random graphs") {
+    import spark.implicits._
+    // fifth iterative core cross-validated from outside Catalyst:
+    // seeded random pair lists (long chains force many propagation
+    // rounds; dense blobs force wide merges) vs a driver union-find
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      // label = component-min node id
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.flatMap { case (_, ns) =>
+        val lab = ns.min; ns.map(_ -> lab)
+      }.toMap
+    }
+    Seq(13, 37, 83).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val pairs = (
+        // a long chain (diameter ≈ n/2 — many propagation rounds) plus
+        // random merge edges
+        (0 until n / 2).map(i => (i.toLong, (i + 1).toLong)) ++
+          (0 until n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+            .filter { case (a, b) => a != b }
+        ).map { case (a, b) => (a min b, a max b) }.distinct
+      val got = graft.ops.Dedup.labelPropagation(pairs.toDF("a", "b"))
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab")).toMap
+      val want = unionFind(pairs)
+      assert(got == want, s"seed $seed: components diverged from union-find")
+    }
+  }
+
   test("repetition fold property: max sorted-run equals max multiplicity on random arrays") {
     import spark.implicits._
     // seeded random arrays over a tiny alphabet (forces long runs, ties,
