@@ -707,6 +707,49 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_pq encoding: an independent Scala subspace argmin agrees vector for vector") {
+    // sixth core replayed from outside Catalyst: the native PqNearest
+    // argmin (codes + quantization error) vs a plain-Scala argmin over
+    // the same integer-tick geometry, on every vector of the corpus
+    val raw = graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(x =>
+          math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    val (subs, dps) = (8, 8)
+    val cb = raw.filter(_._1 < 16).map { case (id, q) =>
+      id -> q.grouped(dps).toArray
+    }
+    def encode(q: Array[Long]): (Seq[Long], Long) = {
+      var err = 0L
+      val codes = (0 until subs).map { s =>
+        val sv = q.slice(s * dps, (s + 1) * dps)
+        // lowest-code-id tie-break, matching the engine's ordinal order
+        val (bestId, bestD2) = cb.map { case (id, slices) =>
+          var d2 = 0L; var i = 0
+          while (i < dps) { val d = sv(i) - slices(s)(i); d2 += d * d; i += 1 }
+          (id, d2)
+        }.minBy { case (id, d2) => (d2, id) }
+        err += bestD2
+        bestId
+      }
+      (codes, err)
+    }
+    val got = graft.ops.Similarity.annPq(spark, sf).collect()
+    assert(got.length == raw.length)
+    got.foreach { r =>
+      val q = raw.find(_._1 == r.getAs[Long]("vec_id")).get._2
+      val (codes, err) = encode(q)
+      (0 until subs).foreach { s =>
+        assert(r.getAs[Long](s"code_$s") == codes(s),
+          s"vec ${r.getAs[Long]("vec_id")} sub $s code mismatch")
+      }
+      assert(r.getAs[Long]("err_q") == err,
+        s"vec ${r.getAs[Long]("vec_id")} quantization error mismatch")
+    }
+  }
+
   test("repetition fold property: max sorted-run equals max multiplicity on random arrays") {
     import spark.implicits._
     // seeded random arrays over a tiny alphabet (forces long runs, ties,
