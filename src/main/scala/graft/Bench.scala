@@ -37,6 +37,39 @@ object Bench {
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** The driver captures only the LAST ~2000 characters of stdout and
+    * parses the final JSON line out of that tail. Round 6 widened the
+    * line with two shuffle-byte maps to 2,911 chars and the driver
+    * recorded `parsed: null` — the engine was fine but the gate was
+    * blind. The contract is therefore split: this FINAL line carries
+    * only what the driver grades (total, per-query seconds, gate
+    * verdicts) and must stay under [[maxFinalLineChars]]; the
+    * shuffle-byte maps go to an EARLIER stdout line + a sidecar file
+    * (see [[sidecarLine]]) where tail truncation can't eat them.
+    * BenchContractSpec pins the length so future widening fails the
+    * suite instead of silently blinding the driver again.
+    */
+  val maxFinalLineChars = 1900
+
+  def finalLine(total: Double, results: Seq[(String, Double)],
+      shuffleOk: Boolean, gate: String, sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_ok":$shuffleOk,"budget_gate":"$gate","sf":"$sfDir"}"""
+  }
+
+  /** Shuffle-byte detail line (headline + extended maps) — printed
+    * BEFORE the final line and mirrored to `target/bench/shuffle_bytes
+    * .json` so the regression evidence survives even though the driver
+    * tail never sees it.
+    */
+  def sidecarLine(shuffles: Seq[(String, Long)],
+      extended: Seq[(String, Long)]): String = {
+    def m(xs: Seq[(String, Long)]) =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    s"""{"metric":"shuffle_bytes","headline":${m(shuffles)},"extended":${m(extended)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -125,8 +158,6 @@ object Bench {
     }
     val best = samples.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2).min }
     val results = named.map { case (name, _) => name -> best(name) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // shuffle-byte regression gate against the pinned budgets (see
     // ShuffleBudget) — wall time is host-noise, shuffle volume is a
@@ -138,8 +169,6 @@ object Bench {
     val shuffles = named.map { case (name, _) =>
       name -> shuffleBytes.getOrElse(name, -1L)
     }
-    val sh = shuffles.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // the extended sweep: non-headline queries with pinned budgets are
     // METERED once (not timed — the timing set stays the curated
     // headline) so a plan regression can't hide in an ungated query
@@ -152,8 +181,6 @@ object Bench {
       }
       name -> bytes
     }
-    val extJson = extended.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val violations = ShuffleBudget.forDir(sfDir).toSeq.flatMap { budget =>
       shuffles.collect {
         case (n, s) if s < 0 && budget.contains(n) =>
@@ -173,7 +200,23 @@ object Bench {
     // shuffle size is a re-baselining prompt, not a plan regression
     val enforced = ShuffleBudget.enforced(spark, sfDir)
     val gate = if (enforced) "enforced" else "advisory"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"shuffle_bytes_extended":$extJson,"shuffle_ok":${violations.isEmpty},"budget_gate":"$gate","sf":"$sfDir"}""")
+    // shuffle detail first (tail-truncatable position + sidecar file),
+    // compact graded line LAST — see the finalLine scaladoc
+    val detail = sidecarLine(shuffles, extended)
+    println(detail)
+    try {
+      val dir = java.nio.file.Paths.get("target", "bench")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("shuffle_bytes.json"),
+        detail.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
+    val line = finalLine(total, results, violations.isEmpty, gate, sfDir)
+    if (line.length >= maxFinalLineChars)
+      System.err.println(s"[bench] WARNING final line ${line.length} chars " +
+        s">= $maxFinalLineChars — driver tail capture may truncate it")
+    println(line)
     if (!enforced) {
       val why = (ShuffleBudget.mismatches(spark, sfDir) ++
         sys.env.get("SPARK_GRAFT_BUDGET_GATE").filter(_.toLowerCase == "off")

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Driver-artifact contract pins. Round 6 taught the lesson the hard
+  * way: the bench's single stdout JSON line grew past the driver's
+  * ~2000-char tail capture and `BENCH_r06.json` recorded
+  * `parsed: null` — a blind gate with a healthy engine behind it. These
+  * specs make every driver-facing channel a FAILING test when a future
+  * widening would re-break it: the final bench line's length and
+  * schema, the sidecar's schema, and Verify's two-positional-arg
+  * contract.
+  */
+class BenchContractSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  /** Worst-case rendering: every per-query value at the widest %.3f
+    * the bench can realistically emit (four integer digits = a 9999 s
+    * query — far past anything a round would accept anyway).
+    */
+  private def worstCaseLine: String = {
+    val results = Bench.headline.map(_ -> 9999.999)
+    Bench.finalLine(99999.999, results, shuffleOk = false,
+      gate = "advisory", sfDir = "/root/testdata/sf0.1")
+  }
+
+  test("bench final line stays under the driver tail-capture window") {
+    val line = worstCaseLine
+    assert(line.length < Bench.maxFinalLineChars,
+      s"final bench line is ${line.length} chars >= ${Bench.maxFinalLineChars}: " +
+        "the driver captures only the last ~2000 chars of stdout (sbt " +
+        "appends ~100 more) — move new fields to Bench.sidecarLine")
+  }
+
+  test("bench final line is valid JSON with the graded fields") {
+    val node = mapper.readTree(worstCaseLine)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("unit").asText() == "sec")
+    assert(node.get("value").isNumber)
+    assert(node.get("shuffle_ok").isBoolean)
+    assert(Set("enforced", "advisory")(node.get("budget_gate").asText()))
+    val qs = node.get("queries")
+    assert(qs != null && qs.isObject)
+    Bench.headline.foreach { name =>
+      assert(qs.has(name), s"final line lost headline query $name")
+      assert(qs.get(name).isNumber, s"non-numeric seconds for $name")
+    }
+    assert(qs.size() == Bench.headline.size,
+      "final line carries queries outside the headline set")
+  }
+
+  test("bench sidecar line is valid JSON carrying both shuffle maps") {
+    val node = mapper.readTree(Bench.sidecarLine(
+      Seq("a" -> 1L, "b" -> -1L), Seq("c" -> 42L)))
+    assert(node.get("metric").asText() == "shuffle_bytes")
+    assert(node.get("headline").get("a").asLong() == 1L)
+    assert(node.get("headline").get("b").asLong() == -1L)
+    assert(node.get("extended").get("c").asLong() == 42L)
+  }
+
+  test("shuffle-byte maps are NOT on the final line") {
+    val line = worstCaseLine
+    assert(!line.contains("shuffle_bytes"),
+      "shuffle-byte maps crept back onto the graded line — that is the " +
+        "exact round-6 regression (2911-char line, parsed:null)")
+  }
+
+  test("Verify accepts the driver's two-positional-arg contract") {
+    // the driver always invokes `Verify <sfDir> <outDir>`; the optional
+    // trailing names are a local-iteration aid. Pin the destructuring so
+    // a signature change can't strand the correctness gate.
+    val m = Verify.getClass.getMethods.find(_.getName == "main").get
+    assert(m.getParameterTypes.toSeq == Seq(classOf[Array[String]]))
+    // two args must destructure without a MatchError (no Spark start:
+    // just exercise the parse prefix the same way main does)
+    val Array(sfDir, outDir) = Array("/x", "/y", "extra").take(2)
+    assert(sfDir == "/x" && outDir == "/y")
+  }
+}
