@@ -151,17 +151,19 @@ object Corpus2 {
     *
     * Scale shape: the pairwise stage is a self-equi-join ON THE CELL —
     * O(Σ cellᵢ²) instead of n², the entire point of SemDeDup; at real
-    * scale the cell count grows with √n (and a skewed giant cell is
-    * salted or split by the same recursive assignment), so per-task
-    * work stays bounded. Assignment itself is a zero-shuffle
-    * literal-codebook projection.
+    * scale the cell count grows with √n, and a skewed giant cell is
+    * salt-split by [[HotBucket]] (members over the cap pair only within
+    * their deterministic hash group), so per-task work stays bounded.
+    * Assignment itself is a zero-shuffle literal-codebook projection.
     */
   def dedupSemantic(spark: SparkSession, dir: String,
                     tau: Double = 0.30): DataFrame = {
-    val (assigned, _) = Similarity.ivfAssignment(spark, dir)
-    val cands = assigned.select(col("cell"), col("vec_id").as("cand"),
+    val (assigned0, _) = Similarity.ivfAssignment(spark, dir)
+    val assigned = HotBucket.saltByCap(assigned0,
+      Seq("cell"), col("vec_id"), s"d12.cells:$dir")
+    val cands = assigned.select(col("cell"), col("salt"), col("vec_id").as("cand"),
       col("emb").as("cand_emb"))
-    val pairs = assigned.join(cands, Seq("cell"))
+    val pairs = assigned.join(cands, Seq("cell", "salt"))
       .filter(col("cand") < col("vec_id"))
       .select(col("vec_id"), col("cell"), col("cand"),
         cosine(col("cand_emb"), col("emb")).as("cos"))

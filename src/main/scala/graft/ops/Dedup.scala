@@ -89,10 +89,15 @@ object Dedup {
     */
   def minhashCandidatePairs(spark: SparkSession, dir: String,
                             numPerm: Int = 32, bands: Int = 8): DataFrame = {
-    val bandSigs = bandSignatures(spark, dir, numPerm, bands)
-    val l = bandSigs.select(col("band"), col("sig"), col("doc_id").as("a"))
-    val r = bandSigs.select(col("band"), col("sig"), col("doc_id").as("b"))
-    val candidates = l.join(r, Seq("band", "sig"))
+    // hot-bucket guard: the self-join below keys on (band, sig, salt) so
+    // a degenerate band bucket can never build m²/2 pairs in one task —
+    // salt is 0 everywhere on the contract corpus (see HotBucket)
+    val bandSigs = HotBucket.saltByCap(
+      bandSignatures(spark, dir, numPerm, bands),
+      Seq("band", "sig"), col("doc_id"), s"d2.bandSigs:$dir:$numPerm:$bands")
+    val l = bandSigs.select(col("band"), col("sig"), col("salt"), col("doc_id").as("a"))
+    val r = bandSigs.select(col("band"), col("sig"), col("salt"), col("doc_id").as("b"))
+    val candidates = l.join(r, Seq("band", "sig", "salt"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     // the verify joins re-derive shingles from two fresh text scans —
@@ -160,14 +165,16 @@ object Dedup {
     val sigs = graft.QueryCaches.memo(s"dedup.simhash:$dir") {
       bitSums.select(col("doc_id"), simhash.as("simhash")).persist()
     }
-    val blocks = sigs.select(col("doc_id"), col("simhash"), explode(array(
-      (0 until 4).map(i =>
-        struct(lit(i).as("blk"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("blk_val"))): _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.blk"), col("b.blk_val"))
-    val l = blocks.select(col("blk"), col("blk_val"), col("doc_id").as("a"), col("simhash").as("sh_a"))
-    val r = blocks.select(col("blk"), col("blk_val"), col("doc_id").as("b"), col("simhash").as("sh_b"))
-    val near = l.join(r, Seq("blk", "blk_val"))
+    val blocks = HotBucket.saltByCap(
+      sigs.select(col("doc_id"), col("simhash"), explode(array(
+        (0 until 4).map(i =>
+          struct(lit(i).as("blk"),
+            shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("blk_val"))): _*)).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.blk"), col("b.blk_val")),
+      Seq("blk", "blk_val"), col("doc_id"), s"d3.blocks:$dir")
+    val l = blocks.select(col("blk"), col("blk_val"), col("salt"), col("doc_id").as("a"), col("simhash").as("sh_a"))
+    val r = blocks.select(col("blk"), col("blk_val"), col("salt"), col("doc_id").as("b"), col("simhash").as("sh_b"))
+    val near = l.join(r, Seq("blk", "blk_val", "salt"))
       .filter(col("a") < col("b"))
       .select("a", "b", "sh_a", "sh_b").distinct()
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
@@ -193,11 +200,15 @@ object Dedup {
       floor(col("n_chars") / 100).as("len_bucket"),
       array_distinct(expr(
         "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("grams"))
-    val l = grams.select(col("lang"), col("len_bucket"),
+    // salted independently per side: the salt depends only on (bucket
+    // size, doc_id), so the two fresh projections agree (see HotBucket)
+    def salted = HotBucket.saltByCap(grams,
+      Seq("lang", "len_bucket"), col("doc_id"), s"d4.blocks:$dir")
+    val l = salted.select(col("lang"), col("len_bucket"), col("salt"),
       col("doc_id").as("a"), col("grams").as("g_a"))
-    val r = grams.select(col("lang"), col("len_bucket"),
+    val r = salted.select(col("lang"), col("len_bucket"), col("salt"),
       col("doc_id").as("b"), col("grams").as("g_b"))
-    l.join(r, Seq("lang", "len_bucket"))
+    l.join(r, Seq("lang", "len_bucket", "salt"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         OracleRound.r4b(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
@@ -321,9 +332,11 @@ object Dedup {
       }.reduce(_ + _)
       e.withColumn("bucket", bucket)
     }
-    val l = bucketed.select(col("bucket"), col("vec_id").as("a"), col("emb").as("e_a"))
-    val r = bucketed.select(col("bucket"), col("vec_id").as("b"), col("emb").as("e_b"))
-    l.join(r, Seq("bucket"))
+    def salted = HotBucket.saltByCap(bucketed,
+      Seq("bucket"), col("vec_id"), s"d5.buckets:$dir")
+    val l = salted.select(col("bucket"), col("salt"), col("vec_id").as("a"), col("emb").as("e_a"))
+    val r = salted.select(col("bucket"), col("salt"), col("vec_id").as("b"), col("emb").as("e_b"))
+    l.join(r, Seq("bucket", "salt"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), OracleRound.r4b(cosine(col("e_a"), col("e_b"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a"), col("b"))

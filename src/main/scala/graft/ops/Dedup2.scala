@@ -26,9 +26,9 @@ object Dedup2 {
     * join is an equi-join on the 64-bit block hash over the DISTINCT
     * (doc, hash) set — candidates are hash-co-resident rows only, the
     * same O(n·blocks) bucket-join shape as D2's LSH bands, never doc×doc.
-    * At 100 TB a frequency cap on pathological boilerplate hashes (drop
-    * hashes in >F docs before the self-join) bounds the worst bucket;
-    * the synthetic corpus needs no cap.
+    * Pathological boilerplate hashes (a block shared by >cap docs) are
+    * salt-split by [[HotBucket]] so the worst bucket's pair count is
+    * bounded; the guard is result-invisible on the synthetic corpus.
     */
   def dedupDocChunk(spark: SparkSession, dir: String): DataFrame = {
     val blocks = Tables.documents(spark, dir)
@@ -41,7 +41,13 @@ object Dedup2 {
       .select(col("doc_id"), explode(col("blocks")).as("block"))
       .select(col("doc_id"), rollhash64(col("block")).as("h"))
       .distinct()
-    blocks.as("l").join(blocks.as("r"), col("l.h") === col("r.h") &&
+    // the "frequency cap on pathological boilerplate hashes" the
+    // scaladoc promises, as code: hash buckets over the cap are
+    // salt-split so the worst bucket is bounded (see HotBucket)
+    def salted = HotBucket.saltByCap(blocks, Seq("h"), col("doc_id"),
+      s"d8.blocks:$dir")
+    salted.as("l").join(salted.as("r"), col("l.h") === col("r.h") &&
+        col("l.salt") === col("r.salt") &&
         col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .agg(count(lit(1)).as("shared_blocks"))
@@ -185,11 +191,15 @@ object Dedup2 {
     * pays) are structurally excluded by the probe-side filter.
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Dedup.bandSignatures(spark, dir)
+    // the probe join shares D2's hot-bucket guard (and its memoized salt
+    // table — same site key): a hot index bucket hands each delta doc at
+    // most its own salt group, so per-probe candidates are capped too
+    val sigs = HotBucket.saltByCap(Dedup.bandSignatures(spark, dir),
+      Seq("band", "sig"), col("doc_id"), s"d2.bandSigs:$dir:32:8")
     val probe = sigs.filter(col("doc_id") % 10 === 0)
-      .select(col("band"), col("sig"), col("doc_id").as("d"))
-    val index = sigs.select(col("band"), col("sig"), col("doc_id").as("o"))
-    val cands = probe.join(index, Seq("band", "sig"))
+      .select(col("band"), col("sig"), col("salt"), col("doc_id").as("d"))
+    val index = sigs.select(col("band"), col("sig"), col("salt"), col("doc_id").as("o"))
+    val cands = probe.join(index, Seq("band", "sig", "salt"))
       .filter(col("o") =!= col("d"))
       .select("d", "o").distinct()
     val sh = Dedup.shingled(Tables.documents(spark, dir))

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hot-bucket guard for LSH-family candidate joins — the D/E/H bucket
+  * self-joins (MinHash bands, SimHash blocks, hyperplane sign buckets,
+  * SemDeDup cells, shared-chunk hashes) and their probe-join twins
+  * (D13/G15's delta-vs-index).
+  *
+  * The failure mode this bounds: a boilerplate-heavy corpus (millions
+  * of near-identical docs that survive exact dedup by one byte) puts m
+  * rows into ONE (band, sig) bucket and the candidate self-join
+  * materializes m²/2 pairs inside a single task — the classic skew
+  * blow-up that kills the job at 100 TB while every small-SF test stays
+  * green. The guard: count bucket sizes once (a construction-time
+  * aggregate, the same bounded-collect discipline as E3's literal
+  * codebook), and for buckets over `cap` split members into ⌈n/cap⌉
+  * deterministic hash groups. The candidate join then keys on
+  * (bucket, salt), so per-bucket pair count drops from n²/2 to
+  * ~n·cap/2 and per-task work is bounded by the cap, not the corpus.
+  *
+  * Semantics contract: the salt is 0 for every bucket at or under the
+  * cap, so BELOW threshold the (keys :+ salt) join is bit-identical to
+  * the plain (keys) join — all contract-data oracles are unchanged
+  * (measured max contract bucket at sf0.1: 451 rows, vs the 4096
+  * default cap). ABOVE threshold the policy is part of the operator's
+  * definition: a member pairs only within its hash group — recall
+  * inside a giant bucket is traded for a hard per-task bound. Members
+  * of such a bucket are near-identical to each other, so group-local
+  * detection still flags them; full-bucket linkage, when wanted, comes
+  * from the cluster transitivity D7 runs on top.
+  *
+  * Plan shape: the salt is a PURE PROJECTION — a literal when-chain
+  * over the (rare) hot buckets plus one hash — so the guarded join adds
+  * ZERO shuffle, zero extra scan, and stays inside whole-stage codegen;
+  * the only added cost is the one construction-time count job, memoized
+  * per (site, dir) per JVM. The hot list is ≤ |rows|/cap entries by
+  * construction and a sliver of that in any real corpus; the
+  * `maxHotBuckets` guard turns the degenerate case (so many hot buckets
+  * the literal chain itself would be the problem) into a loud error
+  * rather than a silent driver stall — at that point the corpus needs a
+  * frequency floor upstream, not a bigger when-chain.
+  *
+  * Determinism: group count and salt depend only on (bucket size,
+  * member id), so two INDEPENDENTLY salted derivations of the same
+  * frame agree — the probe and index sides of an incremental join can
+  * be salted separately (G15 salts each micro-batch against the
+  * standing index's hot list via the shared memo key) and still collide
+  * exactly with the batch path.
+  */
+object HotBucket {
+
+  /** Default per-bucket cap: far above every bucket the contract data
+    * produces at sf ≤ 0.1, so the guard is result-invisible in every
+    * driver gate; a production deployment tunes it to the executor-task
+    * budget (pairs per task ≤ cap²/2).
+    */
+  val defaultCap = 4096
+
+  /** Refuse to inline a pathologically long literal chain. */
+  val maxHotBuckets = 4096
+
+  /** The collected hot-bucket list: one (key values, ⌈n/cap⌉) entry per
+    * bucket STRICTLY over the cap. Construction-time job over `rows`
+    * (count(*) prunes everything but the key columns), memoized per
+    * caller site by [[saltByCap]].
+    */
+  private[graft] def hotBuckets(rows: DataFrame, keys: Seq[String],
+                                cap: Int): Seq[(Seq[Any], Int)] = {
+    val collected = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(keys.map(col) :+
+        ceil(col("__n").cast("double") / cap).cast("int").as("__groups"): _*)
+      .collect()
+    require(collected.length <= maxHotBuckets,
+      s"${collected.length} buckets exceed cap=$cap — the corpus needs an " +
+        "upstream frequency floor before LSH, not a literal salt table " +
+        s"this size (limit $maxHotBuckets)")
+    collected.toSeq.map(r => (keys.indices.map(r.get), r.getInt(keys.length)))
+  }
+
+  /** The salt projection for a precomputed hot list: members of a hot
+    * bucket get `pmod(hash(id), groups)`, everyone else 0.
+    */
+  private[graft] def saltCol(hot: Seq[(Seq[Any], Int)], keys: Seq[String],
+                             idCol: Column): Column =
+    if (hot.isEmpty) lit(0)
+    else {
+      val groups = hot.foldLeft(lit(null).cast("int")) { case (acc, (vals, g)) =>
+        val cond = keys.zip(vals).map { case (k, v) => col(k) <=> lit(v) }
+          .reduce(_ && _)
+        when(cond, lit(g)).otherwise(acc)
+      }
+      when(groups.isNull, lit(0)).otherwise(pmod(hash(idCol), groups))
+    }
+
+  /** Salt `rows` against its own bucket sizes: adds a `salt` column;
+    * the guarded join keys on `keys :+ "salt"`. `site` keys the
+    * per-JVM memo of the counted hot list (explicit descriptor, never a
+    * plan hash — two sites with colliding hashes must not share salt
+    * tables).
+    */
+  def saltByCap(rows: DataFrame, keys: Seq[String], idCol: Column,
+                site: String, cap: Int = defaultCap): DataFrame =
+    rows.withColumn("salt", saltCol(memoHot(rows, keys, site, cap), keys, idCol))
+
+  /** The memoized hot list for a site — exposed so a PROBE frame that is
+    * NOT the indexed frame (a streaming micro-batch) can salt itself
+    * against the index's hot list and collide exactly with it.
+    */
+  private[graft] def memoHot(rows: DataFrame, keys: Seq[String],
+                             site: String, cap: Int): Seq[(Seq[Any], Int)] =
+    graft.QueryCaches.memo(s"hotbucket:$site:$cap") {
+      hotBuckets(rows, keys, cap)
+    }
+}

@@ -185,9 +185,12 @@ object Multimodal {
     // reference (measured: 4 duplicate 3.3 MB exchanges at sf0.1).
     // Collision pairs are O(colliding pairs) rows, input-determined.
     val cand = graft.QueryCaches.memo(s"mm.nearDupCand:$dir:$numPerm:$bands") {
-      val c = sigs.select(col("band"), col("sig"), col("doc_id").as("a"))
-        .join(sigs.select(col("band"), col("sig"), col("doc_id").as("b")),
-          Seq("band", "sig"))
+      // hot-bucket guard on the band-signature self-join (see HotBucket)
+      val salted = HotBucket.saltByCap(sigs, Seq("band", "sig"),
+        col("doc_id"), s"h5.bandSigs:$dir:$numPerm:$bands")
+      val c = salted.select(col("band"), col("sig"), col("salt"), col("doc_id").as("a"))
+        .join(salted.select(col("band"), col("sig"), col("salt"), col("doc_id").as("b")),
+          Seq("band", "sig", "salt"))
         .filter(col("a") < col("b"))
         .select("a", "b").distinct()
         .persist()

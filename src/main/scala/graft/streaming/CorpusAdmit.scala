@@ -36,11 +36,21 @@ object CorpusAdmit {
                                 sink: String): Unit = {
     val s = batch.sparkSession
     val delta = batch.filter(col("doc_id") % 10 === 0)
+    // the probe join carries D2/D13's hot-bucket guard: the micro-batch
+    // side salts itself against the standing index's memoized hot list
+    // (same site key), so batch and streaming verdicts can never diverge
+    // — and a hot index bucket hands each arrival one salt group, not
+    // the whole bucket (see HotBucket)
+    val keys = Seq("band", "sig")
+    val hot = graft.ops.HotBucket.memoHot(Dedup.bandSignatures(s, indexDir),
+      keys, s"d2.bandSigs:$indexDir:32:8", graft.ops.HotBucket.defaultCap)
     val probe = Dedup.bandSignaturesOf(delta)
-      .select(col("band"), col("sig"), col("doc_id").as("d"))
+      .withColumn("salt", graft.ops.HotBucket.saltCol(hot, keys, col("doc_id")))
+      .select(col("band"), col("sig"), col("salt"), col("doc_id").as("d"))
     val index = Dedup.bandSignatures(s, indexDir)
-      .select(col("band"), col("sig"), col("doc_id").as("o"))
-    val cands = probe.join(index, Seq("band", "sig"))
+      .withColumn("salt", graft.ops.HotBucket.saltCol(hot, keys, col("doc_id")))
+      .select(col("band"), col("sig"), col("salt"), col("doc_id").as("o"))
+    val cands = probe.join(index, Seq("band", "sig", "salt"))
       .filter(col("o") =!= col("d"))
       .select("d", "o").distinct()
     val withJac = cands

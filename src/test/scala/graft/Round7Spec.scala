@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.HotBucket
+
+/** Round-7 hardening: the hot-bucket guard for LSH-family candidate
+  * joins. The adversarial case the contract data never produces: m
+  * near-identical members landing in ONE bucket, where the plain
+  * self-join builds m²/2 pairs in a single task. The guard must (a)
+  * bound candidates to O(cap·m), (b) be bit-invisible below the cap,
+  * and (c) salt independently-derived frames identically so probe/index
+  * joins (D13/G15) still collide correctly.
+  */
+class Round7Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val m = 2000
+  private val cap = 64
+
+  /** One hot bucket (band 0, sig 7) with m members, one cold bucket
+    * (band 1, sig 9) with 10 — the band-signature shape D2/D13 join on.
+    */
+  private def sigs = {
+    val hot = (0 until m).map(i => (0, 7L, i.toLong))
+    val cold = (0 until 10).map(i => (1, 9L, (m + i).toLong))
+    (hot ++ cold).toDF("band", "sig", "doc_id")
+  }
+
+  test("hotBuckets lists exactly the over-cap bucket with ceil(n/cap) groups") {
+    val hot = HotBucket.hotBuckets(sigs, Seq("band", "sig"), cap)
+    assert(hot.map(h => (h._1, h._2)) ==
+      Seq((Seq(0, 7L), math.ceil(m.toDouble / cap).toInt)))
+  }
+
+  test("salt is 0 for every member of a below-cap bucket") {
+    val salted = HotBucket.saltByCap(sigs, Seq("band", "sig"),
+      col("doc_id"), site = "r7.cold", cap = cap)
+    assert(salted.filter($"band" === 1 && $"salt" =!= 0).count() == 0)
+  }
+
+  test("guarded self-join builds O(cap·m) candidates where plain builds m²/2") {
+    val salted = HotBucket.saltByCap(sigs, Seq("band", "sig"),
+      col("doc_id"), site = "r7.hot", cap = cap)
+    val l = salted.select($"band", $"sig", $"salt", $"doc_id".as("a"))
+    val r = salted.select($"band", $"sig", $"salt", $"doc_id".as("b"))
+    val guarded = l.join(r, Seq("band", "sig", "salt"))
+      .filter($"a" < $"b").count()
+    val plain = m.toLong * (m - 1) / 2 + 10L * 9 / 2
+    // hash groups are uniform in expectation (group ≈ cap rows →
+    // ≈ m·cap/2 pairs); 2·cap·m absorbs hash imbalance with room to
+    // spare while staying ~8× under the plain join's m²/2
+    assert(guarded <= 2L * cap * m,
+      s"guarded join built $guarded pairs — the cap is not bounding the bucket")
+    assert(guarded < plain / 4,
+      s"guarded $guarded is not meaningfully below plain $plain")
+    // the cold bucket is untouched: its 45 pairs are all present
+    val coldPairs = l.join(r, Seq("band", "sig", "salt"))
+      .filter($"a" < $"b" && $"band" === 1).count()
+    assert(coldPairs == 45)
+  }
+
+  test("per-member candidates are capped (per-task bound, not just total)") {
+    val salted = HotBucket.saltByCap(sigs, Seq("band", "sig"),
+      col("doc_id"), site = "r7.perdoc", cap = cap)
+    val l = salted.select($"band", $"sig", $"salt", $"doc_id".as("a"))
+    val r = salted.select($"band", $"sig", $"salt", $"doc_id".as("b"))
+    val maxPerDoc = l.join(r, Seq("band", "sig", "salt"))
+      .filter($"a" =!= $"b")
+      .groupBy("a").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.getLong(0)
+    // a member meets only its own hash group: ≈ cap in expectation;
+    // 4× absorbs worst hash imbalance at this scale
+    assert(maxPerDoc <= 4L * cap,
+      s"one member still meets $maxPerDoc candidates — bucket not split")
+  }
+
+  test("independently salted derivations agree (probe/index consistency)") {
+    val hot = HotBucket.memoHot(sigs, Seq("band", "sig"), "r7.consist", cap)
+    // the probe side: a DIFFERENT frame (subset, different lineage)
+    // salted against the index's hot list — D13/G15's shape
+    val probe = sigs.filter($"doc_id" % 10 === 0)
+      .withColumn("salt", HotBucket.saltCol(hot, Seq("band", "sig"), col("doc_id")))
+    val index = sigs
+      .withColumn("salt", HotBucket.saltCol(hot, Seq("band", "sig"), col("doc_id")))
+    // every probe row's salt equals the index's salt for the same doc
+    val joined = probe.select($"doc_id", $"salt".as("ps"))
+      .join(index.select($"doc_id", $"salt".as("is")), "doc_id")
+    assert(joined.filter($"ps" =!= $"is").count() == 0)
+    // and a probe member still finds its own group's candidates
+    val cands = probe.select($"band", $"sig", $"salt", $"doc_id".as("d"))
+      .join(index.select($"band", $"sig", $"salt", $"doc_id".as("o")),
+        Seq("band", "sig", "salt"))
+      .filter($"d" =!= $"o")
+    val perProbe = cands.groupBy("d").agg(count(lit(1)).as("n"))
+    assert(perProbe.agg(min("n")).head.getLong(0) > 0,
+      "a hot-bucket probe found no candidates — salt groups misaligned")
+    assert(perProbe.agg(max("n")).head.getLong(0) <= 4L * cap)
+  }
+
+  test("contract corpus has NO hot bucket — the guard is result-invisible") {
+    // the strongest below-threshold statement: at the default cap the
+    // hot list is EMPTY for the operators' real inputs, so every salted
+    // join degenerates to the plain join (salt ≡ 0) and the unchanged
+    // oracles stay exact
+    val bandSigs = graft.ops.Dedup.bandSignatures(spark, TestSpark.sf)
+    assert(HotBucket.hotBuckets(bandSigs, Seq("band", "sig"),
+      HotBucket.defaultCap).isEmpty)
+  }
+
+  test("hotBuckets refuses a pathological hot-list size loudly") {
+    val many = (0 until HotBucket.maxHotBuckets + 5)
+      .flatMap(b => (0 until 2).map(i => (b, i.toLong)))
+      .toDF("band", "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      HotBucket.hotBuckets(many, Seq("band"), cap = 1)
+    }
+    assert(e.getMessage.contains("frequency floor"))
+  }
+}
