@@ -32,7 +32,11 @@ object Bench {
     // round-6 second wave: the incremental-index probe, the IVFADC
     // composition, and SemDeDup's cell-scoped pairwise join — the three
     // new plan shapes worth a standing regression gate
-    "dedup_incremental", "ann_ivf_pq", "dedup_semantic")
+    "dedup_incremental", "ann_ivf_pq", "dedup_semantic",
+    // round-7 additions: positional substring dedup (the one new heavy
+    // plan shape), the frozen-codebook index append, and the 2-round
+    // exact IRLS trainer
+    "dedup_passage_spans", "ann_index_append", "ml_logreg_step2")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -117,7 +117,10 @@ object ShuffleBudget {
     "ml_gbt_step3" -> 500L,
     "dedup_incremental" -> 4400L,
     "ann_ivf_pq" -> 2500L,
-    "dedup_semantic" -> 18000L)
+    "dedup_semantic" -> 18000L,
+    "dedup_passage_spans" -> 550000L,
+    "ann_index_append" -> 3600L,
+    "ml_logreg_step2" -> 500L)
   val atSf01: Map[String, Long] = Map(
     "q_agg_pricing" -> 2900L,
     "q_join_shuffle" -> 5200000L,
@@ -151,7 +154,10 @@ object ShuffleBudget {
     "ml_gbt_step3" -> 500L,
     "dedup_incremental" -> 76000L,
     "ann_ivf_pq" -> 13000L,
-    "dedup_semantic" -> 162000L)
+    "dedup_semantic" -> 162000L,
+    "dedup_passage_spans" -> 5300000L,
+    "ann_index_append" -> 18000L,
+    "ml_logreg_step2" -> 500L)
 
   /** Round-6 sweep closure: every NON-headline query whose sf0.1 probe
     * shuffled >1 MB, pinned at 2× measured like the headline tables — a

@@ -1,0 +1,183 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** C36 — `ml_logreg_step2`: TWO exact IRLS/Newton iterations of
+  * logistic regression, finishing the exact-training story for the one
+  * family still at a single step (C28). Round 1 is C28's closed form at
+  * β=0 (where every pᵢ=½, wᵢ=¼ — five integer aggregates and a 2×2
+  * solve); round 2 is the general weighted step β₂ = β₁ +
+  * (XᵀWX)⁻¹Xᵀ(y−p) — which needs σ(z) per row, a transcendental no
+  * cross-engine replay can trust to the last bit. The model is
+  * therefore QUANTIZED end to end, the same move as C13/C31's integer
+  * centroids:
+  *
+  *  - β ticks: intercept in 10⁻⁶, slope in 10⁻¹⁰ (per $100-tick q),
+  *    rounded half-away-from-zero with truncating integer division —
+  *    identical semantics in BigInt, Spark `div`, and DuckDB `//`.
+  *  - σ lookup: z is clamped to [−8, 8] in 0.01 steps and σ(z)·10⁶ is
+  *    a 1601-entry integer table computed ONCE on the driver
+  *    (StrictMath) and inlined as a LITERAL array into BOTH the Spark
+  *    plan and the generated oracle SQL — the two engines cannot
+  *    disagree because they share the same integers (the
+  *    literal-codebook discipline applied to a link function).
+  *  - working weights in 10⁻⁶ (w = round(p(1−p)·10⁶)): keeps every
+  *    per-row product inside int64 (max w·q² ≈ 6.3·10¹²) and every
+  *    HUGEINT intermediate in the oracle's 2×2 solve under 10³⁶ at
+  *    sf0.1 (the 128-bit ceiling is ~1.7·10³⁸; at a much larger corpus
+  *    the tick scales shrink one decade per 100× rows — the same
+  *    re-scaling note as Ols' Gram sums).
+  *
+  * Round-1 state (the five sums) is collected once and the exact
+  * rational β₁ is computed in driver BigInt, then inlined as literals
+  * into the round-2 scan — C30/C32's literal-state training-loop
+  * program. All sums aggregate as decimal(38,0) so nothing wraps at
+  * fact scale. The oracle unrolls both rounds as chained CTEs over the
+  * identical integer recurrence; MlIrlsSpec witnesses the monotone
+  * log-likelihood ℓ(0) < ℓ(β₁) < ℓ(β₂) and that round 1 agrees with
+  * C28.
+  *
+  * Scale shape: two aggregate scans (map-side partial, 5 and 5 sums)
+  * plus O(1) driver math — the same two-pass shape at 100 TB; the
+  * d-feature version is d(d+1)/2+d+1 aggregates per round plus a tiny
+  * dense solve.
+  */
+object Irls {
+
+  /** Round-half-away-from-zero num/den with truncating division — the
+    * one rounding rule shared by driver BigInt, Spark `div`, DuckDB `//`.
+    */
+  private[graft] def rdiv(num: BigInt, den: BigInt): BigInt = {
+    val s = num.signum * den.signum
+    s * ((num.abs * 2 + den.abs) / (den.abs * 2))
+  }
+
+  /** σ(i/100)·10⁶ for i in [−800, 800] — the shared literal link table. */
+  private[graft] lazy val sigmaTicks: IndexedSeq[Long] =
+    (-800 to 800).map(i =>
+      math.round(1.0 / (1.0 + StrictMath.exp(-i / 100.0)) * 1e6))
+
+  /** The labeled frame both rounds scan: y = priority<'3', q = price in
+    * $100 ticks (C28's quantization).
+    */
+  private def labeledQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).selectExpr(
+      "CAST(o_orderpriority < '3' AS INT) AS y",
+      "CAST(floor(o_totalprice * 0.01 + 0.5) AS BIGINT) AS q")
+
+  /** (n, b0 ticks 1e-6, b1 ticks 1e-10) after round 1 — exact driver
+    * BigInt from the five decimal(38,0) sums.
+    */
+  private[graft] def round1(spark: SparkSession, dir: String): (Long, BigInt, BigInt) = {
+    val r = labeledQ(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(col("y").cast("decimal(38,0)")).as("p"),
+      sum(col("q").cast("decimal(38,0)")).as("sq"),
+      sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"),
+      sum((col("q") * (col("y") * 2 - 1)).cast("decimal(38,0)")).as("sqy")).head()
+    val n = BigInt(r.getLong(0))
+    val Seq(p, sq, sqq, sqy) = (1 to 4).map(i => BigInt(r.getDecimal(i).toBigInteger))
+    val den = n * sqq - sq * sq
+    (r.getLong(0),
+      rdiv(2 * (sqq * (2 * p - n) - sq * sqy) * BigInt(10).pow(6), den),
+      rdiv(2 * (n * sqy - sq * (2 * p - n)) * BigInt(10).pow(10), den))
+  }
+
+  def mlLogregStep2(spark: SparkSession, dir: String): DataFrame = {
+    val (n, b0t, b1t) = round1(spark, dir)
+    // round-2 scan with β₁ and the σ table inlined as literals: z in
+    // 10⁻¹⁰ ticks, index = round(z/10⁸) clamped, w/r in integer ticks
+    val sums = labeledQ(spark, dir)
+      .withColumn("sig", typedLit(sigmaTicks))
+      .selectExpr("y", "q", "sig",
+        s"${b0t}L * 10000L + ${b1t}L * q AS zt")
+      .selectExpr("y", "q", "sig",
+        "CASE WHEN zt >= 0 THEN 1L ELSE -1L END * " +
+          "((2 * abs(zt) + 100000000L) div 200000000L) AS idx0")
+      .selectExpr("y", "q",
+        "element_at(sig, CAST(greatest(-800L, least(800L, idx0)) + 801 AS INT)) AS pq")
+      .selectExpr("q", "(pq * (1000000L - pq)) div 1000000L AS w",
+        "y * 1000000L - pq AS r")
+      .agg(
+        sum(col("w").cast("decimal(38,0)")).as("sw"),
+        sum((col("w") * col("q")).cast("decimal(38,0)")).as("swq"),
+        sum((col("w") * col("q") * col("q")).cast("decimal(38,0)")).as("swqq"),
+        sum(col("r").cast("decimal(38,0)")).as("sr"),
+        sum((col("r") * col("q")).cast("decimal(38,0)")).as("srq")).head()
+    val Seq(sw, swq, swqq, sr, srq) =
+      (0 to 4).map(i => BigInt(sums.getDecimal(i).toBigInteger))
+    val det = sw * swqq - swq * swq
+    val d0 = rdiv((swqq * sr - swq * srq) * BigInt(10).pow(6), det)
+    val d1 = rdiv((sw * srq - swq * sr) * BigInt(10).pow(10), det)
+    import spark.implicits._
+    Seq((n, b0t.toLong, b1t.toLong, (b0t + d0).toLong, (b1t + d1).toLong))
+      .toDF("n", "b0_t1", "b1_t1", "b0_t2", "b1_t2")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_logreg_step2" -> (mlLogregStep2 _))
+
+  // ---- oracle: both rounds unrolled as HUGEINT CTEs ----
+
+  /** rdiv as SQL over HUGEINT expressions (den must be non-zero). */
+  private def rdivSql(num: String, den: String): String =
+    s"(CASE WHEN (($num) >= 0) = (($den) >= 0) THEN 1 ELSE -1 END) * " +
+      s"((2 * abs($num) + abs($den)) // (2 * abs($den)))"
+
+  private lazy val sigmaListSql: String =
+    sigmaTicks.mkString("[", ", ", "]::BIGINT[]")
+
+  val oracles: Map[String, String] = Map(
+    "ml_logreg_step2" -> {
+      val e6 = "1000000::HUGEINT"; val e10 = "10000000000::HUGEINT"
+      s"""WITH l AS (
+         |  SELECT CAST(o_orderpriority < '3' AS INT) AS y,
+         |         CAST(floor(o_totalprice * 0.01 + 0.5) AS BIGINT) AS q
+         |  FROM orders),
+         |a1 AS (
+         |  SELECT count(*) AS n, CAST(sum(y) AS HUGEINT) AS p,
+         |         CAST(sum(q) AS HUGEINT) AS sq, CAST(sum(q*q) AS HUGEINT) AS sqq,
+         |         CAST(sum(q*(2*y-1)) AS HUGEINT) AS sqy
+         |  FROM l),
+         |b1 AS (
+         |  SELECT n,
+         |    ${rdivSql("2 * (sqq * (2*p - n) - sq * sqy) * " + e6,
+                        "n * sqq - sq * sq")} AS b0t,
+         |    ${rdivSql("2 * (n * sqy - sq * (2*p - n)) * " + e10,
+                        "n * sqq - sq * sq")} AS b1t
+         |  FROM a1),
+         |rows2 AS (
+         |  SELECT y, q, b0t * 10000 + b1t * q AS zt FROM l, b1),
+         |px AS (
+         |  SELECT y, q,
+         |    list_extract($sigmaListSql,
+         |      CAST(greatest(-800, least(800,
+         |        ${rdivSql("zt", "100000000")})) + 801 AS INT)) AS pq
+         |  FROM rows2),
+         |wr AS (
+         |  SELECT q, (pq * (1000000 - pq)) // 1000000 AS w,
+         |         y * 1000000 - pq AS r
+         |  FROM px),
+         |a2 AS (
+         |  SELECT CAST(sum(w) AS HUGEINT) AS sw,
+         |         CAST(sum(w*q) AS HUGEINT) AS swq,
+         |         CAST(sum(w*q*q) AS HUGEINT) AS swqq,
+         |         CAST(sum(r) AS HUGEINT) AS sr,
+         |         CAST(sum(r*q) AS HUGEINT) AS srq
+         |  FROM wr),
+         |d AS (
+         |  SELECT
+         |    ${rdivSql("(swqq * sr - swq * srq) * " + e6,
+                        "sw * swqq - swq * swq")} AS d0,
+         |    ${rdivSql("(sw * srq - swq * sr) * " + e10,
+                        "sw * swqq - swq * swq")} AS d1
+         |  FROM a2)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  CAST(b0t AS BIGINT) AS b0_t1, CAST(b1t AS BIGINT) AS b1_t1,
+         |  CAST(b0t + d0 AS BIGINT) AS b0_t2, CAST(b1t + d1 AS BIGINT) AS b1_t2
+         |FROM b1, d""".stripMargin
+    })
+}

@@ -348,6 +348,13 @@ object Ml4 {
     val grouped = durations.groupBy("dur")
       .agg(sum("evt").as("d"), count(lit(1)).as("tot"))
     val nTotal = durations.count()
+    // single-partition by design, NOT a fact-scale window: it runs over
+    // the per-DISTINCT-duration aggregate (one row per distinct dur —
+    // the KM curve's own x-axis, already reduced by the groupBy above),
+    // the same bounded-state class as A48's 1-row total and Ml3's 10
+    // deciles. A corpus where distinct durations approach row count
+    // would route through DistRank's range-partitioned prefix sums
+    // instead (the `_dist` twins' machinery).
     val wPrev = Window.orderBy("dur")
       .rowsBetween(Window.unboundedPreceding, -1)
     val risk = grouped

@@ -51,16 +51,22 @@ object Ols {
     */
   private def gramSums(spark: SparkSession, dir: String): IndexedSeq[BigInt] = {
     val li = designMatrix(spark, dir)
+    // per-row products fit int64 (x1 ≤ 50, x2 ≤ 10, y ≤ 10⁷ ticks); the
+    // SUMS escalate to decimal(38,0) so the fit stays exact past ~10⁹
+    // rows (s1y ≈ 5·10⁸·n) — matching the oracle's HUGEINT sums instead
+    // of wrapping silently in non-ANSI int64
     val r = li.agg(
       count(lit(1)).as("n"),
-      sum("x1").as("s1"), sum("x2").as("s2"),
-      sum(col("x1") * col("x1")).as("s11"),
-      sum(col("x1") * col("x2")).as("s12"),
-      sum(col("x2") * col("x2")).as("s22"),
-      sum("y").as("sy"),
-      sum(col("x1") * col("y")).as("s1y"),
-      sum(col("x2") * col("y")).as("s2y")).head()
-    (0 until 9).map(i => BigInt(r.getLong(i)))
+      sum(col("x1").cast("decimal(38,0)")).as("s1"),
+      sum(col("x2").cast("decimal(38,0)")).as("s2"),
+      sum((col("x1") * col("x1")).cast("decimal(38,0)")).as("s11"),
+      sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("s12"),
+      sum((col("x2") * col("x2")).cast("decimal(38,0)")).as("s22"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x1") * col("y")).cast("decimal(38,0)")).as("s1y"),
+      sum((col("x2") * col("y")).cast("decimal(38,0)")).as("s2y")).head()
+    BigInt(r.getLong(0)) +:
+      (1 until 9).map(i => BigInt(r.getDecimal(i).toBigInteger))
   }
 
   /** Cramer determinants for the (optionally L2-damped) normal system:
@@ -123,10 +129,12 @@ object Ols {
       .withColumn("r",
         col("y") * lit(10000L) -
           (lit(t0) + lit(t1) * col("x1") + lit(t2) * col("x2")))
+    // residual sums in decimal(38,0): |r| ≈ 10¹⁰ ticks/row, so int64
+    // wraps past ~10⁹ rows while the oracle's HUGEINT does not
     scored.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(abs(col("r"))).as("sae"),
-        sum(col("r")).as("sre"))
+        sum(abs(col("r")).cast("decimal(38,0)")).as("sae"),
+        sum(col("r").cast("decimal(38,0)")).as("sre"))
       .select(col("l_returnflag"), col("n"),
         graft.ops.OracleRound.r4b(col("sae").cast("double") /
           (col("n") * 10000.0)).as("mae_cents"),

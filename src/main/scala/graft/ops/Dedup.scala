@@ -360,12 +360,16 @@ object Dedup {
   /** Data-generic distributed connected components over an (a, b) pair
     * list: min-label propagation to the fixpoint, labels = component-min
     * node id, edge-touched nodes only (isolated vertices are the
-    * caller's identity case). Memoized per distinct pair PLAN per JVM
-    * (the propagation is deterministic in its input), same discipline
-    * as [[Dedup2.pagerankRounds]].
+    * caller's identity case). Memoized per caller-supplied DESCRIPTOR
+    * per JVM (the propagation is deterministic in its input) — an
+    * explicit key, not the 32-bit plan semanticHash alone: two distinct
+    * edge plans colliding on the Int hash must not silently share
+    * labels. Same discipline as [[Dedup2.pagerankRounds]], which keys
+    * on its call site's stable inputs.
     */
-  private[graft] def labelPropagation(pairs0: DataFrame): DataFrame =
-    graft.QueryCaches.memo(s"dedup.labelProp:${pairs0.semanticHash()}") {
+  private[graft] def labelPropagation(pairs0: DataFrame,
+                                      memoKey: String): DataFrame =
+    graft.QueryCaches.memo(s"dedup.labelProp:$memoKey") {
     val pairs = pairs0.toDF("a", "b").persist()
     // hash-partitioned on the propagation key: every fixpoint round joins
     // on src, so the edge list (the big side at scale) shuffles once here
@@ -405,7 +409,8 @@ object Dedup {
     // — the same write-once discipline as the layout artifacts
     val finalLabels = labelPropagation(
       minhashCandidatePairs(spark, dir)
-        .filter(col("jaccard") >= 0.5).select("a", "b"))
+        .filter(col("jaccard") >= 0.5).select("a", "b"),
+      s"d7.cluster:$dir")
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(finalLabels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster"))

@@ -223,13 +223,87 @@ object Dedup2 {
       .orderBy("doc_id")
   }
 
+  /** D14 — `dedup_passage_spans`: POSITIONAL substring dedup — the
+    * standard LLM-pipeline operator (exact substring dedup à la Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"):
+    * D8 says two docs share ≥1 block; this says WHERE, emitting
+    * (doc_id, start_tok, end_tok) spans of maximal repeated runs so the
+    * pipeline can surgically remove the passage instead of dropping the
+    * document. SLIDING (not disjoint) 10-token windows with positions →
+    * RollHash64 per window → corpus-wide frequency → a window is
+    * repeated iff its hash occurs ≥2 times anywhere (cross-doc or
+    * within-doc) → maximal runs of consecutive repeated windows via
+    * gaps-and-islands (A30/A50's machinery). A run of w windows covers
+    * a span of w+9 tokens; every span is ≥10 tokens by construction.
+    *
+    * Scale shape: windows are one explode (~n_tokens rows, shuffle-free
+    * projection); the frequency table is hash-keyed state that cannot
+    * broadcast at 100 TB, so the repeat join is an equi-join on the
+    * 64-bit hash with both sides hash-partitioned — one row per hash on
+    * the count side, so no pair blow-up is possible (unlike the
+    * D2/D8 self-joins, there is nothing for a hot hash to square); the
+    * island detection is a per-doc window bounded by document length.
+    * Every number is integer-exact, so DuckDB replays the full chain.
+    */
+  def dedupPassageSpans(spark: SparkSession, dir: String,
+                        win: Int = 10): DataFrame =
+    passageSpansOf(Tables.documents(spark, dir), win)
+
+  /** The data-generic span core over any (doc_id, text) frame — split
+    * out so the spec can plant known passages and assert exact spans.
+    */
+  private[graft] def passageSpansOf(docs: DataFrame, win: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= win)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $win),
+           |  i -> named_struct('i', i, 'w', concat_ws(' ', slice(toks, i + 1, $win))))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.i").cast("long").as("i"),
+        rollhash64(col("x.w")).as("h"))
+    val freq = wins.groupBy("h").agg(count(lit(1)).as("c"))
+    val rep = wins.join(freq, "h").filter(col("c") >= 2)
+      .select("doc_id", "i")
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    rep.withColumn("grp", col("i") - row_number().over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("i").as("start_tok"),
+        (max("i") + (win - 1)).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_tok", "end_tok", "n_windows")
+      .orderBy("doc_id", "start_tok")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_passage_spans" -> ((s, d) => dedupPassageSpans(s, d)),
     "dedup_doc_chunk" -> (dedupDocChunk _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_pagerank_iter" -> (graphPagerankIter _),
     "dedup_incremental" -> (dedupIncremental _))
 
   val oracles: Map[String, String] = Map(
+    // positional hash replay: the same sliding windows (i is 0-based in
+    // both engines), the same RollHash64 image per window, frequency ≥2,
+    // and the identical islands grouping (i - row_number)
+    "dedup_passage_spans" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |wins AS (
+         | SELECT doc_id, i - 1 AS i, array_to_string(t[i:i+9], ' ') AS w
+         | FROM (SELECT doc_id, t, CAST(unnest(range(1, len(t) - 8)) AS BIGINT) AS i
+         |       FROM tok WHERE len(t) >= 10)),
+         |h AS (SELECT doc_id, i, ${Dedup.wrapSql(Dedup.rollSql("w"))} AS h FROM wins),
+         |freq AS (SELECT h, count(*) AS c FROM h GROUP BY 1),
+         |rep AS (SELECT doc_id, i FROM h JOIN freq USING (h) WHERE c >= 2),
+         |isl AS (
+         | SELECT doc_id, i,
+         |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         | FROM rep)
+         |SELECT doc_id, min(i) AS start_tok, max(i) + 9 AS end_tok,
+         |  count(*) AS n_windows
+         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin,
     // shares D2's full signature chain (tok→sh→expl→h0→mh→sigs); only
     // the candidate CTE changes — one side pinned to the delta
     "dedup_incremental" ->

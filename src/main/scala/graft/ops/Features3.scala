@@ -114,8 +114,12 @@ object Features3 {
     cell.join(broadcast(seg), "c_mktsegment")
       .select(col("c_mktsegment"), col("fold"), col("n"),
         OracleRound.r4b(col("pos").cast("double") / col("n")).as("in_fold_rate"),
+        // degenerate-fold guard: a segment entirely inside one fold has
+        // seg_n = n and no out-of-fold rows — NULL in both engines
+        // (Spark returns NULL for x/0 but DuckDB returns inf, so the
+        // zero divisor must be nulled explicitly on both sides)
         OracleRound.r4b((col("seg_pos") - col("pos")).cast("double") /
-          (col("seg_n") - col("n"))).as("oof_rate"))
+          nullif(col("seg_n") - col("n"), lit(0))).as("oof_rate"))
       .orderBy("c_mktsegment", "fold")
   }
 
@@ -227,7 +231,7 @@ object Features3 {
         |SELECT cell.c_mktsegment, CAST(fold AS BIGINT) AS fold,
         |  CAST(n AS BIGINT) AS n,
         |  floor((CAST(pos AS DOUBLE) / n) * 10000 + 0.5) / 10000 AS in_fold_rate,
-        |  floor((CAST(seg_pos - pos AS DOUBLE) / (seg_n - n)) * 10000 + 0.5) / 10000 AS oof_rate
+        |  floor((CAST(seg_pos - pos AS DOUBLE) / nullif(seg_n - n, 0)) * 10000 + 0.5) / 10000 AS oof_rate
         |FROM cell JOIN seg USING (c_mktsegment)
         |ORDER BY 1, 2""".stripMargin,
     "f_winsorize" ->

@@ -229,8 +229,12 @@ object Relational5 {
     val frac = (col("us") - col("pt")).cast("double") / (col("nt") - col("pt"))
     base.filter(col("v").isNull)
       .select(col("user_id"), col("event_id"),
+        // nt = pt (non-masked neighbors sharing one microsecond) would
+        // divide by zero — Spark NULL vs DuckDB inf; fall back to pv,
+        // guarded identically in the oracle's CASE
         r4b(when(col("pv").isNull, col("nv"))
           .when(col("nv").isNull, col("pv"))
+          .when(col("nt") === col("pt"), col("pv"))
           .otherwise(col("pv") + (col("nv") - col("pv")) * frac)).as("interp"))
       .orderBy("user_id", "event_id")
   }
@@ -277,6 +281,7 @@ object Relational5 {
         |   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
         |SELECT user_id, event_id,
         |  floor((CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+        |    WHEN nt = pt THEN pv
         |    ELSE pv + (nv - pv) * (CAST(us - pt AS DOUBLE) / (nt - pt)) END) * 10000 + 0.5) / 10000 AS interp
         |FROM f WHERE v IS NULL ORDER BY user_id, event_id""".stripMargin,
     "q_chi_square" ->

@@ -31,9 +31,16 @@ object CorpusAdmit {
     * probe the standing index of `indexDir`, verify, append verdicts.
     * Exposed (private[graft]) so the multi-batch spec can drive it over
     * a SPLIT source and prove per-batch independence.
+    *
+    * Idempotence: `foreachBatch` is AT-LEAST-ONCE — a micro-batch that
+    * fails after its write and is retried would duplicate verdict rows
+    * under a plain append. Each batch therefore OVERWRITES its own
+    * batchId-keyed partition directory (`batch=<id>`), so a redelivery
+    * replaces its previous attempt byte-for-byte instead of doubling
+    * it — the same overwrite-by-key discipline as G11's alert sink.
     */
   private[graft] def admitBatch(batch: DataFrame, indexDir: String,
-                                sink: String): Unit = {
+                                sink: String, batchId: Long): Unit = {
     val s = batch.sparkSession
     val delta = batch.filter(col("doc_id") % 10 === 0)
     // the probe join carries D2/D13's hot-bucket guard: the micro-batch
@@ -71,7 +78,7 @@ object CorpusAdmit {
         coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
         when(coalesce(col("n_near_dups"), lit(0L)) > 0, lit("reject"))
           .otherwise(lit("admit")).as("verdict"))
-      .write.mode("append").parquet(sink)
+      .write.mode("overwrite").parquet(s"$sink/batch=$batchId")
   }
 
   /** Drain a document source into verdicts: AvailableNow + checkpoint.
@@ -89,8 +96,8 @@ object CorpusAdmit {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        admitBatch(batch, indexDir, sink)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, indexDir, sink, batchId)
       }
       .start()
     q.awaitTermination()
@@ -106,5 +113,7 @@ object CorpusAdmit {
     })
 
   def streamCorpusAdmit(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(sinkPath(spark, dir)).orderBy("doc_id")
+    // partition discovery surfaces the batch=N key as a column — an
+    // implementation detail of the idempotent sink, dropped here
+    spark.read.parquet(sinkPath(spark, dir)).drop("batch").orderBy("doc_id")
 }

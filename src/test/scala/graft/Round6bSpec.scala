@@ -290,7 +290,7 @@ class Round6bSpec extends AnyFunSuite {
     val batches = new java.io.File(s"$ckpt/offsets").listFiles
       .count(f => f.getName.forall(_.isDigit))
     assert(batches >= 2, s"expected a multi-batch drain, got $batches batch(es)")
-    val got = spark.read.parquet(sink).orderBy("doc_id").collect().toSeq
+    val got = spark.read.parquet(sink).drop("batch").orderBy("doc_id").collect().toSeq
     val want = graft.ops.Dedup2.dedupIncremental(spark, sf).collect().toSeq
     assert(got == want, "split-arrival drain diverges from the batch backfill")
   }
@@ -700,7 +700,8 @@ class Round6bSpec extends AnyFunSuite {
           (0 until n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
             .filter { case (a, b) => a != b }
         ).map { case (a, b) => (a min b, a max b) }.distinct
-      val got = graft.ops.Dedup.labelPropagation(pairs.toDF("a", "b"))
+      val got = graft.ops.Dedup.labelPropagation(pairs.toDF("a", "b"),
+        s"r6b.labelPropProperty:$seed")
         .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab")).toMap
       val want = unionFind(pairs)
       assert(got == want, s"seed $seed: components diverged from union-find")

@@ -89,4 +89,117 @@ class Round7bSpec extends AnyFunSuite {
     assert(widened == inSession,
       "recall over the widened index drifted from the in-session index")
   }
+
+  // ---- dedup_passage_spans: plan-shape audit ----
+
+  test("dedup_passage_spans plan: equi-join on the hash, per-doc window, no cross product") {
+    val df = SparkEntry.queries("dedup_passage_spans")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the repeat join:\n$plan")
+    // the islands window is per-doc, never a global single-partition sort
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"islands window not partitioned by doc_id in:\n$plan")
+    // frequency aggregate partial-combines map-side before its exchange
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"no map-side partial aggregation for the hash frequencies in:\n$plan")
+  }
+
+  // ---- corpus-admit sink idempotence under at-least-once redelivery ----
+
+  test("corpus-admit: a redelivered micro-batch replaces, never duplicates") {
+    val sink = graft.Scratch.dir("r7_admit_redelivery")
+    val docs = graft.tables.Tables.documents(spark, sf)
+    graft.streaming.CorpusAdmit.admitBatch(docs, sf, sink, batchId = 0L)
+    val once = spark.read.parquet(sink).drop("batch")
+      .orderBy("doc_id").collect().toSeq
+    assert(once.nonEmpty)
+    // foreachBatch is at-least-once: simulate the retry of a batch that
+    // already committed its write — the batchId-keyed overwrite must
+    // leave the sink byte-identical
+    graft.streaming.CorpusAdmit.admitBatch(docs, sf, sink, batchId = 0L)
+    val twice = spark.read.parquet(sink).drop("batch")
+      .orderBy("doc_id").collect().toSeq
+    assert(twice == once, "redelivered batch duplicated verdict rows")
+  }
+
+  // ---- ml_logreg_step2: monotone likelihood + C28 prefix ----
+
+  test("ml_logreg_step2: log-likelihood strictly improves each round") {
+    val out = SparkEntry.queries("ml_logreg_step2")(spark, sf).head()
+    val (b01, b11) = (out.getLong(1) / 1e6, out.getLong(2) / 1e10)
+    val (b02, b12) = (out.getLong(3) / 1e6, out.getLong(4) / 1e10)
+    val rows = graft.tables.Tables.orders(spark, sf).selectExpr(
+      "CAST(o_orderpriority < '3' AS INT) AS y",
+      "CAST(floor(o_totalprice * 0.01 + 0.5) AS BIGINT) AS q")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    def ll(b0: Double, b1: Double): Double = rows.map { case (y, q) =>
+      val z = b0 + b1 * q
+      y * z - math.log1p(StrictMath.exp(z))
+    }.sum
+    val (l0, l1, l2) = (ll(0, 0), ll(b01, b11), ll(b02, b12))
+    assert(l0 < l1 && l1 < l2,
+      s"likelihood not monotone across rounds: $l0, $l1, $l2")
+  }
+
+  test("ml_logreg_step2 round 1 is C28's step (re-verified as the prefix)") {
+    val two = SparkEntry.queries("ml_logreg_step2")(spark, sf).head()
+    val one = SparkEntry.queries("ml_logreg_step")(spark, sf).head()
+    val beta0 = one.getDouble(one.fieldIndex("beta0"))
+    val beta1e4 = one.getDouble(one.fieldIndex("beta1_e4"))
+    assert(math.abs(two.getLong(1) / 1e6 - beta0) < 1e-4,
+      s"round-1 intercept ${two.getLong(1) / 1e6} != C28 $beta0")
+    assert(math.abs(two.getLong(2) / 1e10 * 1e4 - beta1e4) < 1e-4,
+      s"round-1 slope ${two.getLong(2) / 1e10 * 1e4} != C28 $beta1e4")
+  }
+
+  // ---- dedup_passage_spans: planted passages with known spans ----
+
+  test("passage spans: planted cross-doc and within-doc passages found exactly") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    val passage = toks("p", 15) // 15 tokens → 6 repeated 10-windows
+    val block = toks("m", 10)   // 10 tokens → 1 repeated 10-window
+    val docs = Seq(
+      // P at token positions 5..19
+      (10L, (toks("x", 5) ++ passage ++ toks("y", 5)).mkString(" ")),
+      // P at token positions 10..24
+      (20L, (toks("z", 10) ++ passage ++ toks("w", 3)).mkString(" ")),
+      // M repeated WITHIN one doc at 10..19 and 30..39
+      (30L, (toks("q", 10) ++ block ++ toks("r", 10) ++ block ++ toks("s", 10)).mkString(" ")),
+      // all-unique control
+      (40L, toks("u", 30).mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = graft.ops.Dedup2.passageSpansOf(docs, win = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(spans == Seq(
+      (10L, 5L, 19L, 6L),
+      (20L, 10L, 24L, 6L),
+      (30L, 10L, 19L, 1L),
+      (30L, 30L, 39L, 1L)),
+      s"planted spans not recovered exactly: ${spans.mkString(", ")}")
+  }
+
+  test("passage spans on the contract corpus: valid maximal runs, ≥10 tokens each") {
+    val out = SparkEntry.queries("dedup_passage_spans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (doc, s, e, w) =>
+      assert(e - s + 1 >= 10, s"span ($doc,$s,$e) shorter than one window")
+      assert(w == e - s + 1 - 9, s"span ($doc,$s,$e) window count $w inconsistent")
+    }
+    // maximality: spans within a doc never touch or overlap (a gap of
+    // ≥1 non-repeated window separates islands)
+    out.groupBy(_._1).foreach { case (_, ss) =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 - 9 + 1, "adjacent islands should have merged")
+        case _ =>
+      }
+    }
+  }
 }
