@@ -68,11 +68,11 @@ object Irls {
       "CAST(o_orderpriority < '3' AS INT) AS y",
       "CAST(floor(o_totalprice * 0.01 + 0.5) AS BIGINT) AS q")
 
-  /** (n, b0 ticks 1e-6, b1 ticks 1e-10) after round 1 — exact driver
-    * BigInt from the five decimal(38,0) sums.
+  /** (n, b0 ticks 1e-6, b1 ticks 1e-10) after round 1 — the β=0 closed
+    * form (C28), exact driver BigInt from five decimal(38,0) sums.
     */
-  private[graft] def round1(spark: SparkSession, dir: String): (Long, BigInt, BigInt) = {
-    val r = labeledQ(spark, dir).agg(
+  private[graft] def firstStep(df: DataFrame): (Long, BigInt, BigInt) = {
+    val r = df.agg(
       count(lit(1)).as("n"),
       sum(col("y").cast("decimal(38,0)")).as("p"),
       sum(col("q").cast("decimal(38,0)")).as("sq"),
@@ -86,11 +86,14 @@ object Irls {
       rdiv(2 * (n * sqy - sq * (2 * p - n)) * BigInt(10).pow(10), den))
   }
 
-  def mlLogregStep2(spark: SparkSession, dir: String): DataFrame = {
-    val (n, b0t, b1t) = round1(spark, dir)
-    // round-2 scan with β₁ and the σ table inlined as literals: z in
-    // 10⁻¹⁰ ticks, index = round(z/10⁸) clamped, w/r in integer ticks
-    val sums = labeledQ(spark, dir)
+  /** One weighted Newton step from quantized (b0t, b1t): the round-T→T+1
+    * recurrence, a single aggregate scan with β and the σ table inlined
+    * as literals — z in 10⁻¹⁰ ticks, index = round(z/10⁸) clamped, w/r
+    * in integer ticks, sums in decimal(38,0), solve in driver BigInt.
+    */
+  private[graft] def newtonStep(df: DataFrame, b0t: BigInt,
+                                b1t: BigInt): (BigInt, BigInt) = {
+    val sums = df
       .withColumn("sig", typedLit(sigmaTicks))
       .selectExpr("y", "q", "sig",
         s"${b0t}L * 10000L + ${b1t}L * q AS zt")
@@ -110,10 +113,34 @@ object Irls {
     val Seq(sw, swq, swqq, sr, srq) =
       (0 to 4).map(i => BigInt(sums.getDecimal(i).toBigInteger))
     val det = sw * swqq - swq * swq
-    val d0 = rdiv((swqq * sr - swq * srq) * BigInt(10).pow(6), det)
-    val d1 = rdiv((sw * srq - swq * sr) * BigInt(10).pow(10), det)
+    (b0t + rdiv((swqq * sr - swq * srq) * BigInt(10).pow(6), det),
+      b1t + rdiv((sw * srq - swq * sr) * BigInt(10).pow(10), det))
+  }
+
+  /** N rounds of the quantized trainer over an arbitrary (y, q) frame —
+    * the data-generic core (the IRLS analog of `pagerankRounds` /
+    * `boostStumps`): round 1 is the β=0 closed form, rounds 2..N the
+    * general weighted step, each one aggregate scan with the previous
+    * round's ticks as literal state. Returns the per-round (b0t, b1t)
+    * trajectory; MlIrlsSpec property-tests it tick-for-tick against an
+    * independent plain-Scala implementation on random frames and
+    * witnesses the monotone log-likelihood across ALL rounds.
+    */
+  private[graft] def irlsRounds(df: DataFrame,
+                                rounds: Int): Seq[(BigInt, BigInt)] = {
+    require(rounds >= 1, "irlsRounds needs at least one round")
+    val (_, b0, b1) = firstStep(df)
+    (2 to rounds).scanLeft((b0, b1)) { case ((t0, t1), _) =>
+      newtonStep(df, t0, t1)
+    }.toSeq
+  }
+
+  def mlLogregStep2(spark: SparkSession, dir: String): DataFrame = {
+    val l = labeledQ(spark, dir)
+    val (n, b0t, b1t) = firstStep(l)
+    val (b0t2, b1t2) = newtonStep(l, b0t, b1t)
     import spark.implicits._
-    Seq((n, b0t.toLong, b1t.toLong, (b0t + d0).toLong, (b1t + d1).toLong))
+    Seq((n, b0t.toLong, b1t.toLong, b0t2.toLong, b1t2.toLong))
       .toDF("n", "b0_t1", "b1_t1", "b0_t2", "b1_t2")
   }
 

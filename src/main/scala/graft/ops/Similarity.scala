@@ -520,7 +520,15 @@ object Similarity {
       val planeCol = array(p.map(lit(_)): _*)
       when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+    // hot-bucket guard, probe-side twist: the expanded probes visit
+    // FOREIGN buckets (Hamming-1 neighbors), so each expanded row's salt
+    // is computed against THAT bucket's group count via the shared
+    // literal hot list — a probe scans at most one salt group of a
+    // giant bucket, never all of it (see HotBucket)
+    val hot = HotBucket.memoHot(e.withColumn("bucket", bucket),
+      Seq("bucket"), s"e6.buckets:$dir", HotBucket.defaultCap)
     val bucketed = e.withColumn("bucket", bucket)
+      .withColumn("salt", HotBucket.saltCol(hot, Seq("bucket"), col("vec_id")))
     val probes = bucketed.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("emb").as("q_emb"), col("bucket"))
     val expanded = probes.select(col("qid"), col("q_emb"),
@@ -528,7 +536,8 @@ object Similarity {
         col("bucket").bitwiseXOR(lit(1)), col("bucket").bitwiseXOR(lit(2)),
         col("bucket").bitwiseXOR(lit(4)), col("bucket").bitwiseXOR(lit(8))))
         .as("bucket"))
-    val scored = bucketed.join(broadcast(expanded), Seq("bucket"))
+      .withColumn("salt", HotBucket.saltCol(hot, Seq("bucket"), col("qid")))
+    val scored = bucketed.join(broadcast(expanded), Seq("bucket", "salt"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("q_emb"), col("emb")).as("cos_sim"))

@@ -308,7 +308,11 @@ class Round6bSpec extends AnyFunSuite {
       ("text_repetition", s => graft.ops.Corpus2.textRepetition(s, sf).collect()),
       ("corpus_filter_cascade", s => graft.ops.Corpus2.corpusFilterCascade(s, sf).collect()),
       ("text_novelty", s => graft.ops.Corpus2.textNovelty(s, sf).collect()),
-      ("f_target_encode_oof", s => graft.ops.Features3.fTargetEncodeOof(s, sf).collect()))
+      ("f_target_encode_oof", s => graft.ops.Features3.fTargetEncodeOof(s, sf).collect()),
+      // round-7 additions: positional spans (hash counts + islands) and
+      // the quantized IRLS trainer are both integer-deterministic
+      ("dedup_passage_spans", s => graft.ops.Dedup2.dedupPassageSpans(s, sf).collect()),
+      ("ml_logreg_step2", s => graft.ml.Irls.mlLogregStep2(s, sf).collect()))
     checks.foreach { case (name, run) =>
       assert(run(spark).toSeq == run(alt).toSeq,
         s"$name changed under a 7-partition shuffle layout")

@@ -156,6 +156,71 @@ class Round7bSpec extends AnyFunSuite {
       s"round-1 slope ${two.getLong(2) / 1e10 * 1e4} != C28 $beta1e4")
   }
 
+  // ---- irlsRounds: property test vs an independent Scala trainer ----
+
+  test("irlsRounds property: an independent Scala IRLS agrees tick for tick on random frames") {
+    import spark.implicits._
+    // the independent implementation, written from the quantization
+    // CONTRACT (not from Irls' code): round-half-away trunc division,
+    // sigma(i/100)*1e6 lookup over [-800, 800], 1e-6/1e-10 beta ticks,
+    // 1e-6 working weights
+    def rd(num: BigInt, den: BigInt): BigInt = {
+      val s = num.signum * den.signum
+      s * ((num.abs * 2 + den.abs) / (den.abs * 2))
+    }
+    val sig = (-800 to 800).map(i =>
+      BigInt(math.round(1.0 / (1.0 + StrictMath.exp(-i / 100.0)) * 1e6)))
+    def scalaIrls(rows: Seq[(Int, Long)], rounds: Int): Seq[(BigInt, BigInt)] = {
+      val n = BigInt(rows.size)
+      val p = BigInt(rows.map(_._1.toLong).sum)
+      val sq = rows.map(r => BigInt(r._2)).sum
+      val sqq = rows.map(r => BigInt(r._2) * r._2).sum
+      val sqy = rows.map(r => BigInt(r._2) * (2 * r._1 - 1)).sum
+      val den = n * sqq - sq * sq
+      val first = (rd(2 * (sqq * (2 * p - n) - sq * sqy) * BigInt(10).pow(6), den),
+        rd(2 * (n * sqy - sq * (2 * p - n)) * BigInt(10).pow(10), den))
+      (2 to rounds).scanLeft(first) { case ((b0, b1), _) =>
+        var (sw, swq, swqq, sr, srq) =
+          (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+        rows.foreach { case (y, q) =>
+          val zt = b0 * 10000 + b1 * q
+          val idx = rd(zt, BigInt(100000000)).max(-800).min(800)
+          val pq = sig(idx.toInt + 800)
+          val w = (pq * (1000000 - pq)) / 1000000
+          val r = BigInt(y) * 1000000 - pq
+          sw += w; swq += w * q; swqq += w * q * q; sr += r; srq += r * q
+        }
+        val det = sw * swqq - swq * swq
+        (b0 + rd((swqq * sr - swq * srq) * BigInt(10).pow(6), det),
+          b1 + rd((sw * srq - swq * sr) * BigInt(10).pow(10), det))
+      }.toSeq
+    }
+    Seq(19, 47, 101).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 400).map { _ =>
+        val q = rnd.nextInt(5000).toLong
+        // label correlated with q so the fit has real signal
+        val y = if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-(q - 2500) / 1500.0))) 1 else 0
+        (y, q)
+      }
+      val got = graft.ml.Irls.irlsRounds(rows.toDF("y", "q"), 3)
+      val want = scalaIrls(rows, 3)
+      assert(got == want, s"seed $seed: Spark IRLS diverged from the " +
+        s"independent trainer — got $got, want $want")
+      // monotone likelihood across ALL rounds on this random frame
+      def ll(b0: Double, b1: Double) = rows.map { case (y, q) =>
+        val z = b0 + b1 * q
+        y * z - math.log1p(StrictMath.exp(z))
+      }.sum
+      val lls = ll(0, 0) +: want.map { case (b0, b1) =>
+        ll(b0.toDouble / 1e6, b1.toDouble / 1e10)
+      }
+      lls.sliding(2).foreach { case Seq(a, b) =>
+        assert(a < b, s"seed $seed: likelihood not monotone: $lls")
+      }
+    }
+  }
+
   // ---- dedup_passage_spans: planted passages with known spans ----
 
   test("passage spans: planted cross-doc and within-doc passages found exactly") {
