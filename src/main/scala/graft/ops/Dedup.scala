@@ -165,16 +165,26 @@ object Dedup {
     val sigs = graft.QueryCaches.memo(s"dedup.simhash:$dir") {
       bitSums.select(col("doc_id"), simhash.as("simhash")).persist()
     }
-    val blocks = HotBucket.saltByCap(
+    // SimHash's 16-bit block values make buckets STRUCTURALLY hot on
+    // normal data (at sf0.1 one block value covers >4096 of 5000 docs),
+    // and the declared output — per-doc near-dup counts — depends on
+    // full pair coverage, so the guard here is the LOSSLESS triangle
+    // split: bounded per-task work, bit-identical answer at any scale
+    // (the lossy salt variant measurably diverged from the oracle at
+    // sf0.1 — caught by the full-sweep gate)
+    val blocks = HotBucket.triangleReplicate(
       sigs.select(col("doc_id"), col("simhash"), explode(array(
         (0 until 4).map(i =>
           struct(lit(i).as("blk"),
             shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("blk_val"))): _*)).as("b"))
         .select(col("doc_id"), col("simhash"), col("b.blk"), col("b.blk_val")),
       Seq("blk", "blk_val"), col("doc_id"), s"d3.blocks:$dir")
-    val l = blocks.select(col("blk"), col("blk_val"), col("salt"), col("doc_id").as("a"), col("simhash").as("sh_a"))
-    val r = blocks.select(col("blk"), col("blk_val"), col("salt"), col("doc_id").as("b"), col("simhash").as("sh_b"))
-    val near = l.join(r, Seq("blk", "blk_val", "salt"))
+    val l = blocks.select(col("blk"), col("blk_val"), col("tmin"), col("tmax"),
+      col("grp").as("g_a"), col("doc_id").as("a"), col("simhash").as("sh_a"))
+    val r = blocks.select(col("blk"), col("blk_val"), col("tmin"), col("tmax"),
+      col("grp").as("g_b"), col("doc_id").as("b"), col("simhash").as("sh_b"))
+    val near = l.join(r, Seq("blk", "blk_val", "tmin", "tmax"))
+      .filter(HotBucket.trianglePairFilter(col("g_a"), col("g_b")))
       .filter(col("a") < col("b"))
       .select("a", "b", "sh_a", "sh_b").distinct()
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
@@ -200,15 +210,21 @@ object Dedup {
       floor(col("n_chars") / 100).as("len_bucket"),
       array_distinct(expr(
         "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))")).as("grams"))
-    // salted independently per side: the salt depends only on (bucket
-    // size, doc_id), so the two fresh projections agree (see HotBucket)
-    def salted = HotBucket.saltByCap(grams,
+    // (lang, len_bucket) blocks are COARSE keys — structurally hot at
+    // scale (the contract max is 451 docs/block at sf0.1, but the same
+    // corpus at 10× would cross any fixed cap on ordinary data) — and
+    // the declared output (global top-20 pairs) needs full coverage, so
+    // the guard is the LOSSLESS triangle split: bounded tasks, exact
+    // answer at any SF. Derived independently per side: grp/task depend
+    // only on (bucket size, doc_id), so the two projections agree.
+    def tri = HotBucket.triangleReplicate(grams,
       Seq("lang", "len_bucket"), col("doc_id"), s"d4.blocks:$dir")
-    val l = salted.select(col("lang"), col("len_bucket"), col("salt"),
-      col("doc_id").as("a"), col("grams").as("g_a"))
-    val r = salted.select(col("lang"), col("len_bucket"), col("salt"),
-      col("doc_id").as("b"), col("grams").as("g_b"))
-    l.join(r, Seq("lang", "len_bucket", "salt"))
+    val l = tri.select(col("lang"), col("len_bucket"), col("tmin"), col("tmax"),
+      col("grp").as("gr_a"), col("doc_id").as("a"), col("grams").as("g_a"))
+    val r = tri.select(col("lang"), col("len_bucket"), col("tmin"), col("tmax"),
+      col("grp").as("gr_b"), col("doc_id").as("b"), col("grams").as("g_b"))
+    l.join(r, Seq("lang", "len_bucket", "tmin", "tmax"))
+      .filter(HotBucket.trianglePairFilter(col("gr_a"), col("gr_b")))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         OracleRound.r4b(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
@@ -332,11 +348,17 @@ object Dedup {
       }.reduce(_ + _)
       e.withColumn("bucket", bucket)
     }
-    def salted = HotBucket.saltByCap(bucketed,
+    // 4 hyperplanes = only 16 buckets — structurally hot at scale, and
+    // the global top-10 needs full within-bucket coverage: LOSSLESS
+    // triangle split (see D3/D4)
+    def tri = HotBucket.triangleReplicate(bucketed,
       Seq("bucket"), col("vec_id"), s"d5.buckets:$dir")
-    val l = salted.select(col("bucket"), col("salt"), col("vec_id").as("a"), col("emb").as("e_a"))
-    val r = salted.select(col("bucket"), col("salt"), col("vec_id").as("b"), col("emb").as("e_b"))
-    l.join(r, Seq("bucket", "salt"))
+    val l = tri.select(col("bucket"), col("tmin"), col("tmax"),
+      col("grp").as("gr_a"), col("vec_id").as("a"), col("emb").as("e_a"))
+    val r = tri.select(col("bucket"), col("tmin"), col("tmax"),
+      col("grp").as("gr_b"), col("vec_id").as("b"), col("emb").as("e_b"))
+    l.join(r, Seq("bucket", "tmin", "tmax"))
+      .filter(HotBucket.trianglePairFilter(col("gr_a"), col("gr_b")))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), OracleRound.r4b(cosine(col("e_a"), col("e_b"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a"), col("b"))

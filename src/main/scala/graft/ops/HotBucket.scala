@@ -115,4 +115,71 @@ object HotBucket {
     graft.QueryCaches.memo(s"hotbucket:$site:$cap") {
       hotBuckets(rows, keys, cap)
     }
+
+  /** The LOSSLESS bounded-task variant, for buckets whose hotness is
+    * STRUCTURAL rather than adversarial — SimHash's 16-bit block values
+    * put thousands of ordinary documents in one bucket on perfectly
+    * normal data (caught by the sf0.1 oracle sweep: the lossy salt
+    * dropped cross-group SimHash pairs and the near-dup counts
+    * diverged). Where the operator's declared OUTPUT depends on full
+    * pair coverage (D3's per-doc near-dup counts), pairs cannot be
+    * dropped; instead the classic triangle split bounds the TASK, not
+    * the answer: members of an over-cap bucket are hash-grouped as in
+    * [[saltByCap]], and each member is replicated into the g group-pair
+    * tasks containing its group. The self-join keys on
+    * (keys, tmin, tmax) with [[trianglePairFilter]] keeping exactly one
+    * copy of every pair — per-task input is ≤ 2·cap-ish rows, total
+    * pairs are EXACTLY the plain join's, at the price of a g×
+    * replication of the hot bucket only (n·g ≈ n²/cap rows — the
+    * unavoidable cost of an output that is itself quadratic in the
+    * bucket). Cold buckets replicate once with task (0, 0): the plan
+    * degenerates to the plain join.
+    */
+  def triangleReplicate(rows: DataFrame, keys: Seq[String], idCol: Column,
+                        site: String, cap: Int = defaultCap): DataFrame = {
+    val hot = memoHot(rows, keys, site, cap)
+    val groups = groupsCol(hot, keys)
+    rows
+      .withColumn("grp", pmod(hash(idCol), groups))
+      .withColumn("other", explode(sequence(lit(0), groups - 1)))
+      .withColumn("tmin", least(col("grp"), col("other")))
+      .withColumn("tmax", greatest(col("grp"), col("other")))
+      .drop("other")
+  }
+
+  /** Keeps exactly one copy of each pair in the triangle join: the left
+    * member must own the task's low group and the right its high group
+    * (or vice versa) — same-group pairs survive only in their (s, s)
+    * task, cross-group pairs only in their one (s, t) task.
+    */
+  def trianglePairFilter(lGrp: Column, rGrp: Column): Column =
+    (lGrp === col("tmin") && rGrp === col("tmax")) ||
+      (lGrp === col("tmax") && rGrp === col("tmin"))
+
+  /** ⌈n/cap⌉ for the row's bucket (1 for cold buckets) as a literal
+    * when-chain over the hot list.
+    */
+  private[graft] def groupsCol(hot: Seq[(Seq[Any], Int)],
+                               keys: Seq[String]): Column =
+    if (hot.isEmpty) lit(1)
+    else hot.foldLeft(lit(1)) { case (acc, (vals, g)) =>
+      val cond = keys.zip(vals).map { case (k, v) => col(k) <=> lit(v) }
+        .reduce(_ && _)
+      when(cond, lit(g)).otherwise(acc)
+    }
+
+  /** PROBE-side lossless coverage of a [[saltByCap]]'d corpus: each
+    * probe row is replicated across ALL of its bucket's salt groups, so
+    * the (keys, salt) equi-join meets every corpus member — results are
+    * identical to the plain join at ANY scale, while per-task work is
+    * one salt group (≤ cap-ish corpus rows) × that bucket's probes. The
+    * right guard when the probe side is small (E2/E6's %100 sample) and
+    * the output — top-k over the whole bucket — depends on full
+    * coverage; for cold buckets the single salt 0 makes it the plain
+    * join.
+    */
+  def probeAllSalts(probes: DataFrame, hot: Seq[(Seq[Any], Int)],
+                    keys: Seq[String]): DataFrame =
+    probes.withColumn("salt",
+      explode(sequence(lit(0), groupsCol(hot, keys) - 1)))
 }

@@ -59,14 +59,19 @@ object Similarity {
       val planeCol = array(p.map(lit(_)): _*)
       when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
-    // hot-bucket guard: a probe meets only its salt group of a giant
-    // bucket, so per-probe candidates stay ≤ cap (see HotBucket);
-    // salt is 0 everywhere on the contract corpus
-    val bucketed = HotBucket.saltByCap(e.withColumn("bucket", bucket),
-      Seq("bucket"), col("vec_id"), s"e2.buckets:$dir")
-    val probes = bucketed.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("emb").as("q_emb"),
-        col("bucket"), col("salt"))
+    // hot-bucket guard, lossless: the corpus side is salt-split, and
+    // each (tiny) probe is replicated across ALL of its bucket's salt
+    // groups — per-task work is one salt group × the bucket's probes,
+    // while the top-k still sees the FULL bucket (the declared
+    // semantics), identical to the plain join at any scale
+    val hot = HotBucket.memoHot(e.withColumn("bucket", bucket),
+      Seq("bucket"), s"e2.buckets:$dir", HotBucket.defaultCap)
+    val bucketed = e.withColumn("bucket", bucket)
+      .withColumn("salt", HotBucket.saltCol(hot, Seq("bucket"), col("vec_id")))
+    val probes = HotBucket.probeAllSalts(
+      bucketed.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("emb").as("q_emb"), col("bucket")),
+      hot, Seq("bucket"))
     val scored = bucketed.join(broadcast(probes), Seq("bucket", "salt"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -520,23 +525,24 @@ object Similarity {
       val planeCol = array(p.map(lit(_)): _*)
       when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
-    // hot-bucket guard, probe-side twist: the expanded probes visit
-    // FOREIGN buckets (Hamming-1 neighbors), so each expanded row's salt
-    // is computed against THAT bucket's group count via the shared
-    // literal hot list — a probe scans at most one salt group of a
-    // giant bucket, never all of it (see HotBucket)
+    // hot-bucket guard, lossless with a probe-side twist: the expanded
+    // probes visit FOREIGN buckets (Hamming-1 neighbors), so each
+    // expanded row replicates across THAT bucket's salt groups via the
+    // shared literal hot list — full-bucket coverage (the re-rank's
+    // declared recall), bounded per-task work (see HotBucket)
     val hot = HotBucket.memoHot(e.withColumn("bucket", bucket),
       Seq("bucket"), s"e6.buckets:$dir", HotBucket.defaultCap)
     val bucketed = e.withColumn("bucket", bucket)
       .withColumn("salt", HotBucket.saltCol(hot, Seq("bucket"), col("vec_id")))
     val probes = bucketed.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("emb").as("q_emb"), col("bucket"))
-    val expanded = probes.select(col("qid"), col("q_emb"),
-      explode(array(col("bucket"),
-        col("bucket").bitwiseXOR(lit(1)), col("bucket").bitwiseXOR(lit(2)),
-        col("bucket").bitwiseXOR(lit(4)), col("bucket").bitwiseXOR(lit(8))))
-        .as("bucket"))
-      .withColumn("salt", HotBucket.saltCol(hot, Seq("bucket"), col("qid")))
+    val expanded = HotBucket.probeAllSalts(
+      probes.select(col("qid"), col("q_emb"),
+        explode(array(col("bucket"),
+          col("bucket").bitwiseXOR(lit(1)), col("bucket").bitwiseXOR(lit(2)),
+          col("bucket").bitwiseXOR(lit(4)), col("bucket").bitwiseXOR(lit(8))))
+          .as("bucket")),
+      hot, Seq("bucket"))
     val scored = bucketed.join(broadcast(expanded), Seq("bucket", "salt"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -565,12 +571,14 @@ object Similarity {
       val planeCol = array(p.map(lit(_)): _*)
       when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
-    // hot-bucket guard on the full self-join — the E-family join most
-    // exposed to a skewed sign bucket (see HotBucket)
-    val bucketed = HotBucket.saltByCap(e.withColumn("bucket", bucket),
+    // hot-bucket guard on the full self-join, LOSSLESS: every vector's
+    // top-3 is defined over its WHOLE bucket, so the triangle split
+    // bounds the task without dropping candidate pairs (see HotBucket)
+    val bucketed = HotBucket.triangleReplicate(e.withColumn("bucket", bucket),
       Seq("bucket"), col("vec_id"), s"e7.buckets:$dir")
     val scored = bucketed.as("l")
-      .join(bucketed.as("r"), Seq("bucket", "salt"))
+      .join(bucketed.as("r"), Seq("bucket", "tmin", "tmax"))
+      .filter(HotBucket.trianglePairFilter(col("l.grp"), col("r.grp")))
       .filter(col("l.vec_id") =!= col("r.vec_id"))
       .select(col("l.vec_id").as("src"), col("r.vec_id").as("nid"),
         cosine(col("l.emb"), col("r.emb")).as("cos_sim"))

@@ -110,6 +110,62 @@ class Round7Spec extends AnyFunSuite {
       HotBucket.defaultCap).isEmpty)
   }
 
+  test("triangleReplicate: LOSSLESS pair coverage with bounded tasks on a hot bucket") {
+    // the structural-hotness case (SimHash 16-bit blocks): the output
+    // depends on full pair coverage, so the guard must preserve every
+    // pair while still bounding the per-task input
+    val tri = HotBucket.triangleReplicate(sigs, Seq("band", "sig"),
+      col("doc_id"), site = "r7.triangle", cap = cap)
+    val l = tri.select($"band", $"sig", $"tmin", $"tmax",
+      $"grp".as("g_a"), $"doc_id".as("a"))
+    val r = tri.select($"band", $"sig", $"tmin", $"tmax",
+      $"grp".as("g_b"), $"doc_id".as("b"))
+    val pairs = l.join(r, Seq("band", "sig", "tmin", "tmax"))
+      .filter(HotBucket.trianglePairFilter($"g_a", $"g_b"))
+      .filter($"a" < $"b")
+      .select("a", "b")
+    // exactly the plain join's pairs — count AND no duplicates
+    val nPairs = pairs.count()
+    val nDistinct = pairs.distinct().count()
+    val plain = m.toLong * (m - 1) / 2 + 10L * 9 / 2
+    assert(nDistinct == plain, s"triangle lost pairs: $nDistinct of $plain")
+    assert(nPairs == plain, s"triangle duplicated pairs: $nPairs of $plain")
+    // per-task input stays bounded (two hash groups ≈ 2·cap rows; 4×
+    // absorbs hash imbalance)
+    val maxTask = tri.groupBy("band", "sig", "tmin", "tmax")
+      .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
+    assert(maxTask <= 4L * cap,
+      s"one triangle task holds $maxTask rows — not bounded by the cap")
+    // cold buckets degenerate to the plain join: one replica, task (0,0)
+    assert(tri.filter($"band" === 1 &&
+      ($"tmin" =!= 0 || $"tmax" =!= 0)).count() == 0)
+  }
+
+  test("probeAllSalts: probe join over a salted corpus is lossless and task-bounded") {
+    val hot = HotBucket.memoHot(sigs, Seq("band", "sig"), "r7.probeAll", cap)
+    val corpus = sigs.withColumn("salt",
+      HotBucket.saltCol(hot, Seq("band", "sig"), col("doc_id")))
+    val probes = HotBucket.probeAllSalts(
+      sigs.filter($"doc_id" % 100 === 0)
+        .select($"band", $"sig", $"doc_id".as("qid")),
+      hot, Seq("band", "sig"))
+    val guarded = corpus.join(probes, Seq("band", "sig", "salt"))
+      .filter($"doc_id" =!= $"qid").select("qid", "doc_id")
+    val plain = sigs.filter($"doc_id" % 100 === 0)
+      .select($"band", $"sig", $"doc_id".as("qid"))
+      .join(sigs, Seq("band", "sig"))
+      .filter($"doc_id" =!= $"qid").select("qid", "doc_id")
+    // identical (probe, neighbor) multiset — the probe meets EVERY salt
+    // group, so nothing is lost and nothing duplicated
+    assert(guarded.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(guarded).count() == 0,
+      "probe replication diverged from the plain bucket join")
+    // and the per-(bucket, salt) corpus-side group stays bounded
+    val maxGroup = corpus.groupBy("band", "sig", "salt")
+      .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
+    assert(maxGroup <= 4L * cap)
+  }
+
   test("hotBuckets refuses a pathological hot-list size loudly") {
     val many = (0 until HotBucket.maxHotBuckets + 5)
       .flatMap(b => (0 until 2).map(i => (b, i.toLong)))
