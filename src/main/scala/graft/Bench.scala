@@ -37,7 +37,7 @@ object Bench {
     // plan shape), the frozen-codebook index append, and the 2-round
     // exact IRLS trainer
     "dedup_passage_spans", "ann_index_append", "ml_logreg_step2",
-    "ml_logreg_step3")
+    "ml_logreg_step3", "corpus_passage_clean")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -121,7 +121,8 @@ object ShuffleBudget {
     "dedup_passage_spans" -> 550000L,
     "ann_index_append" -> 3600L,
     "ml_logreg_step2" -> 500L,
-    "ml_logreg_step3" -> 500L)
+    "ml_logreg_step3" -> 500L,
+    "corpus_passage_clean" -> 710000L)
   val atSf01: Map[String, Long] = Map(
     "q_agg_pricing" -> 2900L,
     "q_join_shuffle" -> 5200000L,
@@ -159,7 +160,8 @@ object ShuffleBudget {
     "dedup_passage_spans" -> 5300000L,
     "ann_index_append" -> 18000L,
     "ml_logreg_step2" -> 500L,
-    "ml_logreg_step3" -> 500L)
+    "ml_logreg_step3" -> 500L,
+    "corpus_passage_clean" -> 6900000L)
 
   /** Round-6 sweep closure: every NON-headline query whose sf0.1 probe
     * shuffled >1 MB, pinned at 2× measured like the headline tables — a

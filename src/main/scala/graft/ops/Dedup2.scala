@@ -250,9 +250,14 @@ object Dedup2 {
     passageSpansOf(Tables.documents(spark, dir), win)
 
   /** The data-generic span core over any (doc_id, text) frame — split
-    * out so the spec can plant known passages and assert exact spans.
+    * out so the spec can plant known passages and assert exact spans,
+    * and so composing operators (F17 `corpus_passage_clean`) consume
+    * the UNORDERED spans without paying the contract query's total sort.
     */
-  private[graft] def passageSpansOf(docs: DataFrame, win: Int): DataFrame = {
+  private[graft] def passageSpansOf(docs: DataFrame, win: Int): DataFrame =
+    spansOf(docs, win).orderBy("doc_id", "start_tok")
+
+  private[graft] def spansOf(docs: DataFrame, win: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
@@ -273,37 +278,107 @@ object Dedup2 {
         (max("i") + (win - 1)).as("end_tok"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "start_tok", "end_tok", "n_windows")
-      .orderBy("doc_id", "start_tok")
+  }
+
+  /** F17 — `corpus_passage_clean`: the SURGICAL consumer of D14's
+    * spans — rebuild each document with every repeated-passage token
+    * removed (all occurrences: conservative substring dedup; keeping a
+    * canonical COPY is a document-level decision D10 already makes).
+    * Per doc: original token count, removed count, and the cleaned
+    * text reassembled from the surviving positions. This is the step
+    * that makes positional dedup actionable — the pipeline ships
+    * cleaned text, not a report.
+    *
+    * Plan shape: D14's span table (already doc-bucketed, tiny relative
+    * to the corpus) is aggregated to one span-list row per affected doc
+    * and equi-joined back to the token scan; the keep/drop decision is
+    * a higher-order `filter`/`exists` over the per-row span list —
+    * pure codegen projection, no explode, no extra shuffle beyond the
+    * span aggregate. Span-list ORDER is irrelevant (membership checks
+    * only), so collect_list's nondeterminism is harmless and the
+    * result is partition-count invariant.
+    */
+  def corpusPassageClean(spark: SparkSession, dir: String): DataFrame =
+    passageCleanOf(Tables.documents(spark, dir), 10)
+
+  private[graft] def passageCleanOf(docs: DataFrame, win: Int): DataFrame = {
+    val spans = spansOf(docs, win)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_tok").as("s"),
+        col("end_tok").as("e"))).as("spans"))
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("kept", expr(
+        "filter(sequence(0, size(toks) - 1), i -> NOT exists(spans, sp -> sp.s <= i AND i <= sp.e))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        expr("concat_ws(' ', transform(kept, i -> element_at(toks, i + 1)))")
+          .as("clean_text"))
+      .orderBy("doc_id")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_passage_clean" -> (corpusPassageClean _),
     "dedup_passage_spans" -> ((s, d) => dedupPassageSpans(s, d)),
     "dedup_doc_chunk" -> (dedupDocChunk _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_pagerank_iter" -> (graphPagerankIter _),
     "dedup_incremental" -> (dedupIncremental _))
 
+  /** D14's positional-hash replay as a shared CTE chain ending in
+    * `sp(doc_id, s, e, n_windows)` — consumed by the D14 oracle and by
+    * F17's reassembly on top of the identical spans.
+    */
+  private lazy val passageCtes: String =
+    s"""tok AS (
+       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |wins AS (
+       | SELECT doc_id, i - 1 AS i, array_to_string(t[i:i+9], ' ') AS w
+       | FROM (SELECT doc_id, t, CAST(unnest(range(1, len(t) - 8)) AS BIGINT) AS i
+       |       FROM tok WHERE len(t) >= 10)),
+       |h AS (SELECT doc_id, i, ${Dedup.wrapSql(Dedup.rollSql("w"))} AS h FROM wins),
+       |freq AS (SELECT h, count(*) AS c FROM h GROUP BY 1),
+       |rep AS (SELECT doc_id, i FROM h JOIN freq USING (h) WHERE c >= 2),
+       |isl AS (
+       | SELECT doc_id, i,
+       |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       | FROM rep),
+       |sp AS (
+       | SELECT doc_id, min(i) AS s, max(i) + 9 AS e, count(*) AS n_windows
+       | FROM isl GROUP BY doc_id, grp)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // positional hash replay: the same sliding windows (i is 0-based in
     // both engines), the same RollHash64 image per window, frequency ≥2,
     // and the identical islands grouping (i - row_number)
     "dedup_passage_spans" ->
-      s"""WITH tok AS (
-         | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-         |wins AS (
-         | SELECT doc_id, i - 1 AS i, array_to_string(t[i:i+9], ' ') AS w
-         | FROM (SELECT doc_id, t, CAST(unnest(range(1, len(t) - 8)) AS BIGINT) AS i
-         |       FROM tok WHERE len(t) >= 10)),
-         |h AS (SELECT doc_id, i, ${Dedup.wrapSql(Dedup.rollSql("w"))} AS h FROM wins),
-         |freq AS (SELECT h, count(*) AS c FROM h GROUP BY 1),
-         |rep AS (SELECT doc_id, i FROM h JOIN freq USING (h) WHERE c >= 2),
-         |isl AS (
-         | SELECT doc_id, i,
-         |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-         | FROM rep)
-         |SELECT doc_id, min(i) AS start_tok, max(i) + 9 AS end_tok,
-         |  count(*) AS n_windows
-         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_tok""".stripMargin,
+      s"""WITH $passageCtes
+         |SELECT doc_id, s AS start_tok, e AS end_tok, n_windows
+         |FROM sp ORDER BY doc_id, start_tok""".stripMargin,
+    // the same spans, consumed: positions covered by any span drop,
+    // the survivors reassemble — identical keep/drop predicate text
+    "corpus_passage_clean" ->
+      s"""WITH $passageCtes,
+         |spl AS (
+         | SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+         | FROM sp GROUP BY doc_id),
+         |j AS (
+         | SELECT tok.doc_id, t,
+         |  coalesce(spl.spans, []::STRUCT(s BIGINT, e BIGINT)[]) AS spans
+         | FROM tok LEFT JOIN spl USING (doc_id)),
+         |sel AS (
+         | SELECT doc_id, t,
+         |  [i FOR i IN range(0, len(t))
+         |   IF len(list_filter(spans, sp -> sp['s'] <= i AND i <= sp['e'])) = 0] AS kept
+         | FROM j)
+         |SELECT doc_id, len(t) AS n_tokens,
+         |  len(t) - len(kept) AS n_removed,
+         |  coalesce(array_to_string([t[i + 1] FOR i IN kept], ' '), '') AS clean_text
+         |FROM sel ORDER BY doc_id""".stripMargin,
     // shares D2's full signature chain (tok→sh→expl→h0→mh→sigs); only
     // the candidate CTE changes — one side pinned to the delta
     "dedup_incremental" ->

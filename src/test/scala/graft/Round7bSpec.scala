@@ -249,6 +249,37 @@ class Round7bSpec extends AnyFunSuite {
       s"planted spans not recovered exactly: ${spans.mkString(", ")}")
   }
 
+  test("passage clean: planted passages surgically removed, rest untouched") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    val passage = toks("p", 15)
+    val docs = Seq(
+      (10L, (toks("x", 5) ++ passage ++ toks("y", 5)).mkString(" ")),
+      (20L, (toks("z", 10) ++ passage ++ toks("w", 3)).mkString(" ")),
+      (40L, toks("u", 30).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup2.passageCleanOf(docs, win = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(10L) == (25L, 15L,
+      (toks("x", 5) ++ toks("y", 5)).mkString(" ")),
+      s"doc 10 not surgically cleaned: ${out(10L)}")
+    assert(out(20L) == (28L, 15L,
+      (toks("z", 10) ++ toks("w", 3)).mkString(" ")))
+    assert(out(40L) == (30L, 0L, toks("u", 30).mkString(" ")),
+      "span-free doc must pass through byte-identical")
+    // conservation on the contract corpus: removal never exceeds doc
+    // length and span-free docs are untouched
+    val contract = SparkEntry.queries("corpus_passage_clean")(spark, sf)
+      .collect()
+    assert(contract.forall(r => r.getLong(2) <= r.getLong(1)))
+    val spanDocs = SparkEntry.queries("dedup_passage_spans")(spark, sf)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    contract.filterNot(r => spanDocs(r.getLong(0))).foreach { r =>
+      assert(r.getLong(2) == 0, s"doc ${r.getLong(0)} lost tokens without a span")
+    }
+  }
+
   test("passage spans on the contract corpus: valid maximal runs, ≥10 tokens each") {
     val out = SparkEntry.queries("dedup_passage_spans")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
