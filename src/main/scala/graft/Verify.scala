@@ -19,11 +19,18 @@ object Verify {
       .exists(texts.contains)
   }
 
-  def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [queryName ...] — trailing names (a local
-    // iteration aid) restrict the dump; the driver always passes two args.
+  /** args: <sfDir> <outDir> [queryName ...] — trailing names (a local
+    * iteration aid) restrict the dump; the driver always passes two
+    * args. Split out so BenchContractSpec pins the REAL parse against
+    * the driver's two-positional-arg invocation.
+    */
+  private[graft] def parseArgs(args: Array[String]): (String, String, Set[String]) = {
     val Array(sfDir, outDir) = args.take(2)
-    val only: Set[String] = args.drop(2).toSet
+    (sfDir, outDir, args.drop(2).toSet)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir, only) = parseArgs(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

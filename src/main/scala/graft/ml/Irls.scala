@@ -147,7 +147,7 @@ object Irls {
     val traj = (2 to rounds).scanLeft((b0, b1)) { case ((t0, t1), _) =>
       newtonStep(l, t0, t1)
     }.toSeq
-    import spark.implicits._
+    import scala.jdk.CollectionConverters._
     val cols = "n" +: (1 to rounds).flatMap(t => Seq(s"b0_t$t", s"b1_t$t"))
     spark.createDataFrame(Seq(org.apache.spark.sql.Row.fromSeq(
       n +: traj.flatMap { case (a, b) => Seq(a.toLong, b.toLong) })).asJava,
@@ -166,14 +166,6 @@ object Irls {
     */
   def mlLogregStep3(spark: SparkSession, dir: String): DataFrame =
     mlLogregSteps(spark, dir, 3)
-
-  private implicit class SeqAsJava[T](s: Seq[T]) {
-    def asJava: java.util.List[T] = {
-      val l = new java.util.ArrayList[T](s.size)
-      s.foreach(l.add)
-      l
-    }
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_logreg_step2" -> (mlLogregStep2 _),

@@ -352,7 +352,7 @@ object Dedup {
     // the global top-10 needs full within-bucket coverage: LOSSLESS
     // triangle split (see D3/D4)
     def tri = HotBucket.triangleReplicate(bucketed,
-      Seq("bucket"), col("vec_id"), s"d5.buckets:$dir")
+      Seq("bucket"), col("vec_id"), s"lsh16.buckets:$dir")
     val l = tri.select(col("bucket"), col("tmin"), col("tmax"),
       col("grp").as("gr_a"), col("vec_id").as("a"), col("emb").as("e_a"))
     val r = tri.select(col("bucket"), col("tmin"), col("tmax"),

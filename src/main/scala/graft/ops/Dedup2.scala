@@ -73,7 +73,8 @@ object Dedup2 {
     // one round of the shared N-round core (D9b): rank_q ≡ its rank_q1,
     // and the edge pipeline is persisted/co-partitioned once instead of
     // re-evaluated for degrees and contributions separately
-    val pr = pagerankRounds(edges, 1)
+    // memo key shared with D9b: same edge plan, round-independent state
+    val pr = pagerankRounds(edges, 1, s"d9.pagerank:$dir")
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(pr.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -102,7 +103,8 @@ object Dedup2 {
     * never re-shuffles after round 0. Deterministic-input precondition
     * as DistRank: the edge list must be stable across re-computation.
     */
-  def pagerankRounds(edges: DataFrame, rounds: Int): DataFrame = {
+  def pagerankRounds(edges: DataFrame, rounds: Int,
+                     memoKey: String): DataFrame = {
     require(rounds >= 1, "pagerankRounds needs at least one round")
     // e caches the (possibly expensive) upstream edge pipeline so deg and
     // eDeg each read the cache, not the lineage; eDeg is the loop's frame.
@@ -113,8 +115,10 @@ object Dedup2 {
     // (deg, eDeg) are deterministic functions of the edge list — built
     // and persisted once per distinct edge PLAN (semantic hash) per JVM
     // via the bounded memo; the symmetry check rides the same build
-    val (deg, eDeg) = graft.QueryCaches.memo(
-      s"dedup2.pagerank:${edges.semanticHash()}") {
+    // explicit caller descriptor, never the 32-bit plan semanticHash
+    // alone — two distinct edge plans colliding on the Int hash must
+    // not share loop frames (same fix as labelPropagation)
+    val (deg, eDeg) = graft.QueryCaches.memo(s"dedup2.pagerank:$memoKey") {
     val e = edges.toDF("src", "dst").persist()
     // the SYMMETRIZED precondition made loud: with (dst,src) present for
     // every (src,dst), the inner joins below are provably lossless
@@ -163,7 +167,7 @@ object Dedup2 {
     val pairs = Dedup.minhashCandidatePairs(spark, dir)
       .filter(col("jaccard") >= 0.5).select("a", "b")
     val edges = pairs.union(pairs.select(col("b"), col("a")))
-    val pr = pagerankRounds(edges, 3)
+    val pr = pagerankRounds(edges, 3, s"d9.pagerank:$dir")
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(pr.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -249,14 +253,16 @@ object Dedup2 {
                         win: Int = 10): DataFrame =
     passageSpansOf(Tables.documents(spark, dir), win)
 
-  /** The data-generic span core over any (doc_id, text) frame — split
-    * out so the spec can plant known passages and assert exact spans,
-    * and so composing operators (F17 `corpus_passage_clean`) consume
-    * the UNORDERED spans without paying the contract query's total sort.
+  /** The contract query's ordered view of [[spansOf]] — the spec
+    * plants known passages through this wrapper.
     */
   private[graft] def passageSpansOf(docs: DataFrame, win: Int): DataFrame =
     spansOf(docs, win).orderBy("doc_id", "start_tok")
 
+  /** The data-generic UNORDERED span core over any (doc_id, text)
+    * frame — what composing operators (F17 `corpus_passage_clean`)
+    * consume, so they never pay the contract query's total sort.
+    */
   private[graft] def spansOf(docs: DataFrame, win: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = docs

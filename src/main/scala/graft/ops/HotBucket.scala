@@ -82,19 +82,12 @@ object HotBucket {
   }
 
   /** The salt projection for a precomputed hot list: members of a hot
-    * bucket get `pmod(hash(id), groups)`, everyone else 0.
+    * bucket get `pmod(hash(id), groups)`, everyone else 0 (cold buckets
+    * have groups = 1 and pmod(·, 1) ≡ 0, so no special case).
     */
   private[graft] def saltCol(hot: Seq[(Seq[Any], Int)], keys: Seq[String],
                              idCol: Column): Column =
-    if (hot.isEmpty) lit(0)
-    else {
-      val groups = hot.foldLeft(lit(null).cast("int")) { case (acc, (vals, g)) =>
-        val cond = keys.zip(vals).map { case (k, v) => col(k) <=> lit(v) }
-          .reduce(_ && _)
-        when(cond, lit(g)).otherwise(acc)
-      }
-      when(groups.isNull, lit(0)).otherwise(pmod(hash(idCol), groups))
-    }
+    if (hot.isEmpty) lit(0) else pmod(hash(idCol), groupsCol(hot, keys))
 
   /** Salt `rows` against its own bucket sizes: adds a `salt` column;
     * the guarded join keys on `keys :+ "salt"`. `site` keys the
@@ -156,16 +149,23 @@ object HotBucket {
     (lGrp === col("tmin") && rGrp === col("tmax")) ||
       (lGrp === col("tmax") && rGrp === col("tmin"))
 
-  /** ⌈n/cap⌉ for the row's bucket (1 for cold buckets) as a literal
-    * when-chain over the hot list.
+  /** ⌈n/cap⌉ for the row's bucket (1 for cold buckets) as ONE FLAT
+    * CaseWhen over the hot list — chained `.when` branches on a single
+    * builder, never a nested when(...).otherwise(when(...)) fold: a
+    * hot list in the thousands would make the nested form a
+    * thousands-deep expression tree and crash Catalyst's recursive
+    * transforms long before the maxHotBuckets guard fires.
     */
   private[graft] def groupsCol(hot: Seq[(Seq[Any], Int)],
                                keys: Seq[String]): Column =
     if (hot.isEmpty) lit(1)
-    else hot.foldLeft(lit(1)) { case (acc, (vals, g)) =>
-      val cond = keys.zip(vals).map { case (k, v) => col(k) <=> lit(v) }
-        .reduce(_ && _)
-      when(cond, lit(g)).otherwise(acc)
+    else {
+      def cond(vals: Seq[Any]): Column =
+        keys.zip(vals).map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _)
+      val first = when(cond(hot.head._1), lit(hot.head._2))
+      hot.tail.foldLeft(first) { case (acc, (vals, g)) =>
+        acc.when(cond(vals), lit(g))
+      }.otherwise(lit(1))
     }
 
   /** PROBE-side lossless coverage of a [[saltByCap]]'d corpus: each

@@ -65,7 +65,7 @@ object Similarity {
     // while the top-k still sees the FULL bucket (the declared
     // semantics), identical to the plain join at any scale
     val hot = HotBucket.memoHot(e.withColumn("bucket", bucket),
-      Seq("bucket"), s"e2.buckets:$dir", HotBucket.defaultCap)
+      Seq("bucket"), s"lsh16.buckets:$dir", HotBucket.defaultCap)
     val bucketed = e.withColumn("bucket", bucket)
       .withColumn("salt", HotBucket.saltCol(hot, Seq("bucket"), col("vec_id")))
     val probes = HotBucket.probeAllSalts(
@@ -531,7 +531,7 @@ object Similarity {
     // shared literal hot list — full-bucket coverage (the re-rank's
     // declared recall), bounded per-task work (see HotBucket)
     val hot = HotBucket.memoHot(e.withColumn("bucket", bucket),
-      Seq("bucket"), s"e6.buckets:$dir", HotBucket.defaultCap)
+      Seq("bucket"), s"lsh16.buckets:$dir", HotBucket.defaultCap)
     val bucketed = e.withColumn("bucket", bucket)
       .withColumn("salt", HotBucket.saltCol(hot, Seq("bucket"), col("vec_id")))
     val probes = bucketed.filter(col("vec_id") % 100 === 0)
@@ -575,7 +575,7 @@ object Similarity {
     // top-3 is defined over its WHOLE bucket, so the triangle split
     // bounds the task without dropping candidate pairs (see HotBucket)
     val bucketed = HotBucket.triangleReplicate(e.withColumn("bucket", bucket),
-      Seq("bucket"), col("vec_id"), s"e7.buckets:$dir")
+      Seq("bucket"), col("vec_id"), s"lsh16.buckets:$dir")
     val scored = bucketed.as("l")
       .join(bucketed.as("r"), Seq("bucket", "tmin", "tmax"))
       .filter(HotBucket.trianglePairFilter(col("l.grp"), col("r.grp")))

@@ -68,13 +68,13 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("Verify accepts the driver's two-positional-arg contract") {
     // the driver always invokes `Verify <sfDir> <outDir>`; the optional
-    // trailing names are a local-iteration aid. Pin the destructuring so
-    // a signature change can't strand the correctness gate.
+    // trailing names are a local-iteration aid. Exercise the REAL parse
+    // main uses (no Spark start) so a signature change can't strand the
+    // correctness gate.
+    assert(Verify.parseArgs(Array("/x", "/y")) == (("/x", "/y", Set.empty)))
+    assert(Verify.parseArgs(Array("/x", "/y", "q1", "q2")) ==
+      (("/x", "/y", Set("q1", "q2"))))
     val m = Verify.getClass.getMethods.find(_.getName == "main").get
     assert(m.getParameterTypes.toSeq == Seq(classOf[Array[String]]))
-    // two args must destructure without a MatchError (no Spark start:
-    // just exercise the parse prefix the same way main does)
-    val Array(sfDir, outDir) = Array("/x", "/y", "extra").take(2)
-    assert(sfDir == "/x" && outDir == "/y")
   }
 }

@@ -214,7 +214,7 @@ class Round5Spec extends AnyFunSuite {
     // undirected path 1—2—3, symmetrized; every round replayed by hand
     // through the integer recurrence rₜ₊₁ = 150000 + 85·Σ(rₜ div deg) div 100
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
-    val out = graft.ops.Dedup2.pagerankRounds(edges, 3).collect()
+    val out = graft.ops.Dedup2.pagerankRounds(edges, 3, "r5.pagerank.path").collect()
       .map(r => r.getAs[Long]("node") ->
         (r.getAs[Long]("deg"), r.getAs[Long]("rank_q1"),
           r.getAs[Long]("rank_q2"), r.getAs[Long]("rank_q3"))).toMap

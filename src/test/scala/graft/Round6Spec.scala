@@ -360,8 +360,8 @@ class Round6Spec extends AnyFunSuite {
     // The memo returns ONE persisted generation per input key: the
     // second run's executed plan must serve the loop frame from cache.
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
-    graft.ops.Dedup2.pagerankRounds(edges, 2).collect()
-    val second = graft.ops.Dedup2.pagerankRounds(edges, 2)
+    graft.ops.Dedup2.pagerankRounds(edges, 2, "r6.pagerank.cache").collect()
+    val second = graft.ops.Dedup2.pagerankRounds(edges, 2, "r6.pagerank.cache")
     second.collect()
     val plan = second.queryExecution.executedPlan.toString
     assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
@@ -374,7 +374,7 @@ class Round6Spec extends AnyFunSuite {
     // silently dropped mass instead of failing
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
     val e = intercept[IllegalArgumentException] {
-      graft.ops.Dedup2.pagerankRounds(edges, 1)
+      graft.ops.Dedup2.pagerankRounds(edges, 1, "r6.pagerank.unsym")
     }
     assert(e.getMessage.contains("SYMMETRIZED"), s"wrong failure: ${e.getMessage}")
   }

@@ -662,7 +662,7 @@ class Round6bSpec extends AnyFunSuite {
             .map { case (a, b) => (a min b, a max b) }
         ).distinct
       val edges = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }
-      val got = graft.ops.Dedup2.pagerankRounds(edges.toDF("src", "dst"), 3)
+      val got = graft.ops.Dedup2.pagerankRounds(edges.toDF("src", "dst"), 3, s"r6b.pagerank.prop:$seed")
         .collect()
         .map(r => r.getAs[Long]("node") -> (r.getAs[Long]("deg"),
           Seq(r.getAs[Long]("rank_q1"), r.getAs[Long]("rank_q2"),
