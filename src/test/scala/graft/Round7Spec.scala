@@ -166,6 +166,31 @@ class Round7Spec extends AnyFunSuite {
     assert(maxGroup <= 4L * cap)
   }
 
+  test("a WIDE hot list (hundreds of buckets) evaluates — flat CaseWhen, not a nested tree") {
+    import spark.implicits._
+    // 600 over-cap buckets: the dispatch expression must stay a single
+    // flat CaseWhen — the nested when/otherwise fold this replaced
+    // would build a 600-deep expression tree and blow Catalyst's
+    // recursive transforms exactly when the guard matters
+    val wide = (0 until 600).flatMap(b => (0 until 6).map(i => (b, i.toLong)))
+      .toDF("band", "doc_id")
+    val salted = HotBucket.saltByCap(wide, Seq("band"), col("doc_id"),
+      site = "r7.wide", cap = 2)
+    // every bucket splits into 3 groups of ~2; salts land in [0, 3)
+    assert(salted.filter($"salt" < 0 || $"salt" >= 3).count() == 0)
+    val nonzero = salted.filter($"salt" =!= 0).count()
+    assert(nonzero > 0, "wide hot list produced no splits")
+    val tri = HotBucket.triangleReplicate(wide, Seq("band"), col("doc_id"),
+      site = "r7.wideTri", cap = 2)
+    // lossless: 600 buckets × C(6,2)=15 pairs each
+    val l = tri.select($"band", $"tmin", $"tmax", $"grp".as("g_a"), $"doc_id".as("a"))
+    val r = tri.select($"band", $"tmin", $"tmax", $"grp".as("g_b"), $"doc_id".as("b"))
+    val pairs = l.join(r, Seq("band", "tmin", "tmax"))
+      .filter(HotBucket.trianglePairFilter($"g_a", $"g_b"))
+      .filter($"a" < $"b").count()
+    assert(pairs == 600L * 15, s"wide triangle lost pairs: $pairs of ${600 * 15}")
+  }
+
   test("hotBuckets refuses a pathological hot-list size loudly") {
     val many = (0 until HotBucket.maxHotBuckets + 5)
       .flatMap(b => (0 until 2).map(i => (b, i.toLong)))
