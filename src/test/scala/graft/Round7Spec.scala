@@ -100,14 +100,34 @@ class Round7Spec extends AnyFunSuite {
     assert(perProbe.agg(max("n")).head.getLong(0) <= 4L * cap)
   }
 
-  test("contract corpus has NO hot bucket — the guard is result-invisible") {
+  test("contract corpus has NO hot bucket at ANY lossy-guard site — result-invisible by construction") {
     // the strongest below-threshold statement: at the default cap the
-    // hot list is EMPTY for the operators' real inputs, so every salted
-    // join degenerates to the plain join (salt ≡ 0) and the unchanged
-    // oracles stay exact
-    val bandSigs = graft.ops.Dedup.bandSignatures(spark, TestSpark.sf)
+    // hot list is EMPTY for every LOSSY-variant site's real input, so
+    // every salted join degenerates to the plain join (salt ≡ 0) and
+    // the unchanged oracles stay exact. This closure is per SITE — the
+    // sf0.1 sweep caught D3's 16-bit blocks violating exactly this
+    // assumption (hence its move to the lossless triangle); any future
+    // lossy site must prove its cold-corpus claim here.
+    val sfd = TestSpark.sf
+    val bandSigs = graft.ops.Dedup.bandSignatures(spark, sfd)
     assert(HotBucket.hotBuckets(bandSigs, Seq("band", "sig"),
-      HotBucket.defaultCap).isEmpty)
+      HotBucket.defaultCap).isEmpty, "D2/D13/G15 band-sig site is hot")
+    // D8: disjoint 10-token block hashes
+    val blocks = graft.tables.Tables.documents(spark, sfd)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tokens"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(tokens) >= 10 THEN
+          |  transform(sequence(0, size(tokens) div 10 - 1),
+          |            i -> concat_ws(' ', slice(tokens, i * 10 + 1, 10)))
+          |ELSE array() END""".stripMargin).as("bs"))
+      .select(col("doc_id"), explode(col("bs")).as("block"))
+      .select(graft.functions.VectorOps.rollhash64(col("block")).as("h"))
+    assert(HotBucket.hotBuckets(blocks, Seq("h"),
+      HotBucket.defaultCap).isEmpty, "D8 block-hash site is hot")
+    // D12: SemDeDup cells (E3's assignment)
+    val (assigned, _) = graft.ops.Similarity.ivfAssignment(spark, sfd)
+    assert(HotBucket.hotBuckets(assigned, Seq("cell"),
+      HotBucket.defaultCap).isEmpty, "D12 cell site is hot")
   }
 
   test("triangleReplicate: LOSSLESS pair coverage with bounded tasks on a hot bucket") {
