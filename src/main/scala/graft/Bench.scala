@@ -56,11 +56,19 @@ object Bench {
     */
   val maxFinalLineChars = 1900
 
+  /** Locale-pinned %.3f — the f interpolator honors the JVM default
+    * locale, and a comma-decimal default would make the graded JSON
+    * line unparseable (the exact driver-blindness failure this line's
+    * length budget guards against, via a different channel).
+    */
+  private def sec3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def finalLine(total: Double, results: Seq[(String, Double)],
       shuffleOk: Boolean, gate: String, sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_ok":$shuffleOk,"budget_gate":"$gate","sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"shuffle_ok":$shuffleOk,"budget_gate":"$gate","sf":"$sfDir"}"""
   }
 
   /** Shuffle-byte detail line (headline + extended maps) — printed

@@ -36,7 +36,7 @@ import graft.tables.Tables
   * into the round-2 scan — C30/C32's literal-state training-loop
   * program. All sums aggregate as decimal(38,0) so nothing wraps at
   * fact scale. The oracle unrolls both rounds as chained CTEs over the
-  * identical integer recurrence; MlIrlsSpec witnesses the monotone
+  * identical integer recurrence; Round7bSpec witnesses the monotone
   * log-likelihood ℓ(0) < ℓ(β₁) < ℓ(β₂) and that round 1 agrees with
   * C28.
   *
@@ -81,6 +81,10 @@ object Irls {
     val n = BigInt(r.getLong(0))
     val Seq(p, sq, sqq, sqy) = (1 to 4).map(i => BigInt(r.getDecimal(i).toBigInteger))
     val den = n * sqq - sq * sq
+    require(den != 0,
+      s"IRLS round 1 is degenerate (n*Σq² == (Σq)², n=$n): the frame is " +
+        "empty or q is constant — logistic regression on a rank-deficient " +
+        "design has no Newton step")
     (r.getLong(0),
       rdiv(2 * (sqq * (2 * p - n) - sq * sqy) * BigInt(10).pow(6), den),
       rdiv(2 * (n * sqy - sq * (2 * p - n)) * BigInt(10).pow(10), den))
@@ -113,6 +117,10 @@ object Irls {
     val Seq(sw, swq, swqq, sr, srq) =
       (0 to 4).map(i => BigInt(sums.getDecimal(i).toBigInteger))
     val det = sw * swqq - swq * swq
+    require(det != 0,
+      "IRLS Newton step is degenerate (singular weighted Gram, det==0): " +
+        "the frame is empty, q is constant, or every working weight " +
+        "rounded to zero — re-scale the ticks or stop iterating")
     (b0t + rdiv((swqq * sr - swq * srq) * BigInt(10).pow(6), det),
       b1t + rdiv((sw * srq - swq * sr) * BigInt(10).pow(10), det))
   }
@@ -122,7 +130,7 @@ object Irls {
     * `boostStumps`): round 1 is the β=0 closed form, rounds 2..N the
     * general weighted step, each one aggregate scan with the previous
     * round's ticks as literal state. Returns the per-round (b0t, b1t)
-    * trajectory; MlIrlsSpec property-tests it tick-for-tick against an
+    * trajectory; Round7bSpec property-tests it tick-for-tick against an
     * independent plain-Scala implementation on random frames and
     * witnesses the monotone log-likelihood across ALL rounds.
     */

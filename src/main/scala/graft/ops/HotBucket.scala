@@ -66,18 +66,30 @@ object HotBucket {
     * (count(*) prunes everything but the key columns), memoized per
     * caller site by [[saltByCap]].
     */
-  private[graft] def hotBuckets(rows: DataFrame, keys: Seq[String],
-                                cap: Int): Seq[(Seq[Any], Int)] = {
-    val collected = rows.groupBy(keys.map(col): _*)
+  /** The pre-collect hot-list frame, limited to maxHotBuckets + 1 rows
+    * BEFORE the driver ever sees it: in the degenerate corpus this
+    * guard exists for, hot buckets ≈ rows/cap (10⁸ at 100 TB) and an
+    * unbounded collect would OOM the driver before the require in
+    * [[hotBuckets]] could refuse loudly — maxHotBuckets + 1 rows
+    * suffice to detect excess. Exposed so the pathological-refusal spec
+    * can assert the plan carries the GlobalLimit.
+    */
+  private[graft] def hotBucketsFrame(rows: DataFrame, keys: Seq[String],
+                                     cap: Int): DataFrame =
+    rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > cap)
       .select(keys.map(col) :+
         ceil(col("__n").cast("double") / cap).cast("int").as("__groups"): _*)
-      .collect()
+      .limit(maxHotBuckets + 1)
+
+  private[graft] def hotBuckets(rows: DataFrame, keys: Seq[String],
+                                cap: Int): Seq[(Seq[Any], Int)] = {
+    val collected = hotBucketsFrame(rows, keys, cap).collect()
     require(collected.length <= maxHotBuckets,
-      s"${collected.length} buckets exceed cap=$cap — the corpus needs an " +
-        "upstream frequency floor before LSH, not a literal salt table " +
-        s"this size (limit $maxHotBuckets)")
+      s"more than $maxHotBuckets buckets exceed cap=$cap — the corpus " +
+        "needs an upstream frequency floor before LSH, not a literal " +
+        "salt table this size")
     collected.toSeq.map(r => (keys.indices.map(r.get), r.getInt(keys.length)))
   }
 

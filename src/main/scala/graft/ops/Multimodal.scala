@@ -163,8 +163,12 @@ object Multimodal {
     * payload×payload; the verify joins touch only colliding pairs'
     * frame rows.
     */
-  def mmPayloadNearDup(spark: SparkSession, dir: String,
-                       numPerm: Int = 16, bands: Int = 4): DataFrame = {
+  /** H5's band-signature frame, exposed for the cold-corpus hot-bucket
+    * audit (Round7Spec) — the lossy salt on the self-join below is
+    * result-invisible only while this frame has no over-cap bucket.
+    */
+  private[graft] def nearDupBandSigs(spark: SparkSession, dir: String,
+      numPerm: Int = 16, bands: Int = 4): DataFrame = {
     import graft.functions.VectorOps.{combine64, mix64}
     val rpb = numPerm / bands
     val frames = frameHashes(spark, dir)
@@ -172,13 +176,19 @@ object Multimodal {
     val mhCols = (0 until numPerm).map { i =>
       min(mix64(col("h"), consts(i)._1, consts(i)._2)).as(s"mh_$i")
     }
-    val sigs = frames.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    frames.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
       .select(col("doc_id"), explode(array((0 until bands).map { b =>
         val sig = combine64(array((Seq(lit(b.toLong): org.apache.spark.sql.Column) ++
           (0 until rpb).map(r => col(s"mh_${b * rpb + r}"))): _*))
         struct(lit(b).as("band"), sig.as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+  }
+
+  def mmPayloadNearDup(spark: SparkSession, dir: String,
+                       numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    val frames = frameHashes(spark, dir)
+    val sigs = nearDupBandSigs(spark, dir, numPerm, bands)
     // memoized + materialized: the pair list is referenced TWICE below
     // (verify input + final left-join), and a lazy plan re-evaluates
     // the sigs self-join — and through it the minhash aggregate — per

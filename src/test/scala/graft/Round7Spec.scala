@@ -107,27 +107,41 @@ class Round7Spec extends AnyFunSuite {
     // the unchanged oracles stay exact. This closure is per SITE — the
     // sf0.1 sweep caught D3's 16-bit blocks violating exactly this
     // assumption (hence its move to the lossless triangle); any future
-    // lossy site must prove its cold-corpus claim here.
-    val sfd = TestSpark.sf
-    val bandSigs = graft.ops.Dedup.bandSignatures(spark, sfd)
-    assert(HotBucket.hotBuckets(bandSigs, Seq("band", "sig"),
-      HotBucket.defaultCap).isEmpty, "D2/D13/G15 band-sig site is hot")
-    // D8: disjoint 10-token block hashes
-    val blocks = graft.tables.Tables.documents(spark, sfd)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tokens"))
-      .select(col("doc_id"), expr(
-        """CASE WHEN size(tokens) >= 10 THEN
-          |  transform(sequence(0, size(tokens) div 10 - 1),
-          |            i -> concat_ws(' ', slice(tokens, i * 10 + 1, 10)))
-          |ELSE array() END""".stripMargin).as("bs"))
-      .select(col("doc_id"), explode(col("bs")).as("block"))
-      .select(graft.functions.VectorOps.rollhash64(col("block")).as("h"))
-    assert(HotBucket.hotBuckets(blocks, Seq("h"),
-      HotBucket.defaultCap).isEmpty, "D8 block-hash site is hot")
-    // D12: SemDeDup cells (E3's assignment)
-    val (assigned, _) = graft.ops.Similarity.ivfAssignment(spark, sfd)
-    assert(HotBucket.hotBuckets(assigned, Seq("cell"),
-      HotBucket.defaultCap).isEmpty, "D12 cell site is hot")
+    // lossy site must prove its cold-corpus claim here — at EVERY
+    // graded SF, not just the spec default: above the test SF the
+    // salted join would silently diverge from the unchanged DuckDB
+    // oracles if a bucket went hot only at the larger scale (exactly
+    // how D3's structural hotness was caught), so each graded dir gets
+    // its own emptiness audit.
+    val gradedSfs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s")
+      .filter(d => new java.io.File(d).isDirectory)
+    assert(gradedSfs.nonEmpty, "no graded SF dirs found to audit")
+    for (sfd <- gradedSfs) {
+      val bandSigs = graft.ops.Dedup.bandSignatures(spark, sfd)
+      assert(HotBucket.hotBuckets(bandSigs, Seq("band", "sig"),
+        HotBucket.defaultCap).isEmpty, s"D2/D13/G15 band-sig site is hot at $sfd")
+      // D8: disjoint 10-token block hashes
+      val blocks = graft.tables.Tables.documents(spark, sfd)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tokens"))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(tokens) >= 10 THEN
+            |  transform(sequence(0, size(tokens) div 10 - 1),
+            |            i -> concat_ws(' ', slice(tokens, i * 10 + 1, 10)))
+            |ELSE array() END""".stripMargin).as("bs"))
+        .select(col("doc_id"), explode(col("bs")).as("block"))
+        .select(graft.functions.VectorOps.rollhash64(col("block")).as("h"))
+      assert(HotBucket.hotBuckets(blocks, Seq("h"),
+        HotBucket.defaultCap).isEmpty, s"D8 block-hash site is hot at $sfd")
+      // D12: SemDeDup cells (E3's assignment)
+      val (assigned, _) = graft.ops.Similarity.ivfAssignment(spark, sfd)
+      assert(HotBucket.hotBuckets(assigned, Seq("cell"),
+        HotBucket.defaultCap).isEmpty, s"D12 cell site is hot at $sfd")
+      // H5: payload-chunk MinHash band signatures
+      val mmSigs = graft.ops.Multimodal.nearDupBandSigs(spark, sfd)
+      assert(HotBucket.hotBuckets(mmSigs, Seq("band", "sig"),
+        HotBucket.defaultCap).isEmpty, s"H5 band-sig site is hot at $sfd")
+    }
   }
 
   test("triangleReplicate: LOSSLESS pair coverage with bounded tasks on a hot bucket") {
@@ -219,5 +233,15 @@ class Round7Spec extends AnyFunSuite {
       HotBucket.hotBuckets(many, Seq("band"), cap = 1)
     }
     assert(e.getMessage.contains("frequency floor"))
+    // the refusal must not itself OOM the driver: the collect is
+    // bounded by a GlobalLimit of maxHotBuckets + 1 IN THE PLAN, so
+    // the pathological corpus (hot buckets ≈ rows/cap) ships at most
+    // 4097 rows to the driver before the require speaks
+    val frame = HotBucket.hotBucketsFrame(many, Seq("band"), cap = 1)
+    val plan = frame.queryExecution.optimizedPlan.toString
+    assert(plan.contains("GlobalLimit") &&
+      plan.contains((HotBucket.maxHotBuckets + 1).toString),
+      s"hot-list collect is not limit-bounded in the plan:\n$plan")
+    assert(frame.collect().length == HotBucket.maxHotBuckets + 1)
   }
 }
