@@ -97,10 +97,18 @@ object Corpus {
     * expression.
     */
   def corpusPack(spark: SparkSession, dir: String,
-                 capacity: Long = 2048): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+                 capacity: Long = 2048): DataFrame =
+    packBins(Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+      capacity)
+
+  /** The LPT pack core over an arbitrary (doc_id, n_tokens) frame —
+    * shared between F12 (whitespace tokens) and F19's BPE-budget
+    * variant so the bin policy can never drift between the two
+    * accountings.
+    */
+  private[ops] def packBins(toks: DataFrame, capacity: Long): DataFrame = {
     // ⌈Σtokens / capacity⌉ — one bounded driver aggregate (2 longs)
     val total = toks.agg(sum("n_tokens")).head().getLong(0)
     val nbins = math.max(1L, (total + capacity - 1) / capacity)

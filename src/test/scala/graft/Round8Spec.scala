@@ -83,4 +83,61 @@ class Round8Spec extends AnyFunSuite {
     assert(exchanges == rangeParts,
       s"redact plan has a non-sort exchange:\n$plan")
   }
+
+  // ---- F19/F20: BPE token accounting ----
+
+  test("greedy BPE fold agrees with the plain-Scala reference on corpus words and adversarial strings") {
+    val words = Seq("spark", "window", "merge", "table", "column", "vector",
+      "stream", "value", "data", "small", "join", "filter", "big", "group",
+      "hash", "customer", "sort", "order", "slow", "line", "part", "fast",
+      "the", "row", "agg", "key", "query", "a", "scan", "batch", "dup",
+      // adversarial: piece boundaries, unknown chars, repeats, empties
+      "", "z", "zz", "thethe", "sparkspark", "customercustomer",
+      "xcustx", "ordata", "parthe", "windowindow", "qqqqqqqqqq",
+      "a1b2c3", "datadatadata", "ersort")
+    val df = words.toDF("w")
+    val got = df.select($"w", graft.ops.Bpe.bpeCountCol("w").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (w <- words) {
+      val expected = w.split("\\s+").filter(_ => true)
+        .map(graft.ops.Bpe.bpeCountRef).sum
+      assert(got(w) == expected,
+        s"'$w': fold=${got(w)} ref=$expected")
+    }
+  }
+
+  test("BPE and whitespace counts genuinely diverge on the contract corpus (non-vacuity)") {
+    val out = graft.ops.Bpe.textTokenCountBpe(spark, TestSpark.sf)
+    val agg = out.agg(
+      sum("n_tokens").as("ws"), sum("n_bpe_tokens").as("bpe"),
+      count(when($"n_bpe_tokens" > $"n_tokens", 1)).as("n_diverging")).head()
+    val (ws, bpe, nDiv) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    assert(bpe > ws, s"BPE total ($bpe) does not exceed whitespace total ($ws)")
+    // the mis-sizing the operator exists to fix is material, not epsilon
+    assert(bpe.toDouble / ws > 1.2, s"compression ratio ${bpe.toDouble / ws} too close to 1")
+    assert(nDiv > 0, "no single document diverges")
+  }
+
+  test("corpus_pack_bpe: bins conserve BPE tokens, bin count is the ceil, LPT balance holds") {
+    val docsBpe = graft.ops.Bpe.textTokenCountBpe(spark, TestSpark.sf)
+      .agg(sum("n_bpe_tokens"), max("n_bpe_tokens")).head()
+    val (total, largest) = (docsBpe.getLong(0), docsBpe.getLong(1))
+    val bins = graft.ops.Bpe.corpusPackBpe(spark, TestSpark.sf).collect()
+    assert(bins.map(_.getAs[Long]("bin_tokens")).sum == total,
+      "pack bins lose or duplicate BPE tokens")
+    assert(bins.length == ((total + 2047) / 2048).toInt,
+      s"bin count ${bins.length} != ceil($total/2048)")
+    val loads = bins.map(_.getAs[Long]("bin_tokens"))
+    assert(loads.max - loads.min <= largest,
+      s"LPT balance bound violated: spread ${loads.max - loads.min} > largest doc $largest")
+  }
+
+  test("text_token_count_bpe is a pure projection — no shuffle beyond the harness sort") {
+    val plan = graft.ops.Bpe.textTokenCountBpe(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val rangeParts = "rangepartitioning".r.findAllIn(plan.toLowerCase).size
+    assert(exchanges == rangeParts,
+      s"BPE count plan has a non-sort exchange:\n$plan")
+  }
 }
