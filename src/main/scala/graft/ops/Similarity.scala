@@ -400,7 +400,7 @@ object Similarity {
     * the literal-codebook projection shared by the base build and the
     * frozen-codebook delta append.
     */
-  private def pqOrdsFor(embs: DataFrame, subs: Int,
+  private[graft] def pqOrdsFor(embs: DataFrame, subs: Int,
                         cb: Array[(Long, Array[Array[Long]])]): DataFrame = {
     val dimsPerSub = 64 / subs
     val best = (0 until subs).map { s =>
@@ -429,6 +429,148 @@ object Similarity {
     val base = pqAppendIndexPath(spark, dir, subs, k)
     adcSearch(spark.read.parquet(s"$base/codes"),
       pqDistTablesFor(spark, dir, subs, readCodebook(spark, base)), subs, topK)
+  }
+
+  /** E13 — `ann_index_refresh` (round-8 directive #4): ACTING on
+    * codebook staleness. E12 freezes the codebook across delta appends
+    * and the E11-style gate only DETECTS drift; this operator closes
+    * the maintenance loop: measure recall@5 of the frozen-codebook
+    * widened index against the exact integer-L2 ground truth on the
+    * probe set, and iff it breaches the literal threshold
+    * ([[refreshThresholdPct]]%), RETRAIN the codebook over base∪delta
+    * and re-encode ONCE into a new index generation (write-once — gen1
+    * stays untouched on disk, the serving pointer moves). This is the
+    * production index-refresh contract: re-encoding is the expensive
+    * admission (one full-corpus projection), paid only when the recall
+    * gate proves the frozen codes can no longer serve.
+    *
+    * Everything the gate consumes is exact integer arithmetic (tick
+    * vectors, bigint L2, (dist, nid) tie-breaks), so the STALENESS
+    * DECISION itself is deterministic and cross-engine replayable —
+    * the oracle recomputes the very same gate in SQL and selects the
+    * matching generation's search, which means the driver hash-proves
+    * not just the served neighbors but the refresh decision, at every
+    * SF. Round8Spec drives the counterfactual: a constructed
+    * distribution-shifted delta (disjoint cluster, unseen by the gen1
+    * codebook) tanks recall below the gate and the retrained codebook
+    * restores it.
+    *
+    * The gen1 codebook is trained on the k lowest vec_ids OF THE BASE
+    * ONLY (unlike E9/E12, whose training window spans the full corpus
+    * — that is exactly why THEY never go stale and why this operator
+    * must exist). Scale shape: the gate is |probes|·n integer L2 — the
+    * standard offline recall estimate, construction-time and memoized
+    * once per (dir, subs, k); serving stays E9's unchanged broadcast-
+    * ADC scan over 16 B/vector codes.
+    */
+  private[graft] val refreshThresholdPct = 70L
+
+  /** Codebook trained on the k LOWEST vec_ids of an ARBITRARY
+    * embeddings frame (generalizes [[pqCodebook]], which hardwires the
+    * full table) — the refresh path trains gen1 on the base subset and
+    * gen2 on base∪delta.
+    */
+  private[graft] def codebookOf(embs: DataFrame, subs: Int,
+                                k: Int): Array[(Long, Array[Array[Long]])] = {
+    val dimsPerSub = 64 / subs
+    embs.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), qticks(asDouble(col("embedding"))).as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray.grouped(dimsPerSub).toArray))
+      .sortBy(_._1)
+  }
+
+  private[graft] def writeCodebook(spark: SparkSession, path: String,
+                                   cb: Array[(Long, Array[Array[Long]])]): Unit = {
+    import spark.implicits._
+    cb.map { case (code, ticks) => (code, ticks.map(_.toSeq).toSeq) }
+      .toSeq.toDF("code", "subs")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Probe ADC distance tables for an ARBITRARY probe frame + explicit
+    * codebook (generalizes [[pqDistTablesFor]]'s hardwired %100 scan).
+    */
+  private[graft] def distTablesOf(probes: DataFrame, subs: Int,
+                                  cb: Array[(Long, Array[Array[Long]])]): DataFrame = {
+    val dimsPerSub = 64 / subs
+    probes
+      .select(col("vec_id").as("qid"), qticks(asDouble(col("embedding"))).as("_q"))
+      .select(col("qid"), array((0 until subs).map { s =>
+        pqDists(slice(col("_q"), s * dimsPerSub + 1, dimsPerSub),
+          cb.map(_._2(s).toSeq))
+      }: _*).as("dtm"))
+  }
+
+  /** The recall gate's numerator/denominator: hits = |ADC-top5 ∩ exact
+    * integer-L2 top5| over the %100 probe set, truth = |exact top5|.
+    * All-integer, deterministic tie-breaks — the refresh decision
+    * replays bit-for-bit in the oracle's SQL gate.
+    */
+  private[graft] def recallCounts(embs: DataFrame, codes: DataFrame,
+                                  cb: Array[(Long, Array[Array[Long]])],
+                                  subs: Int, topK: Int): (Long, Long) = {
+    val probes = embs.filter(col("vec_id") % 100 === 0)
+    val approx = adcSearch(codes, distTablesOf(probes, subs, cb), subs, topK)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+    val qarr = probes
+      .select(col("vec_id").as("qid"), qticks(asDouble(col("embedding"))).as("qv"))
+    val narr = embs
+      .select(col("vec_id").as("nid"), qticks(asDouble(col("embedding"))).as("nv"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    val exact = narr.crossJoin(broadcast(qarr))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), intSqDist(col("qv"), col("nv")).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "nid")
+      .persist()
+    val hits = exact.join(approx, Seq("qid", "nid")).count()
+    val truth = exact.count()
+    exact.unpersist()
+    (hits, truth)
+  }
+
+  private val refreshOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build gen1 (base-trained frozen codebook + E12-style delta
+    * append), run the gate, refresh into gen2 iff stale; returns the
+    * SERVING generation's directory. Write-once per JVM per (dir,
+    * subs, k).
+    */
+  private[graft] def pqRefreshIndexPath(spark: SparkSession, dir: String,
+                                        subs: Int = 8, k: Int = 16): String =
+    refreshOnce.computeIfAbsent(s"$dir|$subs|$k", _ => {
+      val root = graft.Scratch.dir("pqrefresh")
+      val embs = Tables.embeddings(spark, dir)
+      val baseEmbs = embs.filter(col("vec_id") % 10 =!= 0)
+      val deltaEmbs = embs.filter(col("vec_id") % 10 === 0)
+      // gen1: codebook sees ONLY the base; delta appends under it frozen
+      val cb1 = codebookOf(baseEmbs, subs, k)
+      writeCodebook(spark, s"$root/gen1/codebook", cb1)
+      pqOrdsFor(baseEmbs, subs, cb1)
+        .write.mode("overwrite").parquet(s"$root/gen1/codes")
+      pqOrdsFor(deltaEmbs, subs, cb1)
+        .write.mode("append").parquet(s"$root/gen1/codes")
+      val (hits, truth) = recallCounts(embs,
+        spark.read.parquet(s"$root/gen1/codes"), cb1, subs, topK = 5)
+      val stale = hits * 100L < refreshThresholdPct * truth
+      if (stale) {
+        // retrain over base ∪ delta, re-encode once, new generation
+        val cb2 = codebookOf(embs, subs, k)
+        writeCodebook(spark, s"$root/gen2/codebook", cb2)
+        pqOrdsFor(embs, subs, cb2)
+          .write.mode("overwrite").parquet(s"$root/gen2/codes")
+        s"$root/gen2"
+      } else s"$root/gen1"
+    })
+
+  def annIndexRefresh(spark: SparkSession, dir: String, subs: Int = 8,
+                      k: Int = 16, topK: Int = 5): DataFrame = {
+    val gen = pqRefreshIndexPath(spark, dir, subs, k)
+    adcSearch(spark.read.parquet(s"$gen/codes"),
+      distTablesOf(Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0),
+        subs, readCodebook(spark, gen)), subs, topK)
   }
 
   /** E10 — `ann_ivf_pq`: IVF + PQ composed — the FAISS-IVFADC layout
@@ -630,6 +772,7 @@ object Similarity {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_index_persist" -> ((s, d) => annIndexPersist(s, d)),
     "ann_index_append" -> ((s, d) => annIndexAppend(s, d)),
+    "ann_index_refresh" -> ((s, d) => annIndexRefresh(s, d)),
     "ann_pq_refine" -> ((s, d) => annPqRefine(s, d)),
     "ann_knn_join" -> ((s, d) => annKnnJoin(s, d)),
     "ann_bruteforce" -> ((s, d) => annBruteforce(s, d)),
@@ -822,6 +965,10 @@ object Similarity {
     // encoding, so the widened search replays E5's oracle verbatim
     "ann_index_append" -> pqSearchOracle,
     "ann_pq_search" -> pqSearchOracle,
+    // E13 replays the WHOLE refresh decision: both generations' ADC
+    // searches, the exact-L2 truth, the integer recall gate, and the
+    // branch — the driver hash-proves the staleness decision itself
+    "ann_index_refresh" -> refreshOracle,
     // E1's exact CTEs (x-prefix) + E2's bucketed CTEs (l-prefix), then
     // the per-probe hit join — the same rank/tie rules both oracles
     // already hash-prove individually
@@ -895,6 +1042,67 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |        ORDER BY adc_dist, nid) AS rank FROM adc)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+
+  /** One generation's PQ search CTE chain against the codebook trained
+    * on the ids `trainSql` selects — `p` prefixes every CTE name so two
+    * generations coexist in E13's gate oracle.
+    */
+  private def genSearchCtes(p: String, trainSql: String): String =
+    s"""${p}t AS ($trainSql),
+       |${p}cb AS (SELECT sub, dimin, e.vec_id AS code, q AS cq
+       |           FROM ex e JOIN ${p}t USING (vec_id)),
+       |${p}d AS (SELECT e.vec_id, e.sub, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+       |          FROM ex e JOIN ${p}cb c USING (sub, dimin) GROUP BY 1, 2, 3),
+       |${p}codes AS (SELECT vec_id, sub, code FROM (
+       |  SELECT vec_id, sub, code,
+       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM ${p}d)
+       | WHERE rn = 1),
+       |${p}dt AS (SELECT pr.vec_id AS qid, pr.sub, c.code,
+       |        sum((pr.q - c.cq) * (pr.q - c.cq)) AS dt
+       |       FROM ex pr JOIN ${p}cb c USING (sub, dimin)
+       |       WHERE pr.vec_id % 100 = 0 GROUP BY 1, 2, 3),
+       |${p}adc AS (SELECT d.qid, k.vec_id AS nid, CAST(sum(d.dt) AS BIGINT) AS adc_dist
+       |        FROM ${p}codes k JOIN ${p}dt d ON d.sub = k.sub AND d.code = k.code
+       |         AND k.vec_id <> d.qid
+       |        GROUP BY 1, 2),
+       |${p}r AS (SELECT qid, nid, adc_dist,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc_dist, nid) AS rank
+       |  FROM ${p}adc)""".stripMargin
+
+  /** E13's oracle: gen1 (base-trained codebook over the widened codes)
+    * and gen2 (retrained over base∪delta) searches, the exact
+    * integer-L2 top-5 truth, the integer recall gate, and the branch.
+    */
+  private lazy val refreshOracle: String =
+    s"""WITH ex0 AS (
+       | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
+       | FROM embeddings),
+       |ex AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
+       |        (dim - 1) % 8 AS dimin, q FROM ex0),
+       |${genSearchCtes("g1",
+          "SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 16")},
+       |${genSearchCtes("g2",
+          "SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16")},
+       |xq AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |        sum((q.q - n.q) * (q.q - n.q)) AS xd2
+       |       FROM ex q JOIN ex n ON q.sub = n.sub AND q.dimin = n.dimin
+       |       WHERE q.vec_id % 100 = 0 AND n.vec_id <> q.vec_id
+       |       GROUP BY 1, 2),
+       |x5 AS (SELECT qid, nid FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY xd2, nid) AS rank FROM xq)
+       | WHERE rank <= 5),
+       |gate AS (SELECT
+       |  ((SELECT count(*) FROM x5 JOIN (SELECT qid, nid FROM g1r WHERE rank <= 5) a
+       |     USING (qid, nid)) * 100
+       |   < $refreshThresholdPct * (SELECT count(*) FROM x5)) AS stale)
+       |SELECT qid AS query_id, rank, nid AS neighbor_id, adc_dist
+       |FROM g2r WHERE rank <= 5 AND (SELECT stale FROM gate)
+       |UNION ALL
+       |SELECT qid AS query_id, rank, nid AS neighbor_id, adc_dist
+       |FROM g1r WHERE rank <= 5 AND NOT (SELECT stale FROM gate)
+       |ORDER BY query_id, rank""".stripMargin
 
   private lazy val pqSearchOracle: String =
       s"""WITH ex0 AS (

@@ -56,6 +56,7 @@ class RelationalSpec extends AnyFunSuite {
     // with an exact oracled twin) — a new query landing without an
     // oracle fails HERE, not silently in the driver report
     val declared = Set("q_approx_distinct", "q_approx_quantile",
+      "q_incremental_distinct",
       "ml_logreg", "ml_linear_svc", "ml_gbt", "ml_cv_grid", "ml_model_select")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == declared,

@@ -132,6 +132,134 @@ class Round8Spec extends AnyFunSuite {
       s"LPT balance bound violated: spread ${loads.max - loads.min} > largest doc $largest")
   }
 
+  // ---- A55: mergeable HLL incremental distinct ----
+
+  test("q_incremental_distinct: merged per-batch sketches equal the single-pass sketch EXACTLY") {
+    import graft.tables.Tables
+    val o = Tables.orders(spark, TestSpark.sf)
+    // batch path: one sketch over all of history+delta in a single pass
+    val single = o.groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // incremental path: the operator (persisted monthly partials + union)
+    val merged = graft.ops.Analytics.qIncrementalDistinct(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("approx_customers")).toMap
+    assert(merged == single,
+      s"sketch union is not lossless: merged=$merged single=$single")
+  }
+
+  test("q_incremental_distinct: estimates sit inside the lgK=12 error envelope of the exact count") {
+    import graft.tables.Tables
+    val exact = Tables.orders(spark, TestSpark.sf)
+      .groupBy("o_orderpriority").agg(countDistinct($"o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.ops.Analytics.qIncrementalDistinct(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("approx_customers")).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      // lgK=12 → relative standard error ~1.6%; 5% is >3σ
+      assert(math.abs(a - e).toDouble / e < 0.05,
+        s"priority $k: approx $a vs exact $e breaches the error envelope")
+    }
+  }
+
+  test("q_incremental_distinct: the sketch state table is persisted and a re-run reuses it") {
+    val first = graft.ops.Analytics.qIncrementalDistinct(spark, TestSpark.sf).collect()
+    val key = s"incrdistinct.state:${TestSpark.sf}"
+    // state path memoized -> parquet rows exist with binary sketches
+    val path = graft.QueryCaches.memo[String](key)(fail("state was never persisted"))
+    val state = spark.read.parquet(path)
+    assert(state.count() > 0)
+    assert(state.schema("sk").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // restart recovery: a second invocation reads the SAME state and agrees
+    val second = graft.ops.Analytics.qIncrementalDistinct(spark, TestSpark.sf).collect()
+    assert(first.sameElements(second))
+  }
+
+  // ---- E13: acting on codebook staleness ----
+
+  /** Synthetic embeddings: 64-dim, ids 0..n-1; each id's vector is
+    * built by `gen`. Floats so the frame matches the real table shape.
+    */
+  private def embFrame(n: Int)(gen: Long => Array[Float]) = {
+    import spark.implicits._
+    (0L until n.toLong).map(id => (id, gen(id).toSeq)).toDF("vec_id", "embedding")
+  }
+
+  test("ann_index_refresh: a distribution-shifted delta tanks frozen-codebook recall below the gate, retraining restores it") {
+    import graft.ops.Similarity
+    val rng = new scala.util.Random(42)
+    val offsets = Array.fill(400, 64)((rng.nextDouble() * 0.02).toFloat)
+    // base (id % 10 != 0): cluster A near +0.5, per-id offsets — the
+    // gen1 codebook (16 lowest BASE ids) sees only A. delta
+    // (id % 10 == 0, includes every %100 probe): TWO exact prototypes
+    // B0/B1 far from A but close to each other — under gen1 every
+    // delta vector collapses to the same nearest-A code (ADC cannot
+    // tell B0 copies from B1 copies; order degrades to the nid
+    // tie-break), while the exact truth ranks same-prototype copies
+    // first. Retraining's 16-lowest-overall window picks up ids 0 (a
+    // B0) and 10 (a B1) as codewords, so the refreshed ADC separates
+    // the prototypes exactly and recall on the delta probes recovers
+    // to 1.0 — degrade-then-recover with every number deterministic.
+    val all = embFrame(400) { id =>
+      if (id % 20 == 0) Array.fill(64)(-0.50f)
+      else if (id % 10 == 0) Array.fill(64)(-0.52f)
+      else Array.tabulate(64)(d => 0.5f + offsets(id.toInt)(d))
+    }
+    val base = all.filter($"vec_id" % 10 =!= 0)
+    val cb1 = Similarity.codebookOf(base, 8, 16)
+    val codes1 = Similarity.pqOrdsFor(all, 8, cb1)
+    val (h1, t1) = Similarity.recallCounts(all, codes1, cb1, 8, 5)
+    assert(h1 * 100 < Similarity.refreshThresholdPct * t1,
+      s"shifted delta did NOT trip the gate: $h1/$t1")
+    // the refresh: retrain over base ∪ delta (16 lowest overall ids —
+    // includes B members 0 and 10), re-encode once
+    val cb2 = Similarity.codebookOf(all, 8, 16)
+    val codes2 = Similarity.pqOrdsFor(all, 8, cb2)
+    val (h2, t2) = Similarity.recallCounts(all, codes2, cb2, 8, 5)
+    assert(h2 * t1 > h1 * t2,
+      s"retraining did not improve recall: $h2/$t2 vs $h1/$t1")
+    assert(h2 * 100 >= Similarity.refreshThresholdPct * t2,
+      s"retrained recall still below the gate: $h2/$t2")
+  }
+
+  test("ann_index_refresh: an unshifted corpus clears the gate — no refresh fires") {
+    import graft.ops.Similarity
+    // every vector sits EXACTLY on one of 16 prototypes the base-only
+    // codebook has seen (ids 1..17 cover all 16 residues mod 16), so
+    // ADC distance is exact and frozen-codebook recall is perfect
+    val protos = Array.tabulate(16, 64)((p, d) =>
+      (math.sin(p * 64 + d) * 0.4).toFloat)
+    val all = embFrame(400)(id => protos((id % 16).toInt))
+    val base = all.filter($"vec_id" % 10 =!= 0)
+    val cb1 = Similarity.codebookOf(base, 8, 16)
+    val codes1 = Similarity.pqOrdsFor(all, 8, cb1)
+    val (h, t) = Similarity.recallCounts(all, codes1, cb1, 8, 5)
+    assert(h * 100 >= Similarity.refreshThresholdPct * t,
+      s"unshifted corpus tripped the gate: $h/$t")
+  }
+
+  test("ann_index_refresh: contract data serves the RETRAINED generation and write-once holds") {
+    import graft.ops.Similarity
+    val gen = Similarity.pqRefreshIndexPath(spark, TestSpark.sf)
+    // the measured contract recall under the base-trained frozen
+    // codebook is far below 70% (8-20% across SFs), so the refresh
+    // must have fired and the serving pointer must be gen2
+    assert(gen.endsWith("/gen2"), s"expected gen2 serving dir, got $gen")
+    // write-once: gen1 stays on disk untouched next to gen2
+    val root = new java.io.File(gen).getParentFile
+    assert(new java.io.File(root, "gen1/codes").exists(),
+      "gen1 was destroyed by the refresh — generations must be write-once")
+    // the retrained codebook is the full-corpus one: serving results
+    // equal E9's persisted-index search (same codebook, same codes)
+    val refreshed = Similarity.annIndexRefresh(spark, TestSpark.sf).collect()
+    val e9 = SparkEntry.queries("ann_index_persist")(spark, TestSpark.sf).collect()
+    assert(refreshed.sameElements(e9),
+      "refreshed serving diverges from the full-codebook index")
+  }
+
   test("text_token_count_bpe is a pure projection — no shuffle beyond the harness sort") {
     val plan = graft.ops.Bpe.textTokenCountBpe(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
