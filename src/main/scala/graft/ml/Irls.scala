@@ -189,19 +189,27 @@ object Irls {
   private lazy val sigmaListSql: String =
     sigmaTicks.mkString("[", ", ", "]::BIGINT[]")
 
+  /** The default (y, q) frame replay — C28/C36/C37's orders labeling. */
+  private val ordersLabeledSql: String =
+    """SELECT CAST(o_orderpriority < '3' AS INT) AS y,
+      |         CAST(floor(o_totalprice * 0.01 + 0.5) AS BIGINT) AS q
+      |  FROM orders""".stripMargin
+
   /** The N-round replay, generated from the same round structure the
     * engine runs: a1 -> b1 (closed form), then per round t: zt from
     * b(t-1)'s ticks, the shared literal sigma lookup, integer w/r,
     * HUGEINT sums, and the 2x2 solve -- every round's ticks in the
     * output, so EVERY round is hash-verified, not just the last.
+    * `prelude` lets a consumer (the corpus quality gate) front-load its
+    * own CTEs; `labeledSql` swaps the (y, q) frame — the recurrence
+    * itself is shared verbatim with the contract queries.
     */
-  private[graft] def stepsOracleSql(rounds: Int): String = {
+  private[graft] def stepsCtes(rounds: Int, prelude: String = "",
+                               labeledSql: String = ordersLabeledSql): String = {
     val e6 = "1000000::HUGEINT"; val e10 = "10000000000::HUGEINT"
     val head =
-      s"""WITH l AS (
-         |  SELECT CAST(o_orderpriority < '3' AS INT) AS y,
-         |         CAST(floor(o_totalprice * 0.01 + 0.5) AS BIGINT) AS q
-         |  FROM orders),
+      s"""WITH ${prelude}l AS (
+         |  $labeledSql),
          |a1 AS (
          |  SELECT count(*) AS n, CAST(sum(y) AS HUGEINT) AS p,
          |         CAST(sum(q) AS HUGEINT) AS sq, CAST(sum(q*q) AS HUGEINT) AS sqq,
@@ -243,9 +251,13 @@ object Irls {
                                       "sw * swqq - swq * swq")} AS b1_$t
          |  FROM b${t - 1}, a$t)""".stripMargin
     }.mkString
+    s"$head$roundCtes"
+  }
+
+  private[graft] def stepsOracleSql(rounds: Int): String = {
     val outCols = (1 to rounds).flatMap(t => Seq(
       s"CAST(b0_$t AS BIGINT) AS b0_t$t", s"CAST(b1_$t AS BIGINT) AS b1_t$t"))
-    s"""$head$roundCtes
+    s"""${stepsCtes(rounds)}
        |SELECT CAST(n AS BIGINT) AS n,
        |  ${outCols.mkString(",\n  ")}
        |FROM b$rounds""".stripMargin

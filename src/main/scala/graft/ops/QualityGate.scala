@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** F21 — `corpus_quality_gate` (round-8 stretch directive #6): the
+  * fastText-filter shape every pretraining pipeline runs, composed
+  * entirely from shipped exact pieces — train a cheap text classifier
+  * on a weak label, score the whole corpus, keep/drop at a threshold,
+  * report per-language keep rates for the curation audit (the table
+  * F15's cascade consumes as its language gate evidence).
+  *
+  *  - Weak label (the CCNet/fastText move): docs from the CURATED
+  *    source list — here "source id is even", the deterministic stand-
+  *    in for a quality-domain allowlist — are the positive class.
+  *  - Feature: B18's hashing trick reduced to ONE dimension — the
+  *    signed token-hash sum Σ±1 over the doc's tokens (sign = bit 6 of
+  *    RollHash64("tok=" + token), exactly B18's sign rule). A 1-dim
+  *    random projection of the bag-of-words: no vocabulary pass, no
+  *    fit state, |q| ≤ n_tokens so every IRLS intermediate stays far
+  *    inside int64/HUGEINT.
+  *  - Trainer: C36's two exact IRLS rounds ([[graft.ml.Irls]]
+  *    .irlsRounds — the literal σ-table program, shared verbatim).
+  *  - Serving: C34's integer-tick discipline — zt = b0t·10⁴ + b1t·q
+  *    per doc, an exact integer; keep iff zt ≥ 0 (σ(z) ≥ ½, the
+  *    canonical probability-0.5 gate in tick space).
+  *
+  * The oracle replays the ENTIRE pipeline — label, hashed feature,
+  * both IRLS rounds ([[graft.ml.Irls.stepsCtes]] with the documents
+  * labeling swapped in, the recurrence text shared verbatim with
+  * C36/C37), the tick score, and the per-language keep aggregate — so
+  * the driver hash-proves train → score → gate end to end.
+  *
+  * Scale shape: training is two aggregate scans (map-side partial, 5
+  * sums each) + O(1) driver BigInt; scoring is a pure codegen
+  * projection with β as two literal longs; the audit is a ≤|langs|
+  * aggregate. Exactly how a corpus filter serves at 100 TB — the
+  * model never touches a shuffle.
+  */
+object QualityGate {
+
+  /** B18's sign rule applied per token: bit 6 of the rolling hash of
+    * "tok=" + token, mapped to ±1.
+    */
+  private def tokenSign(t: Column): Column =
+    shiftrightunsigned(
+      graft.functions.VectorOps.rollhash64(concat(lit("tok="), t)), 6)
+      .bitwiseAND(lit(1L)) * 2 - 1
+
+  /** (doc_id, lang, y, q): the labeled frame both the trainer and the
+    * scorer scan.
+    */
+  private[graft] def labeled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      (substring(col("source"), 4, 10).cast("int") % 2 === 0)
+        .cast("int").as("y"),
+      aggregate(split(trim(col("text")), "\\s+"), lit(0L),
+        (acc, t) => acc + tokenSign(t)).as("q"))
+
+  def corpusQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val lab = labeled(spark, dir)
+    val Seq(_, (b0, b1)) =
+      graft.ml.Irls.irlsRounds(lab.select("y", "q"), rounds = 2)
+    val zt = lit(b0.toLong) * 10000L + lit(b1.toLong) * col("q")
+    lab.select(col("lang"), when(zt >= 0, 1L).otherwise(0L).as("keep"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_keep"))
+      .select(col("lang"), col("n_docs"), col("n_keep"),
+        OracleRound.r4b(col("n_keep").cast("double") / col("n_docs"))
+          .as("keep_rate"))
+      .orderBy("lang")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_gate" -> (corpusQualityGate _))
+
+  val oracles: Map[String, String] = Map(
+    "corpus_quality_gate" -> {
+      val sign = s"(${Dedup.rollSql("('tok=' || t)")} // 64) % 2 * 2 - 1"
+      val prelude =
+        s"""lab AS (
+           |  SELECT doc_id, lang,
+           |    CAST(CAST(substr(source, 4) AS INT) % 2 = 0 AS INT) AS y,
+           |    (SELECT CAST(coalesce(sum($sign), 0) AS BIGINT)
+           |     FROM unnest(string_split_regex(trim(text), '\\s+')) AS u(t)) AS q
+           |  FROM documents),
+           |""".stripMargin
+      s"""${graft.ml.Irls.stepsCtes(2, prelude, "SELECT y, q FROM lab")},
+         |scored AS (
+         |  SELECT lang, CASE WHEN b0_2 * 10000 + b1_2 * q >= 0
+         |               THEN 1 ELSE 0 END AS keep
+         |  FROM lab, b2)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(keep) AS BIGINT) AS n_keep,
+         |  floor((CAST(sum(keep) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS keep_rate
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+    })
+}

@@ -260,6 +260,41 @@ class Round8Spec extends AnyFunSuite {
       "refreshed serving diverges from the full-codebook index")
   }
 
+  // ---- F21: corpus quality classifier gate ----
+
+  test("corpus_quality_gate: keep set is EXACTLY the scored-threshold set, and the gate is non-trivial") {
+    import graft.ops.QualityGate
+    // independent replay: collect the labeled frame, train via the same
+    // exact IRLS program, score every doc in driver BigInt, aggregate
+    val lab = QualityGate.labeled(spark, TestSpark.sf)
+      .select("lang", "q").collect()
+      .map(r => (r.getString(0), BigInt(r.getLong(1))))
+    val Seq(_, (b0, b1)) = graft.ml.Irls.irlsRounds(
+      QualityGate.labeled(spark, TestSpark.sf).select("y", "q"), rounds = 2)
+    val expected = lab.groupBy(_._1).map { case (lang, rows) =>
+      lang -> (rows.length.toLong,
+        rows.count { case (_, q) => b0 * 10000 + b1 * q >= 0 }.toLong)
+    }
+    val got = QualityGate.corpusQualityGate(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"))).toMap
+    assert(got == expected,
+      s"gate keep counts diverge from the scored-threshold replay:\n$got\nvs\n$expected")
+    // the gate genuinely splits the corpus — neither all-keep nor all-drop
+    val (n, k) = expected.values.foldLeft((0L, 0L)) {
+      case ((an, ak), (dn, dk)) => (an + dn, ak + dk)
+    }
+    assert(k > 0 && k < n, s"vacuous gate: kept $k of $n")
+  }
+
+  test("corpus_quality_gate: scoring plan is a pure projection with literal coefficients") {
+    val plan = graft.ops.QualityGate.corpusQualityGate(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    // the model must serve as literals — no join against a weights
+    // table, no broadcast of trainer state
+    assert(!plan.contains("Join"), s"quality gate serving plan joins:\n$plan")
+  }
+
   test("text_token_count_bpe is a pure projection — no shuffle beyond the harness sort") {
     val plan = graft.ops.Bpe.textTokenCountBpe(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
