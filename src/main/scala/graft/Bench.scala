@@ -37,7 +37,12 @@ object Bench {
     // plan shape), the frozen-codebook index append, and the 2-round
     // exact IRLS trainer
     "dedup_passage_spans", "ann_index_append", "ml_logreg_step2",
-    "ml_logreg_step3", "corpus_passage_clean")
+    "ml_logreg_step3", "corpus_passage_clean",
+    // round-8 additions: the PII cascade, the BPE fold + its pack
+    // consumer, the HLL sketch-state merge, the codebook-refresh gate,
+    // and the IRLS-trained corpus filter — the six new plan shapes
+    "text_redact", "text_token_count_bpe", "corpus_pack_bpe",
+    "q_incremental_distinct", "ann_index_refresh", "corpus_quality_gate")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

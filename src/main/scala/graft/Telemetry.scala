@@ -122,7 +122,13 @@ object ShuffleBudget {
     "ann_index_append" -> 3600L,
     "ml_logreg_step2" -> 500L,
     "ml_logreg_step3" -> 500L,
-    "corpus_passage_clean" -> 710000L)
+    "corpus_passage_clean" -> 710000L,
+    "text_redact" -> 190000L,
+    "text_token_count_bpe" -> 16000L,
+    "corpus_pack_bpe" -> 13000L,
+    "q_incremental_distinct" -> 30000L,
+    "ann_index_refresh" -> 2500L,
+    "corpus_quality_gate" -> 1300L)
   val atSf01: Map[String, Long] = Map(
     "q_agg_pricing" -> 2900L,
     "q_join_shuffle" -> 5200000L,
@@ -161,7 +167,13 @@ object ShuffleBudget {
     "ann_index_append" -> 18000L,
     "ml_logreg_step2" -> 500L,
     "ml_logreg_step3" -> 500L,
-    "corpus_passage_clean" -> 6900000L)
+    "corpus_passage_clean" -> 6900000L,
+    "text_redact" -> 1800000L,
+    "text_token_count_bpe" -> 150000L,
+    "corpus_pack_bpe" -> 110000L,
+    "q_incremental_distinct" -> 980000L,
+    "ann_index_refresh" -> 13000L,
+    "corpus_quality_gate" -> 1700L)
 
   /** Round-6 sweep closure: every NON-headline query whose sf0.1 probe
     * shuffled >1 MB, pinned at 2× measured like the headline tables — a
