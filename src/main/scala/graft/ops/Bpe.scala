@@ -135,7 +135,7 @@ object Bpe {
     * word's end; occurrences join back by word. `occ`/`doc_bpe` are
     * reused verbatim by F20's oracle.
     */
-  private val bpeCtes: String =
+  private[graft] val bpeCtes: String =
     s"""occ AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
        |  FROM documents),

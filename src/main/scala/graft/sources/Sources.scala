@@ -563,6 +563,41 @@ object SourceQueries {
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("shard")
 
+  /** I17 — `corpus_shard_bpe`: I16's training shards with the manifest
+    * budgeted in BOTH accountings — whitespace AND BPE subword tokens
+    * (F19's frozen-vocab fold; the loader budgets in subwords, so a
+    * whitespace-only manifest mis-sizes every rank's read plan
+    * 1.3-2×). Same deterministic hash-draw shard assignment, same
+    * `partitionBy("shard")` write-once layout, manifest aggregated
+    * FROM THE WRITTEN LAYOUT (the physical round-trip stays
+    * hash-proved); the per-doc BPE count is one extra pure-projection
+    * column in the shard rows — 8 B/doc of manifest truth the trainer
+    * would otherwise recompute corpus-wide.
+    */
+  def corpusShardBpePath(spark: SparkSession, dir: String,
+                         nshards: Int = 8): String =
+    once(s"corpus_shard_bpe:$dir:$nshards") {
+      val path = scratch("corpus_shard_bpe")
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        graft.ops.Bpe.bpeCountCol("text").as("n_bpe_tokens"),
+        pmod(graft.functions.VectorOps.rollhash64(
+          concat(lit("shard|"), col("doc_id").cast("string"))),
+          lit(nshards.toLong)).as("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      path
+    }
+
+  def corpusShardBpe(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(corpusShardBpePath(spark, dir))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("shard")
+
   def srcCompact(spark: SparkSession, dir: String): DataFrame = {
     val log = scratch("compactlog")
     val base = scratch("compactbase")
@@ -766,7 +801,8 @@ object SourceQueries {
     "src_zorder_layout" -> (srcZorderLayout _),
     "src_compact" -> (srcCompact _),
     "src_incremental_merge" -> (srcIncrementalMerge _),
-    "corpus_shard" -> (corpusShard _))
+    "corpus_shard" -> (corpusShard _),
+    "corpus_shard_bpe" -> (corpusShardBpe _))
 
   /** A faithful round-trip preserves every value, so the oracle is the
     * equivalent select on the ORIGINAL table — any sink/source corruption
@@ -849,6 +885,23 @@ object SourceQueries {
          |a AS (SELECT (($h % 8) + 8) % 8 AS shard, lang, n_tokens FROM d0)
          |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // I16's replay + F19's recursive maximal-munch CTEs joined per doc
+    // — the dual-accounting manifest from the written layout
+    "corpus_shard_bpe" -> {
+      val h = graft.ops.Dedup.wrapSql(graft.ops.Dedup.rollSql("s"))
+      s"""WITH RECURSIVE ${graft.ops.Bpe.bpeCtes},
+         |d0 AS (
+         | SELECT doc_id, lang, 'shard|' || CAST(doc_id AS VARCHAR) AS s
+         | FROM documents),
+         |a AS (SELECT (($h % 8) + 8) % 8 AS shard, d0.lang,
+         |        b.n_tokens, b.n_bpe
+         |      FROM d0 JOIN doc_bpe b USING (doc_id))
+         |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
          |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
     })

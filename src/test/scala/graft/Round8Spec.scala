@@ -295,6 +295,23 @@ class Round8Spec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"quality gate serving plan joins:\n$plan")
   }
 
+  test("corpus_shard_bpe: the dual-accounting manifest conserves both token metrics across shards") {
+    val manifest = graft.sources.SourceQueries.corpusShardBpe(spark, TestSpark.sf).collect()
+    val perDoc = graft.ops.Bpe.textTokenCountBpe(spark, TestSpark.sf)
+      .agg(count(lit(1)), sum("n_tokens"), sum("n_bpe_tokens")).head()
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == perDoc.getLong(0),
+      "shards lose or duplicate documents")
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum == perDoc.getLong(1),
+      "whitespace accounting not conserved across shards")
+    assert(manifest.map(_.getAs[Long]("n_bpe_tokens")).sum == perDoc.getLong(2),
+      "BPE accounting not conserved across shards")
+    // the manifest carries BOTH metrics and they genuinely differ —
+    // the mis-sizing this variant exists to fix is visible per shard
+    assert(manifest.forall(r =>
+      r.getAs[Long]("n_bpe_tokens") > r.getAs[Long]("n_tokens")),
+      "a shard's BPE budget does not exceed its whitespace budget")
+  }
+
   test("text_token_count_bpe is a pure projection — no shuffle beyond the harness sort") {
     val plan = graft.ops.Bpe.textTokenCountBpe(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
