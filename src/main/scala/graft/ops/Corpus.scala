@@ -110,7 +110,11 @@ object Corpus {
     */
   private[ops] def packBins(toks: DataFrame, capacity: Long): DataFrame = {
     // ⌈Σtokens / capacity⌉ — one bounded driver aggregate (2 longs)
-    val total = toks.agg(sum("n_tokens")).head().getLong(0)
+    val totalRow = toks.agg(sum("n_tokens")).head()
+    require(!totalRow.isNullAt(0),
+      "packBins over an empty (or all-null) token frame — nothing to " +
+        "pack; upstream produced no documents")
+    val total = totalRow.getLong(0)
     val nbins = math.max(1L, (total + capacity - 1) / capacity)
     val ranked = DistRank.withGlobalRank(toks, "rank",
       col("n_tokens").desc, col("doc_id"))

@@ -61,11 +61,6 @@ object HotBucket {
   /** Refuse to inline a pathologically long literal chain. */
   val maxHotBuckets = 4096
 
-  /** The collected hot-bucket list: one (key values, ⌈n/cap⌉) entry per
-    * bucket STRICTLY over the cap. Construction-time job over `rows`
-    * (count(*) prunes everything but the key columns), memoized per
-    * caller site by [[saltByCap]].
-    */
   /** The pre-collect hot-list frame, limited to maxHotBuckets + 1 rows
     * BEFORE the driver ever sees it: in the degenerate corpus this
     * guard exists for, hot buckets ≈ rows/cap (10⁸ at 100 TB) and an
@@ -83,6 +78,11 @@ object HotBucket {
         ceil(col("__n").cast("double") / cap).cast("int").as("__groups"): _*)
       .limit(maxHotBuckets + 1)
 
+  /** The collected hot-bucket list: one (key values, ⌈n/cap⌉) entry per
+    * bucket STRICTLY over the cap. Construction-time job over `rows`
+    * (count(*) prunes everything but the key columns), memoized per
+    * caller site by [[saltByCap]].
+    */
   private[graft] def hotBuckets(rows: DataFrame, keys: Seq[String],
                                 cap: Int): Seq[(Seq[Any], Int)] = {
     val collected = hotBucketsFrame(rows, keys, cap).collect()

@@ -148,21 +148,6 @@ object Multimodal {
       .orderBy("a", "b")
   }
 
-  /** H5 — `mm_payload_near_dup`: near-duplicate PAYLOADS (not just
-    * shared chunks) — MinHash resemblance over each payload's
-    * frame-hash SET, the video/audio analog of D2: two encodings of the
-    * same asset share most frames without being byte-identical, and at
-    * corpus scale the pairwise check must be candidate-generated, not
-    * exhaustive. 16 affine permutations of the 64-bit frame hashes →
-    * 4 band signatures → band-collision candidates → EXACT frame-set
-    * Jaccard verify. All arithmetic is the mod-2⁶⁴ pipeline D2 already
-    * replays (Mix64/Combine64), applied to H4's persisted frame table —
-    * one memoized 16 B/row input serves both operators.
-    *
-    * Scale shape: candidates are O(n·bands) band-bucket rows, never
-    * payload×payload; the verify joins touch only colliding pairs'
-    * frame rows.
-    */
   /** H5's band-signature frame, exposed for the cold-corpus hot-bucket
     * audit (Round7Spec) — the lossy salt on the self-join below is
     * result-invisible only while this frame has no over-cap bucket.
@@ -185,6 +170,21 @@ object Multimodal {
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
   }
 
+  /** H5 — `mm_payload_near_dup`: near-duplicate PAYLOADS (not just
+    * shared chunks) — MinHash resemblance over each payload's
+    * frame-hash SET, the video/audio analog of D2: two encodings of the
+    * same asset share most frames without being byte-identical, and at
+    * corpus scale the pairwise check must be candidate-generated, not
+    * exhaustive. 16 affine permutations of the 64-bit frame hashes →
+    * 4 band signatures → band-collision candidates → EXACT frame-set
+    * Jaccard verify. All arithmetic is the mod-2⁶⁴ pipeline D2 already
+    * replays (Mix64/Combine64), applied to H4's persisted frame table —
+    * one memoized 16 B/row input serves both operators.
+    *
+    * Scale shape: candidates are O(n·bands) band-bucket rows, never
+    * payload×payload; the verify joins touch only colliding pairs'
+    * frame rows.
+    */
   def mmPayloadNearDup(spark: SparkSession, dir: String,
                        numPerm: Int = 16, bands: Int = 4): DataFrame = {
     val frames = frameHashes(spark, dir)

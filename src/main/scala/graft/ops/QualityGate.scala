@@ -50,15 +50,25 @@ object QualityGate {
       .bitwiseAND(lit(1L)) * 2 - 1
 
   /** (doc_id, lang, y, q): the labeled frame both the trainer and the
-    * scorer scan.
+    * scorer scan. Memoized+persisted per dir: the per-token rollhash
+    * fold is the expensive part and the plan reads it three times
+    * (round-1 aggregate, round-2 aggregate, serving projection) — the
+    * same cache-boundary discipline as F20's token frame, ~16 B/doc of
+    * state. `substr(source, 4)` is deliberately UNBOUNDED on both
+    * engines (a length-capped Spark substring against DuckDB's
+    * uncapped substr would diverge the parity label on source ids
+    * past the cap).
     */
   private[graft] def labeled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"), col("lang"),
-      (substring(col("source"), 4, 10).cast("int") % 2 === 0)
-        .cast("int").as("y"),
-      aggregate(split(trim(col("text")), "\\s+"), lit(0L),
-        (acc, t) => acc + tokenSign(t)).as("q"))
+    graft.QueryCaches.memo(s"qualgate.lab:$dir") {
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("lang"),
+        (expr("substr(source, 4)").cast("int") % 2 === 0)
+          .cast("int").as("y"),
+        aggregate(split(trim(col("text")), "\\s+"), lit(0L),
+          (acc, t) => acc + tokenSign(t)).as("q"))
+        .persist()
+    }
 
   def corpusQualityGate(spark: SparkSession, dir: String): DataFrame = {
     val lab = labeled(spark, dir)

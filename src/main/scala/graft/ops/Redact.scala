@@ -44,14 +44,19 @@ object Redact {
     * agree on every match:
     *  - email: local@domain.tld
     *  - phone: international-style, REQUIRES the leading '+' so bare
-    *    digit runs fall through to the id class
+    *    digit runs fall through to the id class. The separator class
+    *    spells out its whitespace EXPLICITLY (space/tab/newline/CR/FF)
+    *    rather than via \s: Java's \s includes vertical tab U+000B,
+    *    RE2's does not — the one place the two engines' shorthand
+    *    classes disagree, and a silent hash-divergence on any corpus
+    *    that carries a \v inside a phone run.
     *  - id: any 9+ digit run (accounts, SSNs-without-dashes, card
     *    fragments) — runs after phone so a '+…' number is never
     *    double-counted
     */
   val patterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", "\\+[0-9][0-9()\\s.-]{6,}[0-9]", "<PHONE>"),
+    ("phone", "\\+[0-9][0-9() \\t\\n\\r\\f.-]{6,}[0-9]", "<PHONE>"),
     ("id", "[0-9]{9,}", "<ID>"))
 
   /** Deterministic PII injection for the contract round trip: one

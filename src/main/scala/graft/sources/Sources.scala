@@ -541,27 +541,44 @@ object SourceQueries {
     * read-what-you-wrote discipline applied to the corpus itself).
     * Write-once per JVM per sf dir, like the other layout artifacts.
     */
-  def corpusShardPath(spark: SparkSession, dir: String,
-                      nshards: Int = 8): String =
-    once(s"corpus_shard:$dir:$nshards") {
-      val path = scratch("corpus_shard")
+  /** The shared shard-layout core: the ONE definition of the hash draw,
+    * the row projection, and the partitionBy sink — I16 and I17 differ
+    * only in the extra accounting columns, so the assignment policy
+    * cannot drift between the two artifacts (packBins' discipline
+    * applied to the shard writer).
+    */
+  private def shardLayoutPath(spark: SparkSession, dir: String,
+                              artifact: String, nshards: Int,
+                              extraCols: Seq[org.apache.spark.sql.Column]): String =
+    once(s"$artifact:$dir:$nshards") {
+      val path = scratch(artifact)
       Tables.documents(spark, dir).select(
-        col("doc_id"), col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-        pmod(graft.functions.VectorOps.rollhash64(
-          concat(lit("shard|"), col("doc_id").cast("string"))),
-          lit(nshards.toLong)).as("shard"))
+        Seq(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")) ++
+          extraCols :+
+          pmod(graft.functions.VectorOps.rollhash64(
+            concat(lit("shard|"), col("doc_id").cast("string"))),
+            lit(nshards.toLong)).as("shard"): _*)
         .write.mode("overwrite").partitionBy("shard").parquet(path)
       path
     }
 
-  def corpusShard(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(corpusShardPath(spark, dir))
+  /** The shared manifest aggregate over a written shard layout. */
+  private def shardManifest(spark: SparkSession, path: String,
+                            tokenSums: Seq[String]): DataFrame =
+    spark.read.parquet(path)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        countDistinct(col("lang")).as("n_langs"))
+        tokenSums.map(c => sum(c).as(c)) :+
+          countDistinct(col("lang")).as("n_langs"): _*)
       .orderBy("shard")
+
+  def corpusShardPath(spark: SparkSession, dir: String,
+                      nshards: Int = 8): String =
+    shardLayoutPath(spark, dir, "corpus_shard", nshards, Nil)
+
+  def corpusShard(spark: SparkSession, dir: String): DataFrame =
+    shardManifest(spark, corpusShardPath(spark, dir), Seq("n_tokens"))
 
   /** I17 — `corpus_shard_bpe`: I16's training shards with the manifest
     * budgeted in BOTH accountings — whitespace AND BPE subword tokens
@@ -576,27 +593,12 @@ object SourceQueries {
     */
   def corpusShardBpePath(spark: SparkSession, dir: String,
                          nshards: Int = 8): String =
-    once(s"corpus_shard_bpe:$dir:$nshards") {
-      val path = scratch("corpus_shard_bpe")
-      Tables.documents(spark, dir).select(
-        col("doc_id"), col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-        graft.ops.Bpe.bpeCountCol("text").as("n_bpe_tokens"),
-        pmod(graft.functions.VectorOps.rollhash64(
-          concat(lit("shard|"), col("doc_id").cast("string"))),
-          lit(nshards.toLong)).as("shard"))
-        .write.mode("overwrite").partitionBy("shard").parquet(path)
-      path
-    }
+    shardLayoutPath(spark, dir, "corpus_shard_bpe", nshards,
+      Seq(graft.ops.Bpe.bpeCountCol("text").as("n_bpe_tokens")))
 
   def corpusShardBpe(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(corpusShardBpePath(spark, dir))
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        sum("n_bpe_tokens").as("n_bpe_tokens"),
-        countDistinct(col("lang")).as("n_langs"))
-      .orderBy("shard")
+    shardManifest(spark, corpusShardBpePath(spark, dir),
+      Seq("n_tokens", "n_bpe_tokens"))
 
   def srcCompact(spark: SparkSession, dir: String): DataFrame = {
     val log = scratch("compactlog")

@@ -113,8 +113,9 @@ class Round7Spec extends AnyFunSuite {
     // oracles if a bucket went hot only at the larger scale (exactly
     // how D3's structural hotness was caught), so each graded dir gets
     // its own emptiness audit.
+    val testdataRoot = new java.io.File(TestSpark.sf).getParentFile
     val gradedSfs = Seq("sf0.001", "sf0.01", "sf0.1")
-      .map(s => s"/root/testdata/$s")
+      .map(s => new java.io.File(testdataRoot, s).getPath)
       .filter(d => new java.io.File(d).isDirectory)
     assert(gradedSfs.nonEmpty, "no graded SF dirs found to audit")
     for (sfd <- gradedSfs) {

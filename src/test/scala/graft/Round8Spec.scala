@@ -99,8 +99,9 @@ class Round8Spec extends AnyFunSuite {
     val got = df.select($"w", graft.ops.Bpe.bpeCountCol("w").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     for (w <- words) {
-      val expected = w.split("\\s+").filter(_ => true)
-        .map(graft.ops.Bpe.bpeCountRef).sum
+      // split mirrors the fold's tokenization so "" behaves identically
+      // (split of "" yields [""], whose reference count is 0)
+      val expected = w.split("\\s+").map(graft.ops.Bpe.bpeCountRef).sum
       assert(got(w) == expected,
         s"'$w': fold=${got(w)} ref=$expected")
     }
