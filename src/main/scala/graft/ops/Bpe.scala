@@ -109,22 +109,25 @@ object Bpe {
         bpeCountCol("text").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
-  /** F20 — F12's LPT packing, budgeted in BPE tokens. The encoded
-    * token frame is memoized+persisted: the pack core's plan reads it
-    * once for the ⌈total/capacity⌉ driver aggregate and again under
-    * the rank pipeline, and without the cache each pass re-runs the
-    * greedy fold over the full corpus (measured: 2.3 s → the fold
-    * dominates; 8 B/doc of cached state, the same boundary
+  /** The memoized+persisted per-doc BPE frame (doc_id, lang,
+    * n_tokens) every subword-budgeted consumer reads — F20's pack
+    * scans it twice (driver total + rank pipeline) and F22's mixture
+    * twice more, and without the cache each scan re-runs the greedy
+    * fold over the full corpus (measured: 2.3 s at sf0.1,
+    * fold-dominated; ~24 B/doc of cached state, the same boundary
     * discipline as E4's coded corpus).
     */
+  private[graft] def bpeToks(spark: SparkSession, dir: String): DataFrame =
+    graft.QueryCaches.memo(s"bpe.toks:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), bpeCountCol("text").as("n_tokens"))
+        .persist()
+    }
+
+  /** F20 — F12's LPT packing, budgeted in BPE tokens. */
   def corpusPackBpe(spark: SparkSession, dir: String,
                     capacity: Long = 2048): DataFrame =
-    Corpus.packBins(
-      graft.QueryCaches.memo(s"bpe.toks:$dir") {
-        Tables.documents(spark, dir)
-          .select(col("doc_id"), bpeCountCol("text").as("n_tokens"))
-          .persist()
-      }, capacity)
+    Corpus.packBins(bpeToks(spark, dir).drop("lang"), capacity)
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count_bpe" -> (textTokenCountBpe _),

@@ -67,6 +67,38 @@ object Corpus2 {
     "de" -> 150000L, "en" -> 350000L, "es" -> 150000L,
     "fr" -> 150000L, "zh" -> 200000L)
 
+  /** Mix64 finalizer constants for the keep-draws (odd 31-bit
+    * multiplier per [[Dedup.mixConsts]]' HUGEINT-bound discipline;
+    * Knuth-family increment). The finalizer is NOT optional: the raw
+    * 31-polynomial RollHash64 of a short dense-id string is monotone
+    * in the id and its mod-10⁶ residues are badly non-uniform —
+    * measured on the contract ids, decile occupancy [0, 10, 3000,
+    * 1000, 90, 0, 900, 0, 0, 0] and a 473k-ppm rate realized 82% of
+    * documents; one affine scramble mod 2⁶⁴ restores [515…498] and
+    * binomial-accurate realization (Round8Spec pins the latter).
+    */
+  private[graft] val drawA = 1640531527L
+  private[graft] val drawB = 1442695040888963407L
+
+  /** The uniform ppm keep-draw over an id column: finalized rolling
+    * hash of "tag|id" mod 10⁶ — deterministic, order-independent,
+    * replayable; shared by F14 (doc budget) and F22 (token budget)
+    * on independent tag streams.
+    */
+  private[graft] def ppmDraw(tag: String, idCol: org.apache.spark.sql.Column) =
+    pmod(graft.functions.VectorOps.mix64(
+      rollhash64(concat(lit(tag), idCol.cast("string"))), drawA, drawB),
+      lit(1000000L))
+
+  /** The draw's DuckDB replay: unsigned mix mod 2⁶⁴ → signed wrap →
+    * pmod 10⁶, over a string expression `s` (the "tag|id" column).
+    */
+  private[graft] def ppmDrawSql(s: String): String = {
+    val mixed = s"((${Dedup.rollSql(s)} * ${drawA}::HUGEINT + " +
+      s"${drawB}::HUGEINT) % ${Dedup.U64})"
+    s"(((${Dedup.wrapSql(mixed)}) % 1000000) + 1000000) % 1000000"
+  }
+
   /** F14 — `corpus_mix_sample`: deterministic mixture sampling — hit a
     * target per-language share of a total budget (half the corpus) with
     * hash-draw keeps, the way pretraining mixes rebalance domains.
@@ -81,10 +113,9 @@ object Corpus2 {
     */
   def corpusMixSample(spark: SparkSession, dir: String): DataFrame = {
     val tmap = map(targetPpm.flatMap { case (l, p) => Seq(lit(l), lit(p)) }: _*)
-    val ppm = pmod(rollhash64(concat(lit("mix|"), col("doc_id").cast("string"))),
-      lit(1000000L))
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), ppm.as("ppm"))
+      .select(col("doc_id"), col("lang"),
+        ppmDraw("mix|", col("doc_id")).as("ppm"))
     val totals = docs.agg(expr("count(1) div 2").as("budget"))
     val rates = docs.groupBy("lang").agg(count(lit(1)).as("n_avail"))
       .crossJoin(broadcast(totals))
@@ -103,6 +134,57 @@ object Corpus2 {
         col("n_kept"),
         OracleRound.r4b(col("n_kept").cast("double") / col("total_kept"))
           .as("share"))
+      .orderBy("lang")
+  }
+
+  /** F22 — `corpus_mix_tokens` (round 8): F14's mixture rebalancing
+    * with the budget in the unit trainers ACTUALLY specify mixes in —
+    * TOKENS, not documents (a 350k-ppm English share of documents is
+    * not a 350k-ppm share of tokens unless every language's docs are
+    * the same length; published data recipes are token-share tables).
+    * Budget = half the corpus's BPE tokens (F19's frozen-vocab fold
+    * via the shared memoized frame); per language: quota_tokens =
+    * target_ppm·budget÷10⁶, keep-rate ppm = min(10⁶, quota·10⁶ ÷
+    * avail_tokens) — an expected-token rate realized by the same
+    * deterministic RollHash64 draw as F14 (independent "mixtok|"
+    * stream), so the kept set is replayable bit-for-bit and the audit
+    * reports both realized docs and realized tokens per language.
+    *
+    * Rate arithmetic runs in decimal(38,0): quota·10⁶ overflows int64
+    * once the corpus passes ~10¹³ tokens — exactly the 100 TB regime
+    * this variant exists for (the Ols Gram-sum magnitude discipline);
+    * DuckDB replays it in HUGEINT.
+    *
+    * Plan shape: the rate table is |langs| rows (broadcast), the keep
+    * filter a projection over the cached token frame, the audit a
+    * |langs| aggregate — one corpus-sized scan, no wide shuffle.
+    */
+  def corpusMixTokens(spark: SparkSession, dir: String): DataFrame = {
+    val tmap = map(targetPpm.flatMap { case (l, p) => Seq(lit(l), lit(p)) }: _*)
+    val docs = Bpe.bpeToks(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens").as("bpe"),
+        ppmDraw("mixtok|", col("doc_id")).as("ppm"))
+    val totals = docs.agg(expr("sum(bpe) div 2").as("budget"))
+    val rates = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_avail"), sum("bpe").as("avail_tokens"))
+      .crossJoin(broadcast(totals))
+      .withColumn("target_ppm", element_at(tmap, col("lang")))
+      .withColumn("quota_tokens",
+        expr("(CAST(target_ppm AS DECIMAL(38,0)) * budget) div 1000000"))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr("(CAST(quota_tokens AS DECIMAL(38,0)) * 1000000) div avail_tokens")))
+    val kept = docs.join(broadcast(rates.select("lang", "rate_ppm")), Seq("lang"))
+      .filter(col("ppm") < col("rate_ppm"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("bpe").as("kept_tokens"))
+    val totKept = kept.agg(sum("kept_tokens").as("total_kept_tokens"))
+    rates.join(kept, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_kept", "kept_tokens"))
+      .crossJoin(broadcast(totKept))
+      .select(col("lang"), col("avail_tokens"), col("quota_tokens"),
+        col("rate_ppm"), col("n_kept"), col("kept_tokens"),
+        OracleRound.r4b(col("kept_tokens").cast("double") /
+          col("total_kept_tokens")).as("token_share"))
       .orderBy("lang")
   }
 
@@ -217,6 +299,7 @@ object Corpus2 {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "corpus_mix_sample" -> (corpusMixSample _),
+    "corpus_mix_tokens" -> (corpusMixTokens _),
     "corpus_filter_cascade" -> (corpusFilterCascade _),
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     "text_novelty" -> (textNovelty _))
@@ -269,11 +352,10 @@ object Corpus2 {
     // identical integer arithmetic end-to-end: ppm targets, floor
     // quotas/rates, RollHash64 draw wrapped to signed then pmod 10⁶
     "corpus_mix_sample" -> {
-      val h = Dedup.wrapSql(Dedup.rollSql("s"))
       s"""WITH d0 AS (
          | SELECT doc_id, lang, 'mix|' || CAST(doc_id AS VARCHAR) AS s FROM documents),
          |d AS (
-         | SELECT doc_id, lang, (($h % 1000000) + 1000000) % 1000000 AS ppm FROM d0),
+         | SELECT doc_id, lang, ${ppmDrawSql("s")} AS ppm FROM d0),
          |t AS (SELECT count(*) // 2 AS budget FROM d),
          |a AS (SELECT lang, count(*) AS n_avail FROM d GROUP BY 1),
          |r AS (
@@ -295,6 +377,47 @@ object Corpus2 {
          |  CAST(quota AS BIGINT) AS quota, CAST(rate_ppm AS BIGINT) AS rate_ppm,
          |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
          |  floor((CAST(coalesce(k.n_kept, 0) AS DOUBLE) / total_kept) * 10000 + 0.5) / 10000 AS share
+         |FROM r2 LEFT JOIN k USING (lang) CROSS JOIN tk ORDER BY lang""".stripMargin
+    },
+    // F14's rate arithmetic with token sums from F19's recursive CTEs;
+    // all integer/HUGEINT, same hash draw on an independent stream
+    "corpus_mix_tokens" -> {
+      s"""WITH RECURSIVE ${Bpe.bpeCtes},
+         |d0 AS (
+         | SELECT doc_id, lang, 'mixtok|' || CAST(doc_id AS VARCHAR) AS s
+         | FROM documents),
+         |dl AS (
+         | SELECT d0.doc_id, d0.lang, b.n_bpe AS bpe,
+         |   ${ppmDrawSql("s")} AS ppm
+         | FROM d0 JOIN doc_bpe b USING (doc_id)),
+         |t AS (SELECT sum(bpe) // 2 AS budget FROM dl),
+         |a AS (SELECT lang, count(*) AS n_avail, sum(bpe) AS avail_tokens
+         |      FROM dl GROUP BY 1),
+         |r AS (
+         | SELECT lang, n_avail, avail_tokens,
+         |   CASE lang WHEN 'de' THEN 150000 WHEN 'en' THEN 350000
+         |             WHEN 'es' THEN 150000 WHEN 'fr' THEN 150000
+         |             WHEN 'zh' THEN 200000 END AS target_ppm,
+         |   budget
+         | FROM a CROSS JOIN t),
+         |r2 AS (
+         | SELECT lang, avail_tokens,
+         |   target_ppm::HUGEINT * budget // 1000000 AS quota_tokens,
+         |   least(1000000,
+         |     (target_ppm::HUGEINT * budget // 1000000) * 1000000 // avail_tokens)
+         |     AS rate_ppm
+         | FROM r),
+         |k AS (
+         | SELECT dl.lang, count(*) AS n_kept, sum(bpe) AS kept_tokens
+         | FROM dl JOIN r2 USING (lang) WHERE dl.ppm < r2.rate_ppm GROUP BY 1),
+         |tk AS (SELECT sum(kept_tokens) AS total_kept_tokens FROM k)
+         |SELECT r2.lang, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+         |  CAST(quota_tokens AS BIGINT) AS quota_tokens,
+         |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  floor((CAST(coalesce(k.kept_tokens, 0) AS DOUBLE) / total_kept_tokens)
+         |        * 10000 + 0.5) / 10000 AS token_share
          |FROM r2 LEFT JOIN k USING (lang) CROSS JOIN tk ORDER BY lang""".stripMargin
     },
     // the cascade as conditional prefix-sums over one scan; quality is

@@ -296,6 +296,40 @@ class Round8Spec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"quality gate serving plan joins:\n$plan")
   }
 
+  test("corpus_mix_tokens: rates realize the token quotas and the audit is consistent") {
+    val out = graft.ops.Corpus2.corpusMixTokens(spark, TestSpark.sf).collect()
+    val total = out.map(_.getAs[Long]("kept_tokens")).sum
+    for (r <- out) {
+      val (avail, quota, rate, kept) = (r.getAs[Long]("avail_tokens"),
+        r.getAs[Long]("quota_tokens"), r.getAs[Long]("rate_ppm"),
+        r.getAs[Long]("kept_tokens"))
+      assert(kept <= avail, s"${r.getString(0)}: kept $kept > avail $avail")
+      // full rate keeps every token; partial rate strictly subsamples
+      if (rate == 1000000L) assert(kept == avail)
+      else assert(kept < avail,
+        s"${r.getString(0)}: partial rate $rate kept the whole language")
+      // the realized DOC count tracks the rate within binomial noise
+      // (the token mass follows; a flat token bound would be too tight
+      // for the small per-language samples at the test SF)
+      val nAvail = graft.tables.Tables.documents(spark, TestSpark.sf)
+        .filter($"lang" === r.getString(0)).count()
+      val p = rate.toDouble / 1e6
+      val expectedDocs = nAvail * p
+      val sd = math.sqrt(nAvail * p * (1 - p))
+      assert(math.abs(r.getAs[Long]("n_kept") - expectedDocs) <= 5 * sd + 1,
+        s"${r.getString(0)}: kept ${r.getAs[Long]("n_kept")} docs vs expected " +
+          s"$expectedDocs ± $sd — rate mis-applied")
+      if (quota > 0 && rate > 0) assert(kept > 0)
+    }
+    // shares are kept_tokens/total and sum to ~1 (quantization slack)
+    val shareSum = out.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum to $shareSum")
+    assert(total == out.map(_.getAs[Long]("kept_tokens")).sum)
+    // deterministic: a second invocation replays bit-identically
+    val again = graft.ops.Corpus2.corpusMixTokens(spark, TestSpark.sf).collect()
+    assert(out.sameElements(again))
+  }
+
   test("corpus_shard_bpe: the dual-accounting manifest conserves both token metrics across shards") {
     val manifest = graft.sources.SourceQueries.corpusShardBpe(spark, TestSpark.sf).collect()
     val perDoc = graft.ops.Bpe.textTokenCountBpe(spark, TestSpark.sf)
