@@ -61,27 +61,51 @@ object QualityGate {
     */
   private[graft] def labeled(spark: SparkSession, dir: String): DataFrame =
     graft.QueryCaches.memo(s"qualgate.lab:$dir") {
-      Tables.documents(spark, dir).select(
-        col("doc_id"), col("lang"),
-        (expr("substr(source, 4)").cast("int") % 2 === 0)
-          .cast("int").as("y"),
-        aggregate(split(trim(col("text")), "\\s+"), lit(0L),
-          (acc, t) => acc + tokenSign(t)).as("q"))
-        .persist()
+      labeledOf(Tables.documents(spark, dir)).persist()
     }
 
-  def corpusQualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val lab = labeled(spark, dir)
-    val Seq(_, (b0, b1)) =
-      graft.ml.Irls.irlsRounds(lab.select("y", "q"), rounds = 2)
-    val zt = lit(b0.toLong) * 10000L + lit(b1.toLong) * col("q")
-    lab.select(col("lang"), when(zt >= 0, 1L).otherwise(0L).as("keep"))
-      .groupBy("lang")
+  /** The label+feature projection over an ARBITRARY documents-shaped
+    * frame — shared by the batch gate and G16's per-micro-batch
+    * scoring so the two paths cannot diverge on a single feature bit.
+    */
+  private[graft] def labeledOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"),
+      (expr("substr(source, 4)").cast("int") % 2 === 0)
+        .cast("int").as("y"),
+      aggregate(split(trim(col("text")), "\\s+"), lit(0L),
+        (acc, t) => acc + tokenSign(t)).as("q"))
+
+  /** The trained (b0, b1) ticks, memoized per dir — the frozen model
+    * artifact G16's stream serves (trained offline once, exactly the
+    * production deployment shape).
+    */
+  private[graft] def trainedTicks(spark: SparkSession, dir: String): (Long, Long) =
+    graft.QueryCaches.memo(s"qualgate.beta:$dir") {
+      val Seq(_, (b0, b1)) =
+        graft.ml.Irls.irlsRounds(labeled(spark, dir).select("y", "q"), rounds = 2)
+      (b0.toLong, b1.toLong)
+    }
+
+  /** Per-doc keep verdicts under the frozen model — the scoring
+    * projection both the batch aggregate and G16's stream share.
+    */
+  private[graft] def keepCol(b0: Long, b1: Long): Column =
+    when(lit(b0) * 10000L + lit(b1) * col("q") >= 0, 1L).otherwise(0L)
+
+  /** The per-language audit aggregate shared by F21 and G16's sink. */
+  private[graft] def keepAudit(scored: DataFrame): DataFrame =
+    scored.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_keep"))
       .select(col("lang"), col("n_docs"), col("n_keep"),
         OracleRound.r4b(col("n_keep").cast("double") / col("n_docs"))
           .as("keep_rate"))
       .orderBy("lang")
+
+  def corpusQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val (b0, b1) = trainedTicks(spark, dir)
+    keepAudit(labeled(spark, dir)
+      .select(col("lang"), keepCol(b0, b1).as("keep")))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

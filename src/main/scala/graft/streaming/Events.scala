@@ -139,7 +139,8 @@ object Events {
     "stream_sessionize" -> (streamSessionize _),
     "stream_session_window" -> (streamSessionWindow _),
     "stream_window_topk" -> (streamWindowTopk _),
-    "stream_corpus_admit" -> (CorpusAdmit.streamCorpusAdmit _))
+    "stream_corpus_admit" -> (CorpusAdmit.streamCorpusAdmit _),
+    "stream_quality_admit" -> (QualityAdmit.streamQualityAdmit _))
 
   /** G9 — windowed heavy hitters: top-3 event types per tumbling hour
     * (the live "what's trending this hour" report). The per-window rank
@@ -164,6 +165,10 @@ object Events {
     // D13's oracle VERBATIM: the streaming ingest gate and the batch
     // backfill must hash-agree verdict for verdict
     "stream_corpus_admit" -> graft.ops.Dedup2.oracles("dedup_incremental"),
+    // G16 scores the stream with F21's exact projections under the
+    // frozen offline-trained model — the sink audit shares F21's
+    // oracle verbatim, hash-proving stream ≡ batch verdicts
+    "stream_quality_admit" -> graft.ops.QualityGate.oracles("corpus_quality_gate"),
     "stream_window_topk" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events

@@ -296,6 +296,39 @@ class Round8Spec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"quality gate serving plan joins:\n$plan")
   }
 
+  test("stream_quality_admit: split batches, idempotent redelivery, and verdict parity with the batch gate") {
+    import graft.ops.QualityGate
+    import graft.streaming.QualityAdmit
+    val sf = TestSpark.sf
+    val (b0, b1) = QualityGate.trainedTicks(spark, sf)
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val sink = graft.Scratch.dir("qa_spec")
+    // a SPLIT source: two micro-batches cover the corpus disjointly
+    QualityAdmit.scoreBatch(docs.filter($"doc_id" % 2 === 0), b0, b1, sink, 0L)
+    QualityAdmit.scoreBatch(docs.filter($"doc_id" % 2 =!= 0), b0, b1, sink, 1L)
+    assert(spark.read.parquet(sink).count() == docs.count(),
+      "split batches lost or duplicated docs")
+    // at-least-once redelivery: batch 0 re-scored under the same id
+    // REPLACES its partition instead of doubling it
+    QualityAdmit.scoreBatch(docs.filter($"doc_id" % 2 === 0), b0, b1, sink, 0L)
+    // fresh read — the overwrite invalidated the earlier file listing
+    val all = spark.read.parquet(sink).drop("batch")
+    assert(all.count() == docs.count(),
+      "redelivered micro-batch duplicated verdicts")
+    // per-doc verdict parity with the batch gate's scoring projection
+    val expected = QualityGate.labeled(spark, sf)
+      .select($"doc_id", QualityGate.keepCol(b0, b1).as("keep"))
+    assert(all.select("doc_id", "keep").except(expected).count() == 0 &&
+      expected.except(all.select("doc_id", "keep")).count() == 0,
+      "stream verdicts diverge from the batch gate")
+    // and the contract query's audited sink equals F21's audit exactly
+    // (the shared-oracle claim, proven engine-side too)
+    val stream = QualityAdmit.streamQualityAdmit(spark, sf).collect()
+    val batch = QualityGate.corpusQualityGate(spark, sf).collect()
+    assert(stream.sameElements(batch),
+      "audited stream sink diverges from the batch quality gate")
+  }
+
   test("corpus_mix_tokens: rates realize the token quotas and the audit is consistent") {
     val out = graft.ops.Corpus2.corpusMixTokens(spark, TestSpark.sf).collect()
     val total = out.map(_.getAs[Long]("kept_tokens")).sum
