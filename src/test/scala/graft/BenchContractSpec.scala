@@ -50,6 +50,25 @@ class BenchContractSpec extends AnyFunSuite {
       "final line carries queries outside the headline set")
   }
 
+  test("bench final line stays parseable under a comma-decimal default locale") {
+    // the round-7 ADVICE class: the f interpolator honors the JVM
+    // default locale, and a de_DE default would render 1,234 instead
+    // of 1.234 — an unparseable graded line, the same driver-blindness
+    // failure the length budget guards via a different channel. The
+    // formatter must pin Locale.ROOT regardless of the default.
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.finalLine(12.345,
+        Seq("q_agg_pricing" -> 1.5, "q_join_shuffle" -> 0.25),
+        shuffleOk = true, gate = "enforced", sfDir = "/x/sf0.1")
+      val node = mapper.readTree(line) // throws on a comma decimal
+      assert(node.get("value").asDouble() == 12.345)
+      assert(node.get("queries").get("q_agg_pricing").asDouble() == 1.5)
+      assert(!line.contains("12,345"), s"locale leaked into the line: $line")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("bench sidecar line is valid JSON carrying both shuffle maps") {
     val node = mapper.readTree(Bench.sidecarLine(
       Seq("a" -> 1L, "b" -> -1L), Seq("c" -> 42L)))
