@@ -42,7 +42,11 @@ object Bench {
     // consumer, the HLL sketch-state merge, the codebook-refresh gate,
     // and the IRLS-trained corpus filter — the six new plan shapes
     "text_redact", "text_token_count_bpe", "corpus_pack_bpe",
-    "q_incremental_distinct", "ann_index_refresh", "corpus_quality_gate")
+    "q_incremental_distinct", "ann_index_refresh", "corpus_quality_gate",
+    // round-8 second wave: document-splitting sequence packing (the
+    // chunk-explode + rank/bin shape) and the bucketed corpus layout
+    // (F17's rebuild join over a bucket-co-located scan)
+    "corpus_pack_split", "src_bucketed_corpus")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

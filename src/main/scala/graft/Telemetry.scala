@@ -126,6 +126,8 @@ object ShuffleBudget {
     "text_redact" -> 190000L,
     "text_token_count_bpe" -> 16000L,
     "corpus_pack_bpe" -> 13000L,
+    "corpus_pack_split" -> 100000L,
+    "src_bucketed_corpus" -> 710000L,
     "q_incremental_distinct" -> 30000L,
     "ann_index_refresh" -> 2500L,
     "corpus_quality_gate" -> 1300L)
@@ -171,6 +173,8 @@ object ShuffleBudget {
     "text_redact" -> 1800000L,
     "text_token_count_bpe" -> 150000L,
     "corpus_pack_bpe" -> 110000L,
+    "corpus_pack_split" -> 770000L,
+    "src_bucketed_corpus" -> 6900000L,
     "q_incremental_distinct" -> 980000L,
     "ann_index_refresh" -> 13000L,
     "corpus_quality_gate" -> 1700L)

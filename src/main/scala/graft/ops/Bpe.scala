@@ -129,9 +129,53 @@ object Bpe {
                     capacity: Long = 2048): DataFrame =
     Corpus.packBins(bpeToks(spark, dir).drop("lang"), capacity)
 
+  /** F23 — `corpus_pack_split`: packing WITH document splitting — the
+    * semantics F12/F20 cannot honor once a document exceeds the bin
+    * capacity (whole-doc LPT must overflow a bin; a real packer cuts
+    * the doc and wraps the remainder into the next sequence). Each
+    * non-empty document becomes ⌈tokens/capacity⌉ chunks — full
+    * capacity each except the remainder tail — and the CHUNKS are
+    * LPT-assigned (rank tie-break extended by the chunk index to stay
+    * a total order). Every chunk is ≤ capacity by construction, so
+    * the LPT spread bound (max−min ≤ largest item) now also bounds
+    * every bin's overshoot by < one capacity — the guarantee
+    * whole-doc packing loses on long docs. Empty documents carry zero
+    * tokens and are dropped (what a trainer does).
+    *
+    * The CONTRACT query runs capacity 64 so the split path is
+    * genuinely exercised at every SF (the synthetic docs are ~80-120
+    * BPE tokens — at the production-scale 2048 nothing would split
+    * and the operator would be F20 in disguise); production tunes
+    * capacity to the trainer's sequence length.
+    *
+    * Scale shape: the chunk explode is a pure projection (≤ 1 extra
+    * row per capacity-worth of tokens — output-proportional, the
+    * unavoidable floor), then F12's rank/bin machinery unchanged.
+    */
+  def corpusPackSplit(spark: SparkSession, dir: String,
+                      capacity: Long = 64): DataFrame = {
+    val lastChunk = (c: String) => expr(s"($c - 1) div $capacity")
+    val chunks = bpeToks(spark, dir)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens").as("doc_tokens"),
+        explode(sequence(lit(0L), lastChunk("n_tokens"))).as("chunk"))
+      .select(col("doc_id"), col("chunk"),
+        when(col("chunk") < lastChunk("doc_tokens"), lit(capacity))
+          .otherwise(col("doc_tokens") - col("chunk") * capacity).as("n_tokens"))
+    Corpus.binAssigned(chunks, capacity,
+      col("n_tokens").desc, col("doc_id"), col("chunk"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        max("n_tokens").as("max_chunk_tokens"))
+      .orderBy("bin")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count_bpe" -> (textTokenCountBpe _),
-    "corpus_pack_bpe" -> ((s, d) => corpusPackBpe(s, d)))
+    "corpus_pack_bpe" -> ((s, d) => corpusPackBpe(s, d)),
+    "corpus_pack_split" -> ((s, d) => corpusPackSplit(s, d)))
 
   /** The shared maximal-munch replay: DISTINCT words advance
     * (pos, cnt) under the identical literal CASE until pos passes the
@@ -159,6 +203,33 @@ object Bpe {
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(n_bpe AS BIGINT) AS n_bpe_tokens
          |FROM doc_bpe ORDER BY doc_id""".stripMargin,
+    // chunk explode via generate_series + the same rank/bin replay;
+    // tie-break extended by chunk (a total order — capacity-sized
+    // chunks of one doc are otherwise rank-ambiguous)
+    "corpus_pack_split" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |t AS (SELECT doc_id, CAST(n_bpe AS BIGINT) AS doc_tokens
+         |      FROM doc_bpe WHERE n_bpe > 0),
+         |ch0 AS (
+         |  SELECT doc_id, doc_tokens,
+         |    unnest(generate_series(0, (doc_tokens - 1) // 64)) AS chunk
+         |  FROM t),
+         |ch AS (
+         |  SELECT doc_id, chunk,
+         |    CASE WHEN chunk < (doc_tokens - 1) // 64 THEN 64
+         |         ELSE doc_tokens - chunk * 64 END AS n_tokens
+         |  FROM ch0),
+         |p AS (SELECT CAST((sum(n_tokens) + 63) // 64 AS BIGINT) AS nbins FROM ch),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    (row_number() OVER (ORDER BY n_tokens DESC, doc_id, chunk) - 1)
+         |      % p.nbins AS bin
+         |  FROM ch CROSS JOIN p)
+         |SELECT bin, count(*) AS n_chunks,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         |  CAST(max(n_tokens) AS BIGINT) AS max_chunk_tokens
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // F12's pack replay verbatim, with n_tokens := the BPE count
     "corpus_pack_bpe" ->
       s"""WITH RECURSIVE $bpeCtes,

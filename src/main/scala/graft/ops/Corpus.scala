@@ -108,7 +108,22 @@ object Corpus {
     * variant so the bin policy can never drift between the two
     * accountings.
     */
-  private[ops] def packBins(toks: DataFrame, capacity: Long): DataFrame = {
+  private[ops] def packBins(toks: DataFrame, capacity: Long): DataFrame =
+    binAssigned(toks, capacity, col("n_tokens").desc, col("doc_id"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        max("n_tokens").as("max_doc_tokens"))
+      .orderBy("bin")
+
+  /** The LPT bin assignment over an arbitrary token frame with an
+    * explicit TOTAL sort order (F23's chunk frame needs the chunk
+    * index in the tie-break — two capacity-sized chunks of one doc
+    * would otherwise rank non-deterministically): bins =
+    * ⌈Σtokens/capacity⌉ from one bounded driver aggregate, bin =
+    * (global rank − 1) mod bins via [[DistRank]].
+    */
+  private[ops] def binAssigned(toks: DataFrame, capacity: Long,
+      sort: org.apache.spark.sql.Column*): DataFrame = {
     // ⌈Σtokens / capacity⌉ — one bounded driver aggregate (2 longs)
     val totalRow = toks.agg(sum("n_tokens")).head()
     require(!totalRow.isNullAt(0),
@@ -116,14 +131,9 @@ object Corpus {
         "pack; upstream produced no documents")
     val total = totalRow.getLong(0)
     val nbins = math.max(1L, (total + capacity - 1) / capacity)
-    val ranked = DistRank.withGlobalRank(toks, "rank",
-      col("n_tokens").desc, col("doc_id"))
-    ranked
-      .select(col("n_tokens"), ((col("rank") - 1) % nbins).as("bin"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
-        max("n_tokens").as("max_doc_tokens"))
-      .orderBy("bin")
+    DistRank.withGlobalRank(toks, "rank", sort: _*)
+      .withColumn("bin", (col("rank") - 1) % nbins)
+      .drop("rank")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

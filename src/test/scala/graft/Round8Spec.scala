@@ -363,6 +363,66 @@ class Round8Spec extends AnyFunSuite {
     assert(out.sameElements(again))
   }
 
+  test("corpus_pack_split: chunks are capacity-bounded, reassemble exactly, and the split genuinely fires") {
+    val cap = 64L
+    val bins = graft.ops.Bpe.corpusPackSplit(spark, TestSpark.sf).collect()
+    val perDoc = graft.ops.Bpe.textTokenCountBpe(spark, TestSpark.sf)
+      .filter($"n_bpe_tokens" > 0)
+      .agg(sum("n_bpe_tokens"), count(lit(1)),
+        sum(expr("CAST((n_bpe_tokens - 1) div 64 AS BIGINT) + 1"))).head()
+    val (total, nDocs, nChunks) =
+      (perDoc.getLong(0), perDoc.getLong(1), perDoc.getLong(2))
+    // every chunk respects the capacity — the guarantee whole-doc LPT
+    // loses on long docs
+    assert(bins.forall(_.getAs[Long]("max_chunk_tokens") <= cap))
+    // token conservation + exact chunk accounting (⌈tokens/cap⌉ per doc)
+    assert(bins.map(_.getAs[Long]("bin_tokens")).sum == total)
+    assert(bins.map(_.getAs[Long]("n_chunks")).sum == nChunks)
+    // the split path genuinely fires on the contract corpus: more
+    // chunks than docs (non-vacuity — at capacity 2048 nothing splits)
+    assert(nChunks > nDocs, s"no document split: $nChunks chunks of $nDocs docs")
+    // LPT spread bounded by the largest chunk (≤ capacity)
+    val loads = bins.map(_.getAs[Long]("bin_tokens"))
+    assert(loads.max - loads.min <= cap,
+      s"bin spread ${loads.max - loads.min} exceeds the capacity bound")
+    assert(bins.length == ((total + cap - 1) / cap).toInt)
+  }
+
+  test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // broadcast would hide the claim (the span side is tiny at test SF)
+    // and AQE wraps stages — force the static sort-merge plan the join
+    // takes when both sides are fact-sized
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.sources.SourceQueries.srcBucketedCorpus(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan
+      def bucketScans(p: SparkPlan) =
+        p.collect { case s: FileSourceScanExec if s.bucketedScan => s }
+      def exchanges(p: SparkPlan) =
+        p.collect { case e: ShuffleExchangeExec => e }
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected sort-merge joins in:\n$plan")
+      // the doc_id rebuild join must read the bucketed corpus scan with
+      // NO exchange between scan and join; the span side shuffles into
+      // the bucket partitioning (affected-docs-sized — that's the point)
+      assert(smjs.exists(j => Seq(j.left, j.right).exists(c =>
+        bucketScans(c).nonEmpty && exchanges(c).isEmpty)),
+        s"no exchange-free bucketed side under any join in:\n$plan")
+      // layout invariance: identical rows to F17 over the flat parquet
+      val flat = graft.ops.Dedup2.corpusPassageClean(spark, TestSpark.sf)
+      assert(df.collect().toSeq == flat.collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("corpus_shard_bpe: the dual-accounting manifest conserves both token metrics across shards") {
     val manifest = graft.sources.SourceQueries.corpusShardBpe(spark, TestSpark.sf).collect()
     val perDoc = graft.ops.Bpe.textTokenCountBpe(spark, TestSpark.sf)
