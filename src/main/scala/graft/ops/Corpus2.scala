@@ -188,6 +188,64 @@ object Corpus2 {
       .orderBy("lang")
   }
 
+  /** Fractional epoch factors per language, in ppm of one epoch
+    * (2_400_000 ≙ 2.4 epochs). Deliberately mixed regime: >1 upsamples
+    * (the curated-domain case), =1 passes through, <1 downsamples (the
+    * crawl case) — one copies formula must cover all three.
+    */
+  private[graft] val epochPpm: Seq[(String, Long)] = Seq(
+    "de" -> 2400000L, "en" -> 1000000L, "es" -> 3000000L,
+    "fr" -> 700000L, "zh" -> 1500000L)
+
+  /** F24 — `corpus_upsample`: fractional-EPOCH replication — the
+    * data-recipe step F14/F22's keep/drop draws cannot express.
+    * Published pretraining mixes assign non-integer epoch counts per
+    * domain ("2.4 epochs of books"); the standard realization is ⌊f⌋
+    * guaranteed copies of every document plus one more with
+    * probability frac(f). With the shared finalized ppm draw
+    * (independent "ups|" stream): copies = f_ppm div 10⁶ +
+    * (draw < f_ppm mod 10⁶ ? 1 : 0) — deterministic, bit-replayable,
+    * and f < 1 degenerates exactly to F14's subsample (0 base copies)
+    * while f = 1 is a pass-through.
+    *
+    * The REPLICA frame is the operator's product: each copy carries a
+    * replica index (explode over `sequence` — output-proportional, the
+    * unavoidable floor for replication) so downstream
+    * shuffling/packing/sharding treats copies as distinct rows. The
+    * contract query audits the exploded frame per language — realized
+    * copies and tokens, realized factor quantized r4b against the
+    * per-language availability.
+    *
+    * Plan: one corpus scan projected to (lang, tokens, draw), copies a
+    * literal-map projection, explode, |langs|-row aggregates — no
+    * joins on the replica path, no wide shuffle.
+    */
+  def corpusUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val fmap = map(epochPpm.flatMap { case (l, p) => Seq(lit(l), lit(p)) }: _*)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        ppmDraw("ups|", col("doc_id")).as("ppm"))
+      .withColumn("f_ppm", element_at(fmap, col("lang")))
+      .withColumn("copies",
+        expr("f_ppm div 1000000") +
+          when(col("ppm") < expr("f_ppm % 1000000"), 1L).otherwise(0L))
+    val replicas = docs.filter(col("copies") > 0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        explode(expr("sequence(1L, copies)")).as("replica"))
+    val avail = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_avail"), max("f_ppm").as("factor_ppm"))
+    val rep = replicas.groupBy("lang")
+      .agg(count(lit(1)).as("n_copies"), sum("n_tokens").as("copy_tokens"))
+    avail.join(rep, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_copies", "copy_tokens"))
+      .select(col("lang"), col("n_avail"), col("factor_ppm"),
+        col("n_copies"), col("copy_tokens"),
+        OracleRound.r4b(col("n_copies").cast("double") / col("n_avail"))
+          .as("realized_factor"))
+      .orderBy("lang")
+  }
+
   /** F15 — `corpus_filter_cascade`: the staged keep/drop funnel a
     * curation run reports — language gate, minimum length, quality
     * threshold (F2's exact formula via [[Text.qualityScoreCol]]), and a
@@ -300,6 +358,7 @@ object Corpus2 {
     "text_repetition" -> (textRepetition _),
     "corpus_mix_sample" -> (corpusMixSample _),
     "corpus_mix_tokens" -> (corpusMixTokens _),
+    "corpus_upsample" -> (corpusUpsample _),
     "corpus_filter_cascade" -> (corpusFilterCascade _),
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     "text_novelty" -> (textNovelty _))
@@ -378,6 +437,37 @@ object Corpus2 {
          |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
          |  floor((CAST(coalesce(k.n_kept, 0) AS DOUBLE) / total_kept) * 10000 + 0.5) / 10000 AS share
          |FROM r2 LEFT JOIN k USING (lang) CROSS JOIN tk ORDER BY lang""".stripMargin
+    },
+    // the identical finalized "ups|" draw, the same copies formula, the
+    // audit aggregated from per-doc copies (aggregate-equal to the
+    // engine's exploded replica frame)
+    "corpus_upsample" -> {
+      val fcase = "CASE lang " + epochPpm.map { case (l, p) =>
+        s"WHEN '$l' THEN $p" }.mkString(" ") + " END"
+      s"""WITH d0 AS (
+         | SELECT doc_id, lang,
+         |   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |   'ups|' || CAST(doc_id AS VARCHAR) AS s FROM documents),
+         |d AS (
+         | SELECT lang, n_tokens, ${ppmDrawSql("s")} AS ppm,
+         |   $fcase AS f_ppm FROM d0),
+         |c AS (
+         | SELECT lang, n_tokens, f_ppm,
+         |   f_ppm // 1000000 +
+         |     CASE WHEN ppm < f_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+         | FROM d),
+         |a AS (SELECT lang, count(*) AS n_avail, max(f_ppm) AS factor_ppm
+         |      FROM c GROUP BY 1),
+         |r AS (SELECT lang, sum(copies) AS n_copies,
+         |        sum(copies * n_tokens) AS copy_tokens
+         |      FROM c GROUP BY 1)
+         |SELECT a.lang, CAST(n_avail AS BIGINT) AS n_avail,
+         |  CAST(factor_ppm AS BIGINT) AS factor_ppm,
+         |  CAST(coalesce(n_copies, 0) AS BIGINT) AS n_copies,
+         |  CAST(coalesce(copy_tokens, 0) AS BIGINT) AS copy_tokens,
+         |  floor((CAST(coalesce(n_copies, 0) AS DOUBLE) / n_avail) * 10000 + 0.5) / 10000
+         |    AS realized_factor
+         |FROM a LEFT JOIN r USING (lang) ORDER BY lang""".stripMargin
     },
     // F14's rate arithmetic with token sums from F19's recursive CTEs;
     // all integer/HUGEINT, same hash draw on an independent stream

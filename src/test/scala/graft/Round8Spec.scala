@@ -388,6 +388,34 @@ class Round8Spec extends AnyFunSuite {
     assert(bins.length == ((total + cap - 1) / cap).toInt)
   }
 
+  test("corpus_upsample: copies land in {floor(f), floor(f)+1} per doc and realize the fractional epoch binomially") {
+    val out = graft.ops.Corpus2.corpusUpsample(spark, TestSpark.sf).collect()
+    val fm = graft.ops.Corpus2.epochPpm.toMap
+    assert(out.map(_.getAs[String]("lang")).toSet == fm.keySet)
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val f = fm(lang)
+      assert(r.getAs[Long]("factor_ppm") == f)
+      val n = r.getAs[Long]("n_avail")
+      val c = r.getAs[Long]("n_copies")
+      val base = f / 1000000L
+      val frac = (f % 1000000L).toDouble / 1e6
+      // hard bounds: every doc contributes floor(f) or floor(f)+1 copies
+      assert(c >= n * base && c <= n * (base + 1),
+        s"$lang: $c copies outside [$base, ${base + 1}] per doc over $n docs")
+      if (frac == 0.0) {
+        // integer epochs realize exactly (en 1x, es 3x on the contract table)
+        assert(c == n * base, s"$lang: integer factor must be exact")
+      } else {
+        // fractional part realizes binomially under the finalized draw
+        val exp = n * base + n * frac
+        val sd = math.sqrt(n * frac * (1 - frac))
+        assert(math.abs(c - exp) <= 5 * sd + 1,
+          s"$lang: $c vs expected $exp (sd $sd) — draw non-uniformity")
+      }
+    }
+  }
+
   test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
