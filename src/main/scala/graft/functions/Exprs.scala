@@ -287,6 +287,48 @@ case class Mix64(child: Expression, a: Long, b: Long)
     copy(child = newChild)
 }
 
+/** SplitMix64 finalizer (Steele/Lea/Flood's SplittableRandom mix, the
+  * public-domain xor-shift-multiply avalanche): the ORDERING-grade
+  * scrambler the affine [[Mix64]] is not. An affine map a·h+b mod 2⁶⁴
+  * is monotone between wraparounds, so over dense sequential inputs its
+  * HIGH bits barely move — fine for a mod-10⁶ keep rate (the low bits
+  * equidistribute), useless as a sort key (F25 measured 498/499
+  * doc_id-ascending adjacent pairs under Mix64). Three rounds give full
+  * avalanche; wrapping Java long semantics; replayable exactly in any
+  * 128-bit-integer engine via xor + floor-divide + mod-2⁶⁴ multiply.
+  */
+case class Avalanche64(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_avalanche64 expects a bigint argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_avalanche64"
+
+  override def nullSafeEval(input: Any): Any = {
+    var z = input.asInstanceOf[Long]
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val z = ctx.freshName("z")
+      s"""
+         |long $z = $c;
+         |$z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |$z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |${ev.value} = $z ^ ($z >>> 31);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Avalanche64 =
+    copy(child = newChild)
+}
+
 /** Wrapping polynomial fold over an array<long>: s = 31·s + xᵢ (mod 2⁶⁴)
   * from seed 1125899906842597 — combines a band index + its minhash rows
   * into one 64-bit band signature in a single pass, again with wrapping

@@ -73,6 +73,12 @@ object VectorOps {
   def mix64(c: Column, a: Long, b: Long): Column =
     org.apache.spark.sql.GraftColumnBridge.column(Mix64(expression(c), a, b))
 
+  /** SplitMix64 finalizer — full-avalanche scramble of a bigint column
+    * (ordering-grade; see [[graft.functions.Avalanche64]]).
+    */
+  def avalanche64(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(Avalanche64(expression(c)))
+
   /** Wrapping polynomial fold 31·s + xᵢ over an array<long> column. */
   def combine64(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(Combine64(expression(c)))

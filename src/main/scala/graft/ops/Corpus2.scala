@@ -86,17 +86,43 @@ object Corpus2 {
     * on independent tag streams.
     */
   private[graft] def ppmDraw(tag: String, idCol: org.apache.spark.sql.Column) =
-    pmod(graft.functions.VectorOps.mix64(
-      rollhash64(concat(lit(tag), idCol.cast("string"))), drawA, drawB),
-      lit(1000000L))
+    pmod(mixDraw(tag, idCol), lit(1000000L))
+
+  /** The full-width finalized draw (no ppm reduction) — F25's shuffle
+    * key, and the shared core the ppm draws reduce. 64 bits instead of
+    * mod 10⁶ because an ORDERING key needs dispersion, not a rate.
+    */
+  private[graft] def mixDraw(tag: String, idCol: org.apache.spark.sql.Column) =
+    graft.functions.VectorOps.mix64(
+      rollhash64(concat(lit(tag), idCol.cast("string"))), drawA, drawB)
 
   /** The draw's DuckDB replay: unsigned mix mod 2⁶⁴ → signed wrap →
     * pmod 10⁶, over a string expression `s` (the "tag|id" column).
     */
-  private[graft] def ppmDrawSql(s: String): String = {
+  private[graft] def ppmDrawSql(s: String): String =
+    s"(((${mixDrawSql(s)}) % 1000000) + 1000000) % 1000000"
+
+  /** [[mixDraw]]'s DuckDB replay (signed 64-bit, no reduction). */
+  private[graft] def mixDrawSql(s: String): String = {
     val mixed = s"((${Dedup.rollSql(s)} * ${drawA}::HUGEINT + " +
       s"${drawB}::HUGEINT) % ${Dedup.U64})"
-    s"(((${Dedup.wrapSql(mixed)}) % 1000000) + 1000000) % 1000000"
+    Dedup.wrapSql(mixed)
+  }
+
+  /** `(u · c) mod 2⁶⁴` for an UNSIGNED HUGEINT column `u` and a full
+    * 64-bit constant, via 32-bit schoolbook split — the direct product
+    * of two ~2⁶⁴ values overflows INT128 (ppmDrawSql never hits this:
+    * its multiplier is 31 bits). The uh·ch·2⁶⁴ term vanishes mod 2⁶⁴;
+    * the cross terms reduce mod 2³² before scaling so every
+    * intermediate stays under 2⁶⁵.
+    */
+  private def mulModSql(u: String, c: BigInt): String = {
+    val ch = c >> 32
+    val cl = c & 0xFFFFFFFFL
+    s"((($u % 4294967296::HUGEINT) * ${cl}::HUGEINT + " +
+      s"((($u // 4294967296::HUGEINT) * ${cl}::HUGEINT + " +
+      s"($u % 4294967296::HUGEINT) * ${ch}::HUGEINT) % 4294967296::HUGEINT) " +
+      s"* 4294967296::HUGEINT) % ${Dedup.U64})"
   }
 
   /** F14 — `corpus_mix_sample`: deterministic mixture sampling — hit a
@@ -246,6 +272,41 @@ object Corpus2 {
       .orderBy("lang")
   }
 
+  /** F25 — `corpus_shuffle`: deterministic global TRAINING ORDER — the
+    * reproducible corpus-wide shuffle every trainer wants before
+    * sharding (stream order must look random, yet replay identically
+    * across re-runs and engines; `rand()` gives neither). Position =
+    * exact global rank of the full-width finalized draw ([[mixDraw]],
+    * independent "shuf|" stream; 64 bits, not ppm — an ordering key
+    * needs dispersion, not a rate), ties broken by doc_id; shard =
+    * (pos−1) mod n interleaves the permutation into EXACTLY balanced
+    * shards (±1 doc — I16's hash-mod draw balances only multinomially,
+    * and carries no order).
+    *
+    * The key is the SplitMix64 avalanche ([[graft.functions.VectorOps
+    * .avalanche64]]), NOT the affine [[mixDraw]]: an affine map is
+    * monotone between wraparounds, so over dense ids its high bits
+    * barely move and the "shuffle" stays 99.8% doc_id-ascending (the
+    * spec's ascent test caught exactly that on the first cut — the
+    * same measurement-over-assumption lesson as F14's draw). Rates
+    * need uniform LOW bits; orderings need avalanched HIGH bits.
+    *
+    * Scale shape: one projection to (doc_id, key), then [[DistRank]]'s
+    * range-sliced rank — full-parallelism sort, no single-partition
+    * window; the only corpus-sized exchange moves 16 B rows.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String,
+                    nshards: Long = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.VectorOps.avalanche64(
+        rollhash64(concat(lit("shuf|"), col("doc_id").cast("string"))))
+        .as("key"))
+    DistRank.withGlobalRank(docs, "pos", col("key"), col("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        ((col("pos") - 1) % nshards).as("shard"))
+      .orderBy("pos")
+  }
+
   /** F15 — `corpus_filter_cascade`: the staged keep/drop funnel a
     * curation run reports — language gate, minimum length, quality
     * threshold (F2's exact formula via [[Text.qualityScoreCol]]), and a
@@ -359,6 +420,7 @@ object Corpus2 {
     "corpus_mix_sample" -> (corpusMixSample _),
     "corpus_mix_tokens" -> (corpusMixTokens _),
     "corpus_upsample" -> (corpusUpsample _),
+    "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "corpus_filter_cascade" -> (corpusFilterCascade _),
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     "text_novelty" -> (textNovelty _))
@@ -438,6 +500,26 @@ object Corpus2 {
          |  floor((CAST(coalesce(k.n_kept, 0) AS DOUBLE) / total_kept) * 10000 + 0.5) / 10000 AS share
          |FROM r2 LEFT JOIN k USING (lang) CROSS JOIN tk ORDER BY lang""".stripMargin
     },
+    // the identical "shuf|" roll hash pushed through the SplitMix64
+    // avalanche staged as CTEs (xor + floor-divide shifts + mod-2⁶⁴
+    // multiplies, all in unsigned HUGEINT space), then the rank as one
+    // window — the single-partition formulation DistRank replaces
+    "corpus_shuffle" ->
+      s"""WITH d0 AS (
+         | SELECT doc_id, 'shuf|' || CAST(doc_id AS VARCHAR) AS s FROM documents),
+         |h0 AS (SELECT doc_id, ${Dedup.rollSql("s")} AS u0 FROM d0),
+         |hx1 AS (SELECT doc_id, xor(u0, u0 // 1073741824::HUGEINT) AS x1 FROM h0),
+         |h1 AS (SELECT doc_id, ${mulModSql("x1", BigInt("13787848793156543929"))} AS u1 FROM hx1),
+         |hx2 AS (SELECT doc_id, xor(u1, u1 // 134217728::HUGEINT) AS x2 FROM h1),
+         |h2 AS (SELECT doc_id, ${mulModSql("x2", BigInt("10723151780598845931"))} AS u2 FROM hx2),
+         |d AS (SELECT doc_id,
+         |        ${Dedup.wrapSql("xor(u2, u2 // 2147483648::HUGEINT)")} AS key
+         |      FROM h2),
+         |r AS (SELECT doc_id,
+         |        row_number() OVER (ORDER BY key, doc_id) AS pos FROM d)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST((pos - 1) % 8 AS BIGINT) AS shard
+         |FROM r ORDER BY pos""".stripMargin,
     // the identical finalized "ups|" draw, the same copies formula, the
     // audit aggregated from per-doc copies (aggregate-equal to the
     // engine's exploded replica frame)

@@ -416,6 +416,31 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("corpus_shuffle: an exact balanced permutation that actually scrambles the input order") {
+    val out = graft.ops.Corpus2.corpusShuffle(spark, TestSpark.sf).collect()
+    val n = out.length
+    // exact permutation: positions are 1..n, each once
+    val poss: Array[Long] = out.map(_.getAs[Long]("pos")).sorted
+    assert(poss.sameElements(Array.tabulate(n)(i => i + 1L)))
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == n)
+    // exactly balanced shards (±1) — the property I16's multinomial
+    // hash-mod draw cannot give
+    val sizes: Seq[Int] =
+      out.groupBy(_.getAs[Long]("shard")).values.map(_.length).toSeq
+    assert(sizes.max - sizes.min <= 1, s"shard sizes: $sizes")
+    // the order genuinely scrambles: adjacent doc_id ascents of a
+    // uniform permutation are Binomial(n-1, 1/2)
+    val byPos = out.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id"))
+    val ascents = byPos.sliding(2).count(p => p(1) > p(0))
+    val exp = (n - 1) / 2.0
+    val sd = math.sqrt((n - 1) / 4.0)
+    assert(math.abs(ascents - exp) <= 5 * sd,
+      s"$ascents ascents of ${n - 1} pairs — key non-uniformity")
+    // determinism: a second evaluation is identical
+    val again = graft.ops.Corpus2.corpusShuffle(spark, TestSpark.sf).collect()
+    assert(out.map(_.toSeq).sameElements(again.map(_.toSeq)))
+  }
+
   test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
