@@ -125,6 +125,22 @@ object Corpus2 {
       s"* 4294967296::HUGEINT) % ${Dedup.U64})"
   }
 
+  /** The staged SplitMix64 avalanche of the "shuf|" roll hash, as CTEs
+    * ending in `d(doc_id, lang, key)` — shared by F25's and F26's
+    * oracles so both engines' ordering key is ONE definition.
+    */
+  private lazy val shuffleKeyCtes: String =
+    s"""d0 AS (
+       | SELECT doc_id, lang, 'shuf|' || CAST(doc_id AS VARCHAR) AS s FROM documents),
+       |h0 AS (SELECT doc_id, lang, ${Dedup.rollSql("s")} AS u0 FROM d0),
+       |hx1 AS (SELECT doc_id, lang, xor(u0, u0 // 1073741824::HUGEINT) AS x1 FROM h0),
+       |h1 AS (SELECT doc_id, lang, ${mulModSql("x1", BigInt("13787848793156543929"))} AS u1 FROM hx1),
+       |hx2 AS (SELECT doc_id, lang, xor(u1, u1 // 134217728::HUGEINT) AS x2 FROM h1),
+       |h2 AS (SELECT doc_id, lang, ${mulModSql("x2", BigInt("10723151780598845931"))} AS u2 FROM hx2),
+       |d AS (SELECT doc_id, lang,
+       |        ${Dedup.wrapSql("xor(u2, u2 // 2147483648::HUGEINT)")} AS key
+       |      FROM h2)""".stripMargin
+
   /** F14 — `corpus_mix_sample`: deterministic mixture sampling — hit a
     * target per-language share of a total budget (half the corpus) with
     * hash-draw keeps, the way pretraining mixes rebalance domains.
@@ -307,6 +323,55 @@ object Corpus2 {
       .orderBy("pos")
   }
 
+  /** F26 — `corpus_interleave`: mixture-PRESERVING deterministic
+    * training order — F25 randomizes globally, but a random permutation
+    * only matches the language mix in expectation; a trainer that wants
+    * EVERY batch to see the corpus mix needs stride interleaving: give
+    * each document its shuffled within-language position p (1..n_l) and
+    * order globally by the exact integer stride key ⌊p·10¹²/n_l⌋ (ties
+    * by lang, doc_id) — language l occupies every prefix proportionally
+    * to n_l/N within ±1 per language, and within a language the F25
+    * shuffle order is preserved as a subsequence.
+    *
+    * The per-language position does NOT use a lang-partitioned window
+    * (|langs| partitions would serialize the corpus at 100 TB): one
+    * [[DistRank.withRunningSumsAndTotals]] pass over the avalanched key
+    * order carries a per-language indicator column each — the running
+    * sum of a row's own language indicator IS its within-language
+    * position, at full parallelism, and the totals frame hands back
+    * n_l without a second aggregate scan. Stride arithmetic in
+    * decimal(38,0) (p·10¹² overflows int64 past ~9M docs per language —
+    * the 100 TB regime; F22's discipline). Languages come from the
+    * declared target table (F14's discipline).
+    */
+  def corpusInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val langs = targetPpm.map(_._1)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.VectorOps.avalanche64(
+          rollhash64(concat(lit("shuf|"), col("doc_id").cast("string"))))
+          .as("key"))
+    val vals = langs.map(l =>
+      (when(col("lang") === l, 1L).otherwise(0L), s"p_$l"))
+    val (cum, totals) = DistRank.withRunningSumsAndTotals(
+      docs, vals, col("key"), col("doc_id"))
+    val withN = cum.crossJoin(broadcast(
+      totals.select(langs.map(l => col(s"p_$l").as(s"n_$l")): _*)))
+    val p = coalesce(langs.map(l =>
+      when(col("lang") === l, col(s"p_$l"))): _*)
+    val nL = coalesce(langs.map(l =>
+      when(col("lang") === l, col(s"n_$l"))): _*)
+    val strided = withN
+      .withColumn("_p", p).withColumn("_nl", nL)
+      .withColumn("k2",
+        expr("(CAST(_p AS DECIMAL(38,0)) * 1000000000000) div _nl"))
+      .select(col("doc_id"), col("lang"), col("k2"))
+    DistRank.withGlobalRank(strided, "pos",
+      col("k2"), col("lang"), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pos"))
+      .orderBy("pos")
+  }
+
   /** F15 — `corpus_filter_cascade`: the staged keep/drop funnel a
     * curation run reports — language gate, minimum length, quality
     * threshold (F2's exact formula via [[Text.qualityScoreCol]]), and a
@@ -421,6 +486,7 @@ object Corpus2 {
     "corpus_mix_tokens" -> (corpusMixTokens _),
     "corpus_upsample" -> (corpusUpsample _),
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
+    "corpus_interleave" -> (corpusInterleave _),
     "corpus_filter_cascade" -> (corpusFilterCascade _),
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     "text_novelty" -> (textNovelty _))
@@ -505,20 +571,26 @@ object Corpus2 {
     // multiplies, all in unsigned HUGEINT space), then the rank as one
     // window — the single-partition formulation DistRank replaces
     "corpus_shuffle" ->
-      s"""WITH d0 AS (
-         | SELECT doc_id, 'shuf|' || CAST(doc_id AS VARCHAR) AS s FROM documents),
-         |h0 AS (SELECT doc_id, ${Dedup.rollSql("s")} AS u0 FROM d0),
-         |hx1 AS (SELECT doc_id, xor(u0, u0 // 1073741824::HUGEINT) AS x1 FROM h0),
-         |h1 AS (SELECT doc_id, ${mulModSql("x1", BigInt("13787848793156543929"))} AS u1 FROM hx1),
-         |hx2 AS (SELECT doc_id, xor(u1, u1 // 134217728::HUGEINT) AS x2 FROM h1),
-         |h2 AS (SELECT doc_id, ${mulModSql("x2", BigInt("10723151780598845931"))} AS u2 FROM hx2),
-         |d AS (SELECT doc_id,
-         |        ${Dedup.wrapSql("xor(u2, u2 // 2147483648::HUGEINT)")} AS key
-         |      FROM h2),
+      s"""WITH $shuffleKeyCtes,
          |r AS (SELECT doc_id,
          |        row_number() OVER (ORDER BY key, doc_id) AS pos FROM d)
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
          |  CAST((pos - 1) % 8 AS BIGINT) AS shard
+         |FROM r ORDER BY pos""".stripMargin,
+    // the shared shuffle-key CTEs + per-lang window position + exact
+    // integer stride key + one ordering window
+    "corpus_interleave" ->
+      s"""WITH $shuffleKeyCtes,
+         |n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+         |p AS (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS p
+         |      FROM d),
+         |k AS (SELECT doc_id, p.lang,
+         |        (CAST(p AS HUGEINT) * 1000000000000) // n_l AS k2
+         |      FROM p JOIN n USING (lang)),
+         |r AS (SELECT doc_id, lang,
+         |        row_number() OVER (ORDER BY k2, lang, doc_id) AS pos FROM k)
+         |SELECT doc_id, lang, CAST(pos AS BIGINT) AS pos
          |FROM r ORDER BY pos""".stripMargin,
     // the identical finalized "ups|" draw, the same copies formula, the
     // audit aggregated from per-doc copies (aggregate-equal to the

@@ -441,6 +441,36 @@ class Round8Spec extends AnyFunSuite {
     assert(out.map(_.toSeq).sameElements(again.map(_.toSeq)))
   }
 
+  test("corpus_interleave: every prefix carries the language mix and preserves the per-language shuffle order") {
+    val out = graft.ops.Corpus2.corpusInterleave(spark, TestSpark.sf).collect()
+    val n = out.length
+    val poss: Array[Long] = out.map(_.getAs[Long]("pos")).sorted
+    assert(poss.sameElements(Array.tabulate(n)(i => i + 1L)))
+    val byPos = out.sortBy(_.getAs[Long]("pos"))
+    val langCounts =
+      byPos.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    // stride interleaving bounds every prefix's per-language count by
+    // ±~1 around the proportional share — the property a random
+    // permutation has only in expectation
+    for (w <- Seq(50, n / 4, n / 2)) {
+      val prefix = byPos.take(w)
+      langCounts.foreach { case (l, nl) =>
+        val c = prefix.count(_.getAs[String]("lang") == l)
+        val expect = w.toDouble * nl / n
+        assert(math.abs(c - expect) <= 2.5, s"lang $l prefix $w: $c vs $expect")
+      }
+    }
+    // within a language the F25 shuffle order survives as a subsequence
+    val shufIdx = graft.ops.Corpus2.corpusShuffle(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    byPos.groupBy(_.getAs[String]("lang")).values.foreach { rows =>
+      val ids = rows.sortBy(_.getAs[Long]("pos"))
+        .map(r => shufIdx(r.getAs[Long]("doc_id")))
+      assert(ids.sameElements(ids.sorted),
+        "per-language order diverged from the shuffle order")
+    }
+  }
+
   test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
