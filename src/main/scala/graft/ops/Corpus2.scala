@@ -323,6 +323,59 @@ object Corpus2 {
       .orderBy("pos")
   }
 
+  /** F27 — `text_perplexity`: the LM-based quality filter (the CCNet
+    * shape: score every document by how surprising it is under a
+    * language model trained on the corpus itself; the review queue is
+    * the most-surprising tail) — with the log made EXACT so the oracle
+    * replays bit-for-bit. Per bigram, conditional surprisal
+    * −log₂ P(w2|w1) is taken in integer Q12 ticks: r = c1·2¹² div c12
+    * (≥ 2¹² since c12 ≤ c1), tick = ⌊log₂ r⌋ − 12 = len(bin(r)) − 13 —
+    * binary length IS the exact floor-log, no libm, no cross-engine
+    * drift (floating log₂ differs in the last ulp between engines,
+    * which the hash compare would catch). F16 scores novelty by raw
+    * bigram frequency; this is the CONDITIONAL model — "the the"
+    * is frequent-in-parts but improbable-in-sequence, exactly what the
+    * perplexity filter exists to catch.
+    *
+    * Magnitude envelope (planned, Ols discipline): c1·2¹² overflows
+    * int64 only past c1 ≈ 2.2·10¹⁵ bigram instances of ONE context
+    * word — two orders beyond a 100 TB corpus's hottest token; under
+    * ANSI mode an overflow fails loud, never wraps.
+    *
+    * Plan shape: the LM is the aggregated bigram table (window over
+    * aggregates, F9's precedent — never the corpus); docs join it on
+    * the bigram string (F16's equi-join, O(n·bigrams), never doc×doc).
+    */
+  def textPerplexity(spark: SparkSession, dir: String,
+                     topK: Int = 20): DataFrame =
+    perplexityOf(Tables.documents(spark, dir), topK)
+
+  /** The data-generic core over any (doc_id, text) frame — the spec
+    * plants known-surprising documents through this.
+    */
+  private[graft] def perplexityOf(docs: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("g"))
+    val lm = bg.groupBy("g").agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum("c12").over(
+        Window.partitionBy(substring_index(col("g"), " ", 1))))
+    bg.join(lm, "g")
+      .withColumn("tick",
+        (length(conv(expr("(c1 * 4096) div c12"), 10, 2)) - lit(13)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("tick").as("sum_ticks"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_ticks"),
+        OracleRound.r4b(col("sum_ticks").cast("double") / col("n_bigrams"))
+          .as("surprisal"))
+      .orderBy(col("surprisal").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** F26 — `corpus_interleave`: mixture-PRESERVING deterministic
     * training order — F25 randomizes globally, but a random permutation
     * only matches the language mix in expectation; a trainer that wants
@@ -487,6 +540,7 @@ object Corpus2 {
     "corpus_upsample" -> (corpusUpsample _),
     "corpus_shuffle" -> ((s, d) => corpusShuffle(s, d)),
     "corpus_interleave" -> (corpusInterleave _),
+    "text_perplexity" -> ((s, d) => textPerplexity(s, d)),
     "corpus_filter_cascade" -> (corpusFilterCascade _),
     "dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     "text_novelty" -> (textNovelty _))
@@ -577,6 +631,28 @@ object Corpus2 {
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
          |  CAST((pos - 1) % 8 AS BIGINT) AS shard
          |FROM r ORDER BY pos""".stripMargin,
+    // the same bigram table, the same Q12 integer surprisal via binary
+    // length (bin ↔ conv(…,10,2) — both are the exact floor-log₂+1)
+    "text_perplexity" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (
+        | SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
+        | FROM tok WHERE len(toks) >= 2),
+        |lm AS (SELECT g, count(*) AS c12 FROM bg GROUP BY 1),
+        |lmc AS (SELECT g, c12,
+        |          sum(c12) OVER (PARTITION BY split_part(g, ' ', 1)) AS c1
+        |        FROM lm),
+        |t AS (SELECT doc_id,
+        |        length(bin(CAST((c1 * 4096) // c12 AS BIGINT))) - 13 AS tick
+        |      FROM bg JOIN lmc USING (g)),
+        |p AS (SELECT doc_id, count(*) AS n_bigrams,
+        |        sum(tick) AS sum_ticks FROM t GROUP BY 1)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(sum_ticks AS BIGINT) AS sum_ticks,
+        |  floor((CAST(sum_ticks AS DOUBLE) / n_bigrams) * 10000 + 0.5) / 10000
+        |    AS surprisal
+        |FROM p ORDER BY surprisal DESC, doc_id LIMIT 20""".stripMargin,
     // the shared shuffle-key CTEs + per-lang window position + exact
     // integer stride key + one ordering window
     "corpus_interleave" ->

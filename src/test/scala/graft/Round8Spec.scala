@@ -471,6 +471,28 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("text_perplexity: conditional surprisal flags improbable-in-sequence text that marginal frequency misses") {
+    // 20 docs of "a b" chains: bigrams "a b" and "b a" are common, and
+    // both unigrams are everywhere. The planted doc uses ONLY common
+    // words in an improbable order ("a a"), invisible to marginal
+    // frequency, glaring to the conditional model.
+    val normal = (1L to 20L).map(i => (i, "a b a b a b a b a b"))
+    val planted = Seq((99L, "a a a a a a a a a a"))
+    val docs = spark.createDataFrame(normal ++ planted).toDF("doc_id", "text")
+    val out = graft.ops.Corpus2.perplexityOf(docs, 5).collect()
+    assert(out.head.getAs[Long]("doc_id") == 99L,
+      s"planted doc not ranked most surprising: ${out.toSeq}")
+    assert(out.head.getAs[Double]("surprisal") >
+      out(1).getAs[Double]("surprisal"))
+    // ticks are exact floor-log2: "a a" occurs 9 times; context "a"
+    // opens 5 bigrams per normal doc (a b a b…) + 9 in the planted one
+    // -> c1 = 109, r = 109*4096/9, tick = floor(log2 r) - 12
+    val expTick = (63 - java.lang.Long.numberOfLeadingZeros(109L * 4096 / 9)) - 12
+    assert(out.head.getAs[Long]("sum_ticks") == 9L * expTick)
+    // and every tick is non-negative by construction (c12 <= c1)
+    assert(out.forall(_.getAs[Long]("sum_ticks") >= 0))
+  }
+
   test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
