@@ -547,18 +547,27 @@ object SourceQueries {
     * cannot drift between the two artifacts (packBins' discipline
     * applied to the shard writer).
     */
+  /** The shard row projection — doc identity, token accounting, and
+    * the deterministic hash-draw assignment — shared by the batch
+    * layouts (I16/I17) and the STREAMING router (G17), so the
+    * assignment policy cannot drift between the written shards and the
+    * live route.
+    */
+  private[graft] def shardRouteCols(nshards: Int): Seq[org.apache.spark.sql.Column] =
+    Seq(col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      pmod(graft.functions.VectorOps.rollhash64(
+        concat(lit("shard|"), col("doc_id").cast("string"))),
+        lit(nshards.toLong)).as("shard"))
+
   private def shardLayoutPath(spark: SparkSession, dir: String,
                               artifact: String, nshards: Int,
                               extraCols: Seq[org.apache.spark.sql.Column]): String =
     once(s"$artifact:$dir:$nshards") {
       val path = scratch(artifact)
-      Tables.documents(spark, dir).select(
-        Seq(col("doc_id"), col("lang"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")) ++
-          extraCols :+
-          pmod(graft.functions.VectorOps.rollhash64(
-            concat(lit("shard|"), col("doc_id").cast("string"))),
-            lit(nshards.toLong)).as("shard"): _*)
+      val base = shardRouteCols(nshards)
+      Tables.documents(spark, dir)
+        .select(base.dropRight(1) ++ extraCols :+ base.last: _*)
         .write.mode("overwrite").partitionBy("shard").parquet(path)
       path
     }

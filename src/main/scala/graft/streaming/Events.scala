@@ -140,7 +140,8 @@ object Events {
     "stream_session_window" -> (streamSessionWindow _),
     "stream_window_topk" -> (streamWindowTopk _),
     "stream_corpus_admit" -> (CorpusAdmit.streamCorpusAdmit _),
-    "stream_quality_admit" -> (QualityAdmit.streamQualityAdmit _))
+    "stream_quality_admit" -> (QualityAdmit.streamQualityAdmit _),
+    "stream_shard_route" -> (ShardRoute.streamShardRoute _))
 
   /** G9 — windowed heavy hitters: top-3 event types per tumbling hour
     * (the live "what's trending this hour" report). The per-window rank
@@ -169,6 +170,9 @@ object Events {
     // frozen offline-trained model — the sink audit shares F21's
     // oracle verbatim, hash-proving stream ≡ batch verdicts
     "stream_quality_admit" -> graft.ops.QualityGate.oracles("corpus_quality_gate"),
+    // I16's oracle VERBATIM: the streamed route must land the manifest
+    // the batch shard writer produces
+    "stream_shard_route" -> graft.sources.SourceQueries.oracles("corpus_shard"),
     "stream_window_topk" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events

@@ -493,6 +493,36 @@ class Round8Spec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("sum_ticks") >= 0))
   }
 
+  test("stream_shard_route: split batches, idempotent redelivery, and manifest parity with the batch shard layout") {
+    import graft.streaming.ShardRoute
+    val sf = TestSpark.sf
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val sink = graft.Scratch.dir("route_spec")
+    // a SPLIT source: two micro-batches cover the corpus disjointly
+    ShardRoute.routeBatch(docs.filter($"doc_id" % 2 === 0), 8, sink, 0L)
+    ShardRoute.routeBatch(docs.filter($"doc_id" % 2 =!= 0), 8, sink, 1L)
+    assert(spark.read.parquet(sink).count() == docs.count(),
+      "split batches lost or duplicated docs")
+    // at-least-once redelivery replaces, never doubles
+    ShardRoute.routeBatch(docs.filter($"doc_id" % 2 === 0), 8, sink, 0L)
+    val all = spark.read.parquet(sink).drop("batch")
+    assert(all.count() == docs.count(),
+      "redelivered micro-batch duplicated routed rows")
+    // per-doc route parity with the batch layout's written shards
+    val layout = spark.read.parquet(
+      graft.sources.SourceQueries.corpusShardPath(spark, sf))
+      .select($"doc_id", $"shard".cast("long").as("shard"))
+    val routed = all.select("doc_id", "shard")
+    assert(routed.except(layout).count() == 0 &&
+      layout.except(routed).count() == 0,
+      "stream route diverges from the batch shard assignment")
+    // and the audited sink manifest equals I16's manifest exactly
+    val stream = ShardRoute.streamShardRoute(spark, sf).collect()
+    val batch = graft.sources.SourceQueries.corpusShard(spark, sf).collect()
+    assert(stream.sameElements(batch),
+      "audited stream manifest diverges from the batch shard manifest")
+  }
+
   test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
