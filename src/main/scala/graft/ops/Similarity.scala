@@ -631,6 +631,51 @@ object Similarity {
     * with the probe set broadcast, never n²), and the hit join is on
     * (query, neighbor) pairs — k-bounded rows per probe.
     */
+  /** E14 — `ann_dim_truncate`: recall under DIMENSION truncation — the
+    * matryoshka-serving audit ("can we serve at 16 of 64 dims?"): for
+    * each prefix length d, exact integer-L2 top-k over the first d
+    * tick components, scored against the full-width truth — recall in
+    * integer percent (hits·100 div truth), one row per d. The answer
+    * every embedding-serving team wants before cutting index memory
+    * 4×; E11 audits an ANN structure against truth, this audits the
+    * REPRESENTATION itself.
+    *
+    * Scale shape: an EVAL operator — |probes|·n per prefix with the
+    * probe side broadcast (E1's shape, never n², probe set bounded by
+    * design); truncation is a `slice` projection on the shared tick
+    * frame. All-integer distances and deterministic ties replay the
+    * decision exactly.
+    */
+  def annDimTruncate(spark: SparkSession, dir: String): DataFrame =
+    dimTruncateOf(Tables.embeddings(spark, dir), Seq(8, 16, 32, 64), 5)
+
+  /** The data-generic core — the spec plants a frame whose nearest
+    * neighbor is decided in the truncated-away dimensions.
+    */
+  private[graft] def dimTruncateOf(embs: DataFrame, dims: Seq[Int],
+                                   topKn: Int): DataFrame = {
+    val e = embs.select(col("vec_id"), qticks(asDouble(col("embedding"))).as("v"))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    def topAt(d: Int): DataFrame =
+      e.select(col("vec_id").as("nid"), slice(col("v"), 1, d).as("nv"))
+        .crossJoin(broadcast(probes.select(col("qid"), slice(col("qv"), 1, d).as("pv"))))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), intSqDist(col("pv"), col("nv")).as("d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topKn)
+        .select("qid", "nid")
+    val truth = topAt(dims.max)
+    dims.map { d =>
+      topAt(d).join(truth, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("truth")))
+        .select(lit(d.toLong).as("dims"), col("hits"), col("truth"),
+          expr("hits * 100 div truth").as("recall_pct"))
+    }.reduce(_.union(_)).orderBy("dims")
+  }
+
   def annRecallEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val exact = annBruteforce(spark, dir, k).select("query_id", "neighbor_id")
     val approx = annLsh(spark, dir, k).select("query_id", "neighbor_id")
@@ -782,7 +827,8 @@ object Similarity {
     "ann_pq" -> ((s, d) => annPq(s, d)),
     "ann_pq_search" -> ((s, d) => annPqSearch(s, d)),
     "ann_ivf_pq" -> ((s, d) => annIvfPq(s, d)),
-    "ann_recall_eval" -> ((s, d) => annRecallEval(s, d)))
+    "ann_recall_eval" -> ((s, d) => annRecallEval(s, d)),
+    "ann_dim_truncate" -> ((s, d) => annDimTruncate(s, d)))
 
   /** E3's integer cell-assignment replay as a reusable CTE chain
     * (`ex` → `cells` → `d` → `asg`), shared verbatim by D12
@@ -1007,6 +1053,37 @@ object Similarity {
          |  CAST(n_truth AS BIGINT) AS n_truth,
          |  floor((CAST(coalesce(h.n_hits, 0) AS DOUBLE) / n_truth) * 10000 + 0.5) / 10000 AS recall
          |FROM t LEFT JOIN h USING (qid) ORDER BY query_id""".stripMargin
+    },
+    // per-prefix exact integer-L2 top-k from the component explode
+    // (ivfAsgCtes' tick replay), truth = the widest prefix
+    "ann_dim_truncate" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val tops = dims.map { d =>
+        s"""dist_$d AS (
+           | SELECT p.qid, e.vec_id AS nid, sum((p.q - e.q) * (p.q - e.q)) AS d2
+           | FROM pe p JOIN ex e ON p.dim = e.dim AND e.vec_id <> p.qid
+           | WHERE p.dim <= $d GROUP BY 1, 2),
+           |top_$d AS (
+           | SELECT qid, nid FROM (
+           |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+           |  FROM dist_$d) WHERE rn <= 5)""".stripMargin
+      }.mkString(",\n")
+      val rows = dims.map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dims,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM top_$d t
+           |   JOIN top_${dims.max} u ON t.qid = u.qid AND t.nid = u.nid) AS hits,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM top_${dims.max}) AS truth""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ex AS (
+         | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
+         | FROM embeddings),
+         |pe AS (SELECT vec_id AS qid, dim, q FROM ex WHERE vec_id % 100 = 0),
+         |$tops,
+         |res AS (
+         |$rows)
+         |SELECT dims, hits, truth, hits * 100 // truth AS recall_pct
+         |FROM res ORDER BY dims""".stripMargin
     },
     // IVFADC replay: E3's assignment CTEs verbatim (cells), E5's PQ
     // encode/table CTEs with a `p` prefix (the two chains both name an

@@ -523,6 +523,29 @@ class Round8Spec extends AnyFunSuite {
       "audited stream manifest diverges from the batch shard manifest")
   }
 
+  test("ann_dim_truncate: truncation loses neighbors decided in the cut dimensions; full width is its own truth") {
+    // probe 0 at the origin; A differs ONLY in the last dimension
+    // (large), B only in the first (tiny). The 32-dim prefix cannot see
+    // A's difference, so A (dist 0) beats the true neighbor B there.
+    def vec(at: Int, v: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == at) v else 0.0f)
+    val embs = spark.createDataFrame(Seq(
+      (0L, Seq.fill(64)(0.0f)), (1L, vec(63, 0.5f)), (2L, vec(0, 0.001f))))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.dimTruncateOf(embs, Seq(32, 64), 1)
+      .collect().map(r => r.getAs[Long]("dims") -> r.getAs[Long]("recall_pct"))
+      .toMap
+    assert(out(64L) == 100L, "full width must be its own truth")
+    assert(out(32L) == 0L,
+      "the truncated prefix should have missed the last-dim-decided neighbor")
+    // contract corpus: one row per prefix, hits bounded by truth, the
+    // widest prefix exact
+    val full = graft.ops.Similarity.annDimTruncate(spark, TestSpark.sf).collect()
+    assert(full.map(_.getAs[Long]("dims")).toSeq == Seq(8L, 16L, 32L, 64L))
+    assert(full.forall(r => r.getAs[Long]("hits") <= r.getAs[Long]("truth")))
+    assert(full.last.getAs[Long]("recall_pct") == 100L)
+  }
+
   test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
