@@ -186,6 +186,7 @@ object ShuffleBudget {
     * curated headline), violations fail the run the same way.
     */
   val extendedAtSf01: Map[String, Long] = Map(
+    "corpus_pack_chunks" -> 3800000L,
     "q_interpolate" -> 5100000L,
     "q_unpivot" -> 64000000L,
     "ml_item_cooccurrence" -> 52000000L,

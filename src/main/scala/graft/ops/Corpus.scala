@@ -103,6 +103,40 @@ object Corpus {
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
       capacity)
 
+  /** F28 — `corpus_pack_chunks`: the packed SEQUENCES themselves —
+    * F17's ship-the-artifact discipline applied to packing. F12/F20/F23
+    * report bin AUDITS; the trainer consumes sequences. Every document
+    * splits into capacity-bounded chunks WITH their text payload
+    * (slice + reassemble — chunk boundaries in the same whitespace
+    * accounting as F12, because only whitespace boundaries can cut the
+    * TEXT exactly; F23's BPE bins budget counts, where subword
+    * boundaries need no text), and the chunks LPT-pack through the
+    * shared [[binAssigned]] core with F23's extended tie-break. Output:
+    * one row per chunk with its bin — the trainer's input artifact,
+    * not a report.
+    *
+    * Contract capacity 64 (F23's reasoning: the split path must
+    * genuinely fire at every SF). The explode duplicates a doc's token
+    * array once per capacity of tokens — output-proportional, the
+    * unavoidable floor for a text-materializing packer.
+    */
+  def corpusPackChunks(spark: SparkSession, dir: String,
+                       capacity: Long = 64): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"),
+        explode(expr(s"sequence(0L, CAST((size(toks) - 1) div $capacity AS BIGINT))"))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk"),
+        least(lit(capacity), col("n") - col("chunk") * capacity).as("n_tokens"),
+        expr(s"concat_ws(' ', slice(toks, CAST(chunk * $capacity + 1 AS INT), $capacity))")
+          .as("chunk_text"))
+    binAssigned(chunks, capacity, col("n_tokens").desc, col("doc_id"), col("chunk"))
+      .select("doc_id", "chunk", "bin", "n_tokens", "chunk_text")
+      .orderBy("doc_id", "chunk")
+  }
+
   /** The LPT pack core over an arbitrary (doc_id, n_tokens) frame —
     * shared between F12 (whitespace tokens) and F19's BPE-budget
     * variant so the bin policy can never drift between the two
@@ -139,7 +173,8 @@ object Corpus {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_canonical" -> (dedupCanonical _),
     "text_decontaminate" -> ((s, d) => textDecontaminate(s, d)),
-    "corpus_pack" -> ((s, d) => corpusPack(s, d)))
+    "corpus_pack" -> ((s, d) => corpusPack(s, d)),
+    "corpus_pack_chunks" -> ((s, d) => corpusPackChunks(s, d)))
 
   /** F2's quality-score expression, verbatim (shared with the
     * text_quality oracle's formula so the two can never drift in
@@ -208,5 +243,28 @@ object Corpus {
         |SELECT bin, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
         |  CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the chunk explode WITH its 1-based inclusive list slice — both
+    // engines cut the identical token ranges and reassemble with ' '
+    "corpus_pack_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |ch0 AS (
+        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+        |    unnest(range(0, (len(t) - 1) // 64 + 1)) AS chunk
+        |  FROM tok),
+        |ch AS (
+        |  SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+        |    least(64, n - chunk * 64) AS n_tokens,
+        |    array_to_string(t[chunk * 64 + 1 : chunk * 64 + 64], ' ') AS chunk_text
+        |  FROM ch0),
+        |p AS (SELECT CAST((sum(n_tokens) + 63) // 64 AS BIGINT) AS nbins FROM ch),
+        |r AS (
+        |  SELECT doc_id, chunk, n_tokens, chunk_text,
+        |    (row_number() OVER (ORDER BY n_tokens DESC, doc_id, chunk) - 1)
+        |      % p.nbins AS bin
+        |  FROM ch CROSS JOIN p)
+        |SELECT doc_id, chunk, CAST(bin AS BIGINT) AS bin,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, chunk_text
+        |FROM r ORDER BY doc_id, chunk""".stripMargin)
 }

@@ -546,6 +546,30 @@ class Round8Spec extends AnyFunSuite {
     assert(full.last.getAs[Long]("recall_pct") == 100L)
   }
 
+  test("corpus_pack_chunks: chunk texts reassemble every document exactly and respect the capacity") {
+    val cap = 64L
+    val rows = graft.ops.Corpus.corpusPackChunks(spark, TestSpark.sf).collect()
+    // every chunk respects the capacity, and its token count matches
+    // its own text
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens")
+      assert(nt >= 1 && nt <= cap)
+      assert(r.getAs[String]("chunk_text").split("\\s+", -1).length == nt)
+    }
+    // per doc, chunks in order reassemble the whitespace-normalized text
+    val original = graft.tables.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", regexp_replace(trim($"text"), "\\s+", " ").as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, ch) =>
+      val rebuilt = ch.sortBy(_.getAs[Long]("chunk"))
+        .map(_.getAs[String]("chunk_text")).mkString(" ")
+      assert(rebuilt == original(id), s"doc $id did not reassemble")
+    }
+    // bins are the contiguous LPT range
+    val bins = rows.map(_.getAs[Long]("bin")).distinct.sorted
+    assert(bins.head == 0 && bins.last == bins.length - 1)
+  }
+
   test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
