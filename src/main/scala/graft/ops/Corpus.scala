@@ -103,6 +103,62 @@ object Corpus {
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
       capacity)
 
+  /** F29 — `corpus_build_audit`: the corpus BUILD as one funnel — the
+    * manifest a curation run ships: every stage is the REAL shipped
+    * operator (not a re-implementation), composed end to end with
+    * per-stage surviving documents AND tokens:
+    *
+    *  - stage 1 `dedup_canonical`: drop every near-dup cluster member
+    *    except D10's canonical survivor (D7's clusters, D10's argmax
+    *    policy — the frames are the shipped operators' own).
+    *  - stage 2 `decontaminate`: drop the eval set itself (it is the
+    *    benchmark) and every training doc whose D11 overlap — the
+    *    shipped operator un-truncated — reaches the 0.2 gate
+    *    (quantized compare, so the boundary replays exactly;
+    *    non-vacuous at every contract SF: 2/3/1452 docs fire).
+    *  - stage 3 `quality`: F15's full rule conjunction via the SHARED
+    *    `cascadeFlags` (one definition of the rules).
+    *
+    * Scale shape: each stage is an anti-join of the doc-sized id frame
+    * against a (usually much smaller) drop set — the corpus text is
+    * scanned only inside the constituent operators, which are
+    * individually gate-audited; the funnel adds id-sized joins and four
+    * two-long aggregates.
+    */
+  private[graft] def buildStages(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val dropDup = Dedup.dedupCluster(spark, dir)
+      .join(dedupCanonical(spark, dir).select("cluster", "keep_id"), Seq("cluster"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    val s1 = docs.join(dropDup, Seq("doc_id"), "left_anti")
+    val contaminated = textDecontaminate(spark, dir, Int.MaxValue)
+      .filter(col("overlap") >= 0.2).select("doc_id")
+    val s2 = s1.filter(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val s3 = s2.join(Corpus2.cascadeFlags(spark, dir)
+      .filter(col("r1") && col("r2") && col("r3") && col("r4"))
+      .select("doc_id"), Seq("doc_id"))
+    (docs, s1, s2, s3)
+  }
+
+  def corpusBuildAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, s1, s2, s3) = buildStages(spark, dir)
+    def stageRow(stage: Int, rule: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(rule).as("rule"),
+          col("n_docs"), col("n_tokens"))
+    stageRow(0, "corpus", docs)
+      .union(stageRow(1, "dedup_canonical", s1))
+      .union(stageRow(2, "decontaminate", s2))
+      .union(stageRow(3, "quality", s3))
+      .orderBy("stage")
+  }
+
   /** F28 — `corpus_pack_chunks`: the packed SEQUENCES themselves —
     * F17's ship-the-artifact discipline applied to packing. F12/F20/F23
     * report bin AUDITS; the trainer consumes sequences. Every document
@@ -174,7 +230,8 @@ object Corpus {
     "dedup_canonical" -> (dedupCanonical _),
     "text_decontaminate" -> ((s, d) => textDecontaminate(s, d)),
     "corpus_pack" -> ((s, d) => corpusPack(s, d)),
-    "corpus_pack_chunks" -> ((s, d) => corpusPackChunks(s, d)))
+    "corpus_pack_chunks" -> ((s, d) => corpusPackChunks(s, d)),
+    "corpus_build_audit" -> (corpusBuildAudit _))
 
   /** F2's quality-score expression, verbatim (shared with the
     * text_quality oracle's formula so the two can never drift in
@@ -266,5 +323,65 @@ object Corpus {
         |  FROM ch CROSS JOIN p)
         |SELECT doc_id, chunk, CAST(bin AS BIGINT) AS bin,
         |  CAST(n_tokens AS BIGINT) AS n_tokens, chunk_text
-        |FROM r ORDER BY doc_id, chunk""".stripMargin)
+        |FROM r ORDER BY doc_id, chunk""".stripMargin,
+    // the build funnel stitched from the CONSTITUENT oracles' own CTE
+    // chains: D2's signature pipeline + D7/D10's reach/canonical replay
+    // (shared names verbatim), D11's overlap from the same h0/sh, F15's
+    // flags with the identical quantized thresholds
+    "corpus_build_audit" ->
+      s"""WITH RECURSIVE ${Dedup.minhashJacCtes},
+         |t AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens FROM tok),
+         |edges AS (SELECT a, b FROM jac WHERE jaccard >= 0.5
+         |          UNION ALL SELECT b, a FROM jac WHERE jaccard >= 0.5),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+         |clus AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY 1),
+         |q AS (SELECT doc_id, $qualitySql AS quality_score FROM documents),
+         |m AS (
+         |  SELECT c.cluster, c.doc_id,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |      ORDER BY q.quality_score DESC, c.doc_id) AS rn
+         |  FROM clus c JOIN q USING (doc_id)),
+         |s1 AS (SELECT doc_id FROM m WHERE rn = 1),
+         |nsh AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+         |ev AS (SELECT DISTINCT hu FROM h0 WHERE doc_id % 50 = 0),
+         |chits AS (
+         |  SELECT e.doc_id, count(*) AS n_shared FROM h0 e JOIN ev USING (hu)
+         |  WHERE e.doc_id % 50 <> 0 GROUP BY 1),
+         |cont AS (
+         |  SELECT c.doc_id FROM chits c JOIN nsh USING (doc_id)
+         |  WHERE floor((CAST(n_shared AS DOUBLE) / n_shingles) * 10000 + 0.5) / 10000 >= 0.2),
+         |s2 AS (SELECT doc_id FROM s1 WHERE doc_id % 50 <> 0
+         |       AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |quni AS (
+         |  SELECT doc_id, max(cnt) AS top_uni FROM (
+         |    SELECT doc_id, count(*) AS cnt
+         |    FROM (SELECT doc_id, unnest(tokens) AS tt FROM tok) GROUP BY doc_id, tt)
+         |  GROUP BY doc_id),
+         |flags AS (
+         |  SELECT d.doc_id,
+         |    (d.lang = 'en') AS r1,
+         |    (len(k.tokens) >= 30) AS r2,
+         |    ($qualitySql >= 0.85) AS r3,
+         |    (floor((CAST(u.top_uni AS DOUBLE) / len(k.tokens)) * 10000 + 0.5) / 10000 <= 0.12) AS r4
+         |  FROM documents d JOIN tok k USING (doc_id) JOIN quni u USING (doc_id)),
+         |s3 AS (SELECT s2.doc_id FROM s2 JOIN flags USING (doc_id)
+         |       WHERE r1 AND r2 AND r3 AND r4),
+         |res AS (
+         |  SELECT 0 AS stage, 'corpus' AS rule, count(*) AS n_docs,
+         |    coalesce(sum(n_tokens), 0) AS n_toks FROM t
+         |  UNION ALL
+         |  SELECT 1, 'dedup_canonical', count(*), coalesce(sum(n_tokens), 0)
+         |  FROM s1 JOIN t USING (doc_id)
+         |  UNION ALL
+         |  SELECT 2, 'decontaminate', count(*), coalesce(sum(n_tokens), 0)
+         |  FROM s2 JOIN t USING (doc_id)
+         |  UNION ALL
+         |  SELECT 3, 'quality', count(*), coalesce(sum(n_tokens), 0)
+         |  FROM s3 JOIN t USING (doc_id))
+         |SELECT CAST(stage AS INTEGER) AS stage, rule,
+         |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_toks AS BIGINT) AS n_tokens
+         |FROM res ORDER BY stage""".stripMargin)
 }

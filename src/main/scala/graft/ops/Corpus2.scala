@@ -434,16 +434,25 @@ object Corpus2 {
     * table. Thresholds compare on QUANTIZED scores so the boundary
     * replays exactly.
     */
-  def corpusFilterCascade(spark: SparkSession, dir: String): DataFrame = {
+  /** F15's per-doc rule flags (doc_id, r1..r4) — ONE definition of the
+    * cascade rules, shared by the F15 audit and F29's build funnel so
+    * the two can never disagree about a document's verdict.
+    */
+  private[graft] def cascadeFlags(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
     val nTok = size(col("toks")).cast("long")
     val topFrac = OracleRound.r4b(expr(maxRunSql("toks")) / nTok)
-    val flags = base.select(
+    base.select(
+      col("doc_id"),
       (col("lang") === "en").as("r1"),
       (nTok >= 30).as("r2"),
       (Text.qualityScoreCol >= 0.85).as("r3"),
       (topFrac <= 0.12).as("r4"))
+  }
+
+  def corpusFilterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val flags = cascadeFlags(spark, dir)
     flags.agg(
       count(lit(1)).as("s0"),
       sum(when(col("r1"), 1L).otherwise(0L)).as("s1"),

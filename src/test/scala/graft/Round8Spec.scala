@@ -570,6 +570,35 @@ class Round8Spec extends AnyFunSuite {
     assert(bins.head == 0 && bins.last == bins.length - 1)
   }
 
+  test("corpus_build_audit: the funnel strictly drops at every stage and each drop matches its constituent operator") {
+    val rows = graft.ops.Corpus.corpusBuildAudit(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getAs[Int]("stage")).toSeq == Seq(0, 1, 2, 3))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    // every stage genuinely fires on the contract corpus
+    assert(docs.zip(docs.tail).forall { case (a, b) => b < a },
+      s"stages must strictly drop docs: ${docs.toSeq}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b < a },
+      s"stages must strictly drop tokens: ${toks.toSeq}")
+    // the drops are the constituent operators' own accounting
+    val (_, s1, s2, _) = graft.ops.Corpus.buildStages(spark, TestSpark.sf)
+    val dupDrop = graft.ops.Corpus.dedupCanonical(spark, TestSpark.sf)
+      .agg(sum($"n_dropped")).head().getLong(0)
+    assert(docs(0) - docs(1) == dupDrop,
+      "stage-1 drop diverges from dedup_canonical's n_dropped total")
+    val evalIn1 = s1.filter($"doc_id" % 50 === 0).count()
+    val contIn1 = s1.filter($"doc_id" % 50 =!= 0)
+      .join(graft.ops.Corpus.textDecontaminate(spark, TestSpark.sf, Int.MaxValue)
+        .filter($"overlap" >= 0.2).select("doc_id"), Seq("doc_id")).count()
+    assert(docs(1) - docs(2) == evalIn1 + contIn1,
+      "stage-2 drop diverges from eval membership + the D11 overlap gate")
+    val keepIn2 = s2.join(graft.ops.Corpus2.cascadeFlags(spark, TestSpark.sf)
+      .filter($"r1" && $"r2" && $"r3" && $"r4").select("doc_id"), Seq("doc_id"))
+      .count()
+    assert(docs(3) == keepIn2,
+      "stage-3 survivors diverge from F15's rule conjunction")
+  }
+
   test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
