@@ -64,7 +64,17 @@ object Corpus {
     * collision collides identically).
     */
   def textDecontaminate(spark: SparkSession, dir: String,
-                        topK: Int = 20): DataFrame = {
+                        topK: Int = 20): DataFrame =
+    decontamScores(spark, dir)
+      .orderBy(col("overlap").desc, col("doc_id"))
+      .limit(topK)
+
+  /** The UNRANKED per-doc overlap frame D11's review queue truncates —
+    * what gating consumers (F29's funnel) filter: no global sort, no
+    * 2³¹-row `limit` cliff (a contaminated set past Int.MaxValue rows
+    * would silently survive a limit-based gate at 100 TB).
+    */
+  private[graft] def decontamScores(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingled(Tables.documents(spark, dir))
     val evalIdx = sh.filter(col("doc_id") % 50 === 0)
       .select(explode(col("shingles")).as("shingle"))
@@ -80,8 +90,6 @@ object Corpus {
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         OracleRound.r4b(col("n_shared").cast("double") / col("n_shingles"))
           .as("overlap"))
-      .orderBy(col("overlap").desc, col("doc_id"))
-      .limit(topK)
   }
 
   /** F12 — `corpus_pack`: sequence packing — distribute documents into
@@ -119,45 +127,62 @@ object Corpus {
     *  - stage 3 `quality`: F15's full rule conjunction via the SHARED
     *    `cascadeFlags` (one definition of the rules).
     *
-    * Scale shape: each stage is an anti-join of the doc-sized id frame
-    * against a (usually much smaller) drop set — the corpus text is
-    * scanned only inside the constituent operators, which are
-    * individually gate-audited; the funnel adds id-sized joins and four
-    * two-long aggregates.
+    * Scale shape: the funnel is ONE pass — per-doc stage flags from
+    * three id-sized left joins against the (usually much smaller) drop
+    * sets, then a single conditional-sum aggregate stacked into the
+    * four audit rows (F15's shape). Each constituent pipeline runs
+    * exactly once; the corpus text is scanned only inside those
+    * operators, which are individually gate-audited.
     */
-  private[graft] def buildStages(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** Per-doc funnel flags (doc_id, n_tokens, s1, s2, s3) — F15's flags
+    * discipline applied to the whole build: ONE pass over each
+    * constituent frame (a union of per-stage aggregates would re-run
+    * the shingle and cluster pipelines once per stage), aggregated
+    * once by the audit and filtered by the spec's witnesses.
+    */
+  private[graft] def buildFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
     val dropDup = Dedup.dedupCluster(spark, dir)
       .join(dedupCanonical(spark, dir).select("cluster", "keep_id"), Seq("cluster"))
       .filter(col("doc_id") =!= col("keep_id"))
-      .select("doc_id")
-    val s1 = docs.join(dropDup, Seq("doc_id"), "left_anti")
-    val contaminated = textDecontaminate(spark, dir, Int.MaxValue)
-      .filter(col("overlap") >= 0.2).select("doc_id")
-    val s2 = s1.filter(col("doc_id") % 50 =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-    val s3 = s2.join(Corpus2.cascadeFlags(spark, dir)
-      .filter(col("r1") && col("r2") && col("r3") && col("r4"))
-      .select("doc_id"), Seq("doc_id"))
-    (docs, s1, s2, s3)
+      .select(col("doc_id"), lit(true).as("dup"))
+    val cont = decontamScores(spark, dir)
+      .filter(col("overlap") >= 0.2)
+      .select(col("doc_id"), lit(true).as("cont"))
+    val qual = Corpus2.cascadeFlags(spark, dir)
+      .select(col("doc_id"),
+        (col("r1") && col("r2") && col("r3") && col("r4")).as("qual"))
+    docs
+      .join(dropDup, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(qual, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (!coalesce(col("dup"), lit(false))).as("s1"),
+        (!coalesce(col("dup"), lit(false)) && col("doc_id") % 50 =!= 0 &&
+          !coalesce(col("cont"), lit(false))).as("s2"),
+        (!coalesce(col("dup"), lit(false)) && col("doc_id") % 50 =!= 0 &&
+          !coalesce(col("cont"), lit(false)) && col("qual")).as("s3"))
   }
 
-  def corpusBuildAudit(spark: SparkSession, dir: String): DataFrame = {
-    val (docs, s1, s2, s3) = buildStages(spark, dir)
-    def stageRow(stage: Int, rule: String, d: DataFrame): DataFrame =
-      d.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
-        .select(lit(stage).as("stage"), lit(rule).as("rule"),
-          col("n_docs"), col("n_tokens"))
-    stageRow(0, "corpus", docs)
-      .union(stageRow(1, "dedup_canonical", s1))
-      .union(stageRow(2, "decontaminate", s2))
-      .union(stageRow(3, "quality", s3))
+  def corpusBuildAudit(spark: SparkSession, dir: String): DataFrame =
+    buildFlags(spark, dir)
+      .agg(
+        count(lit(1)).as("d0"), sum("n_tokens").as("t0"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("s1"), col("n_tokens")).otherwise(0L)).as("t1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("s2"), col("n_tokens")).otherwise(0L)).as("t2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("s3"), col("n_tokens")).otherwise(0L)).as("t3"))
+      .selectExpr(
+        """stack(4,
+          | 0, 'corpus',          d0, t0,
+          | 1, 'dedup_canonical', d1, t1,
+          | 2, 'decontaminate',   d2, t2,
+          | 3, 'quality',         d3, t3) AS (stage, rule, n_docs, n_tokens)""".stripMargin)
       .orderBy("stage")
-  }
 
   /** F28 — `corpus_pack_chunks`: the packed SEQUENCES themselves —
     * F17's ship-the-artifact discipline applied to packing. F12/F20/F23

@@ -102,6 +102,15 @@ object Corpus2 {
   private[graft] def ppmDrawSql(s: String): String =
     s"(((${mixDrawSql(s)}) % 1000000) + 1000000) % 1000000"
 
+  /** The avalanched "shuf|" ordering key — ONE definition shared by
+    * F25 and F26 (their SQL twin is [[shuffleKeyCtes]]): F26's
+    * within-language-subsequence property holds only while both
+    * operators compute the byte-identical key.
+    */
+  private def shuffleKey: org.apache.spark.sql.Column =
+    graft.functions.VectorOps.avalanche64(
+      rollhash64(concat(lit("shuf|"), col("doc_id").cast("string"))))
+
   /** [[mixDraw]]'s DuckDB replay (signed 64-bit, no reduction). */
   private[graft] def mixDrawSql(s: String): String = {
     val mixed = s"((${Dedup.rollSql(s)} * ${drawA}::HUGEINT + " +
@@ -314,9 +323,7 @@ object Corpus2 {
   def corpusShuffle(spark: SparkSession, dir: String,
                     nshards: Long = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.functions.VectorOps.avalanche64(
-        rollhash64(concat(lit("shuf|"), col("doc_id").cast("string"))))
-        .as("key"))
+      .select(col("doc_id"), shuffleKey.as("key"))
     DistRank.withGlobalRank(docs, "pos", col("key"), col("doc_id"))
       .select(col("doc_id"), col("pos"),
         ((col("pos") - 1) % nshards).as("shard"))
@@ -400,10 +407,7 @@ object Corpus2 {
   def corpusInterleave(spark: SparkSession, dir: String): DataFrame = {
     val langs = targetPpm.map(_._1)
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        graft.functions.VectorOps.avalanche64(
-          rollhash64(concat(lit("shuf|"), col("doc_id").cast("string"))))
-          .as("key"))
+      .select(col("doc_id"), col("lang"), shuffleKey.as("key"))
     val vals = langs.map(l =>
       (when(col("lang") === l, 1L).otherwise(0L), s"p_$l"))
     val (cum, totals) = DistRank.withRunningSumsAndTotals(

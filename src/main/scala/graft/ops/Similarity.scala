@@ -666,13 +666,23 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= topKn)
         .select("qid", "nid")
-    val truth = topAt(dims.max)
+    // the truth set is |probes|·topK rows — bounded by the eval design,
+    // so collect it ONCE and rejoin as a broadcast literal (re-deriving
+    // the full-width scan in every per-prefix branch would run the
+    // |probes|·n distance plan ~2·|dims| extra times)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val truthRows = topAt(dims.max)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+    require(truthRows.nonEmpty,
+      "ann_dim_truncate: empty probe set (no vec_id % 100 == 0 rows)")
+    val truth = truthRows.toSeq.toDF("qid", "nid")
     dims.map { d =>
-      topAt(d).join(truth, Seq("qid", "nid"))
+      topAt(d).join(broadcast(truth), Seq("qid", "nid"))
         .agg(count(lit(1)).as("hits"))
-        .crossJoin(truth.agg(count(lit(1)).as("truth")))
-        .select(lit(d.toLong).as("dims"), col("hits"), col("truth"),
-          expr("hits * 100 div truth").as("recall_pct"))
+        .select(lit(d.toLong).as("dims"), col("hits"),
+          lit(truthRows.length.toLong).as("truth"),
+          expr(s"hits * 100 div ${truthRows.length}").as("recall_pct"))
     }.reduce(_.union(_)).orderBy("dims")
   }
 

@@ -627,13 +627,17 @@ object SourceQueries {
     * (D10's survivor join, F17's rebuild, any per-doc enrichment).
     * 8 buckets ≙ thousands at production scale.
     */
+  private val bucketedSeq = new java.util.concurrent.atomic.AtomicInteger()
+
   private[graft] def bucketedDocuments(spark: SparkSession, dir: String): DataFrame = {
-    // table name is dir-scoped so a mid-JVM testdata switch can never
-    // serve the other dir's layout; `once` makes the write per-JVM
-    // write-once (bench repeat passes measure the read path, which is
-    // the production situation — the layout is paid at ingest)
+    // table name is dir-scoped (a fresh per-JVM sequence number, memoized
+    // per dir by `once` — collision-free where a dir-hashCode suffix is
+    // not) so a mid-JVM testdata switch can never serve the other dir's
+    // layout; `once` makes the write per-JVM write-once (bench repeat
+    // passes measure the read path, which is the production situation —
+    // the layout is paid at ingest)
     val t = once(s"bucketed_docs:$dir") {
-      val name = s"g_documents_bucketed_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val name = s"g_documents_bucketed_${bucketedSeq.incrementAndGet()}"
       // a table location left behind by a previous JVM isn't in this
       // session's in-memory catalog, so CTAS would refuse the path —
       // drop the catalog entry and any stale directory first (A22)

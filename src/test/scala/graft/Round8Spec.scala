@@ -581,14 +581,16 @@ class Round8Spec extends AnyFunSuite {
     assert(toks.zip(toks.tail).forall { case (a, b) => b < a },
       s"stages must strictly drop tokens: ${toks.toSeq}")
     // the drops are the constituent operators' own accounting
-    val (_, s1, s2, _) = graft.ops.Corpus.buildStages(spark, TestSpark.sf)
+    val flags = graft.ops.Corpus.buildFlags(spark, TestSpark.sf)
+    val s1 = flags.filter($"s1")
+    val s2 = flags.filter($"s2")
     val dupDrop = graft.ops.Corpus.dedupCanonical(spark, TestSpark.sf)
       .agg(sum($"n_dropped")).head().getLong(0)
     assert(docs(0) - docs(1) == dupDrop,
       "stage-1 drop diverges from dedup_canonical's n_dropped total")
     val evalIn1 = s1.filter($"doc_id" % 50 === 0).count()
     val contIn1 = s1.filter($"doc_id" % 50 =!= 0)
-      .join(graft.ops.Corpus.textDecontaminate(spark, TestSpark.sf, Int.MaxValue)
+      .join(graft.ops.Corpus.decontamScores(spark, TestSpark.sf)
         .filter($"overlap" >= 0.2).select("doc_id"), Seq("doc_id")).count()
     assert(docs(1) - docs(2) == evalIn1 + contIn1,
       "stage-2 drop diverges from eval membership + the D11 overlap gate")
