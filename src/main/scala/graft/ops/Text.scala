@@ -98,6 +98,25 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** F30 — `text_langid_eval`: the language-ID AUDIT — F3's per-doc
+    * predictions aggregated into the confusion matrix against the
+    * table's ground-truth lang, with integer row percentages (the
+    * diagonal is per-class recall). Every pipeline that gates on
+    * language (F14/F15/F22's rate tables key on it) should know the
+    * classifier's error structure before trusting those gates; this is
+    * that one-look artifact. Pure composition: F3's projection, a
+    * \|langs\|²-bounded aggregate, a broadcast per-class total.
+    */
+  def textLangIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val conf = textLangId(spark, dir)
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val tot = conf.groupBy("true_lang").agg(sum("n").as("tot"))
+    conf.join(broadcast(tot), Seq("true_lang"))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        expr("n * 100 div tot").as("row_pct"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   /** F4 — document fingerprint: md5 of whitespace-normalized lowercase
     * content (dedup-grade canonical hash; the rolling-hash variant lives
     * in the SimHash operator's per-token hashing).
@@ -157,6 +176,7 @@ object Text {
     "text_token_count" -> (textTokenCount _),
     "text_quality" -> (textQuality _),
     "text_lang_id" -> (textLangId _),
+    "text_langid_eval" -> (textLangIdEval _),
     "text_fingerprint" -> (textFingerprint _),
     "text_rollhash" -> (textRollhash _),
     "q_sql_native_fn" -> (qSqlNativeFn _),
@@ -165,6 +185,23 @@ object Text {
   private val langScoreSql: String = langPatterns
     .map { case (l, p) => s"len(regexp_extract_all(text, '$p')) AS s_$l" }
     .mkString(", ")
+
+  /** F3's full per-doc prediction as shared CTEs ending in
+    * `pred(doc_id, true_lang, pred_lang)` — consumed verbatim by the
+    * F3 oracle and F30's confusion aggregate so the two can never
+    * disagree about a prediction.
+    */
+  private val langIdCtes: String =
+    s"""s AS (SELECT doc_id, lang AS true_lang, $langScoreSql FROM documents),
+       |pred AS (
+       | SELECT doc_id, true_lang,
+       |  CASE
+       |   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |   WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |   WHEN s_fr >= s_zh THEN 'fr'
+       |   ELSE 'zh' END AS pred_lang
+       | FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_token_count" ->
@@ -184,15 +221,18 @@ object Text {
         |        / CAST(length(text) AS DOUBLE))) * 10000 + 0.5) / 10000 AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
-      s"""WITH s AS (SELECT doc_id, lang AS true_lang, $langScoreSql FROM documents)
-         |SELECT doc_id, true_lang,
-         | CASE
-         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |  WHEN s_fr >= s_zh THEN 'fr'
-         |  ELSE 'zh' END AS pred_lang
-         |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $langIdCtes
+         |SELECT doc_id, true_lang, pred_lang FROM pred ORDER BY doc_id""".stripMargin,
+    // F3's per-doc predictions (shared CTEs) aggregated into the
+    // confusion matrix with integer row percentages
+    "text_langid_eval" ->
+      s"""WITH $langIdCtes,
+         |c AS (SELECT true_lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+         |t AS (SELECT true_lang, sum(n) AS tot FROM c GROUP BY 1)
+         |SELECT c.true_lang, c.pred_lang, CAST(n AS BIGINT) AS n,
+         |  CAST(n * 100 // tot AS BIGINT) AS row_pct
+         |FROM c JOIN t USING (true_lang)
+         |ORDER BY true_lang, pred_lang""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -601,6 +601,25 @@ class Round8Spec extends AnyFunSuite {
       "stage-3 survivors diverge from F15's rule conjunction")
   }
 
+  test("text_langid_eval: the confusion matrix conserves the corpus and carries exact integer row shares") {
+    val rows = graft.ops.Text.textLangIdEval(spark, TestSpark.sf).collect()
+    val nDocs = graft.tables.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs,
+      "confusion cells must partition the corpus")
+    rows.groupBy(_.getAs[String]("true_lang")).values.foreach { g =>
+      val tot = g.map(_.getAs[Long]("n")).sum
+      g.foreach(r =>
+        assert(r.getAs[Long]("row_pct") == r.getAs[Long]("n") * 100 / tot))
+    }
+    // cells agree with F3's per-doc contract output
+    val byPair = graft.ops.Text.textLangId(spark, TestSpark.sf)
+      .groupBy("true_lang", "pred_lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.forall(r => byPair(
+      (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang"))) ==
+      r.getAs[Long]("n")))
+  }
+
   test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
