@@ -113,6 +113,43 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** D15 — `dedup_recall_eval`: the banding scheme's RECALL audit —
+    * E11/E14's discipline brought to the document side: on a 10% probe
+    * panel, exact shingle-Jaccard truth pairs (≥ 0.5, D2's own verify
+    * threshold) are scored against D2's LSH candidate pairs — how many
+    * TRUE near-dup pairs does the 8-band × 4-row scheme actually
+    * surface? D2 verifies its candidates; nothing until now measured
+    * what the banding MISSED, which is the number that decides the
+    * bands/rows tradeoff before a 100 TB run.
+    *
+    * Scale shape: an EVAL operator — the truth scan is probe-bounded
+    * (|probes|·n exact Jaccards with the probe shingle arrays
+    * broadcast, the same bounded-panel design as E14), never the n²
+    * all-pairs truth; the candidate side is D2's own guarded pipeline
+    * restricted to the panel.
+    */
+  def dedupRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(Tables.documents(spark, dir))
+    val probes = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("p"), col("shingles").as("sh_p"))
+    val truth = sh.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("p"))
+      .filter((size(array_intersect(col("shingles"), col("sh_p"))).cast("double") /
+        size(array_union(col("shingles"), col("sh_p")))) >= 0.5)
+      .select(least(col("doc_id"), col("p")).as("a"),
+        greatest(col("doc_id"), col("p")).as("b"))
+      .distinct()
+    val cand = minhashCandidatePairs(spark, dir)
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      .select("a", "b")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(truth.join(cand, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_hits")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        expr("n_hits * 100 div n_truth").as("recall_pct"))
+  }
+
   /** D2 — MinHash + LSH near-dup detection.
     *
     * shingle → 32 minhashes → 8 bands × 4 rows → band-signature bucket
@@ -442,6 +479,7 @@ object Dedup {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(s, d)),
+    "dedup_recall_eval" -> (dedupRecallEval _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -451,6 +489,25 @@ object Dedup {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // D2's signature chain verbatim for the candidate side; the truth
+    // side is the probe-bounded exact Jaccard panel
+    "dedup_recall_eval" ->
+      s"""WITH $minhashJacCtes,
+         |p AS (SELECT doc_id AS pid, shingles AS shp FROM sh WHERE doc_id % 10 = 0),
+         |truth AS (
+         | SELECT DISTINCT least(s.doc_id, p.pid) AS a,
+         |        greatest(s.doc_id, p.pid) AS b
+         | FROM sh s CROSS JOIN p
+         | WHERE s.doc_id <> p.pid
+         |  AND CAST(len(list_intersect(s.shingles, p.shp)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(s.shingles, p.shp))) >= 0.5),
+         |pc AS (SELECT a, b FROM cand WHERE a % 10 = 0 OR b % 10 = 0),
+         |h AS (SELECT count(*) AS n_hits FROM truth JOIN pc USING (a, b))
+         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |  CAST((SELECT count(*) FROM pc) AS BIGINT) AS n_candidates,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_hits * 100 // (SELECT count(*) FROM truth) AS BIGINT) AS recall_pct
+         |FROM h""".stripMargin,
     // DuckDB list comprehension mirrors the trigram transform exactly
     // (i in 1..len-2, distinct, intersect/union cardinality ratio)
     "dedup_ngram_jaccard" ->

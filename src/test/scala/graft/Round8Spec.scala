@@ -620,6 +620,17 @@ class Round8Spec extends AnyFunSuite {
       r.getAs[Long]("n")))
   }
 
+  test("dedup_recall_eval: the banding recall audit is internally consistent and non-vacuous on the contract corpus") {
+    val r = graft.ops.Dedup.dedupRecallEval(spark, TestSpark.sf).head()
+    val (truth, cand, hits, pct) = (r.getAs[Long]("n_truth"),
+      r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits"),
+      r.getAs[Long]("recall_pct"))
+    assert(truth > 0, "probe panel found no true near-dup pairs — vacuous audit")
+    assert(hits <= truth && hits <= cand)
+    assert(pct == hits * 100 / truth)
+    assert(pct >= 0 && pct <= 100)
+  }
+
   test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
