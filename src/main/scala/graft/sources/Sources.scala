@@ -242,9 +242,23 @@ object Sources {
     * the row from the highest batch id (the reference's next-day UPDATE
     * expressed as immutable append + window dedup).
     */
-  def readLatest(spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame = {
+  def readLatest(spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame =
+    latestWins(spark.read.parquet(path), keyCols)
+
+  /** I19 — AS-OF read over the same batch-partitioned log: latest-wins
+    * restricted to `_batch_id <= asOf` — the lakehouse time-travel read
+    * (VERSION AS OF) the immutable log gives for free. The predicate is
+    * on the PARTITION column, so the scan prunes to the batches at or
+    * before the requested version (spec-proven: PartitionFilters carry
+    * it) — cost proportional to the history read, not the log.
+    */
+  def readAsOf(spark: SparkSession, path: String, keyCols: Seq[String],
+               asOf: Long): DataFrame =
+    latestWins(spark.read.parquet(path).filter(col("_batch_id") <= asOf), keyCols)
+
+  private def latestWins(log: DataFrame, keyCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_batch_id").desc)
-    spark.read.parquet(path)
+    log
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_batch_id")
@@ -669,6 +683,32 @@ object SourceQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** I19 — `src_time_travel`: the VERSION-AS-OF read over the upsert
+    * log — three day-batches land (all-PENDING, final statuses, the
+    * %10 SHIPPED correction), then EVERY version is read back AS OF
+    * its batch id through [[Sources.readAsOf]] and audited by status.
+    * The log is immutable, so version 2's answer is identical before
+    * and after batch 3 lands — the reproducibility property that makes
+    * a training-data snapshot citable ("the corpus as of day N"), and
+    * the oracle replays each version's expected state directly from
+    * the orders table. Partition pruning keeps the as-of scan
+    * proportional to the batches read, spec-proven from the plan's
+    * PartitionFilters.
+    */
+  def srcTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("timetravel")
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    Sources.upsertBatch(orders.withColumn("o_orderstatus", lit("PENDING")), path, 1L)
+    Sources.upsertBatch(orders, path, 2L)
+    Sources.upsertBatch(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("SHIPPED")), path, 3L)
+    (1L to 3L).map { b =>
+      Sources.readAsOf(spark, path, Seq("o_orderkey"), b)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .select(lit(b).as("version"), col("o_orderstatus"), col("n"))
+    }.reduce(_.union(_)).orderBy("version", "o_orderstatus")
+  }
+
   def srcIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
     val path = scratch("merge")
     val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
@@ -858,6 +898,7 @@ object SourceQueries {
     "src_zorder_layout" -> (srcZorderLayout _),
     "src_compact" -> (srcCompact _),
     "src_incremental_merge" -> (srcIncrementalMerge _),
+    "src_time_travel" -> (srcTimeTravel _),
     "corpus_shard" -> (corpusShard _),
     "corpus_shard_bpe" -> (corpusShardBpe _),
     "src_bucketed_corpus" -> (srcBucketedCorpus _))
@@ -912,6 +953,23 @@ object SourceQueries {
     "src_incremental_merge" ->
       """SELECT o_orderstatus, COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // each version's expected state replayed directly from orders:
+    // v1 = everything pending, v2 = the table's statuses, v3 = the
+    // %10 correction applied on top
+    "src_time_travel" ->
+      """SELECT CAST(version AS BIGINT) AS version, o_orderstatus,
+        |       CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 1 AS version, 'PENDING' AS o_orderstatus, count(*) AS n
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 2, o_orderstatus, count(*) FROM orders GROUP BY 2
+        |  UNION ALL
+        |  SELECT 3,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'SHIPPED'
+        |         ELSE o_orderstatus END,
+        |    count(*)
+        |  FROM orders GROUP BY 2)
+        |ORDER BY version, o_orderstatus""".stripMargin,
     "src_compact" ->
       """SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'SHIPPED'
         |            ELSE o_orderstatus END AS o_orderstatus,

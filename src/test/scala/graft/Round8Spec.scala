@@ -631,6 +631,27 @@ class Round8Spec extends AnyFunSuite {
     assert(pct >= 0 && pct <= 100)
   }
 
+  test("src_time_travel: as-of reads are immutable under later batches and prune to the requested history") {
+    import graft.sources.Sources
+    val path = graft.Scratch.dir("tt_spec")
+    val rows = Seq((1L, "a"), (2L, "a")).toDF("k", "v")
+    Sources.upsertBatch(rows, path, 1L)
+    Sources.upsertBatch(rows.withColumn("v", lit("b")), path, 2L)
+    val asOf1 = Sources.readAsOf(spark, path, Seq("k"), 1L)
+    assert(asOf1.collect().map(_.getString(1)).forall(_ == "a"))
+    // a later batch cannot change an earlier version's answer
+    Sources.upsertBatch(rows.withColumn("v", lit("c")), path, 3L)
+    assert(Sources.readAsOf(spark, path, Seq("k"), 1L)
+      .collect().map(_.getString(1)).forall(_ == "a"))
+    assert(Sources.readAsOf(spark, path, Seq("k"), 3L)
+      .collect().map(_.getString(1)).forall(_ == "c"))
+    // the as-of predicate reaches the scan as a PARTITION filter
+    val plan = asOf1.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*_batch_id".r.findFirstIn(plan).isDefined,
+      s"as-of filter did not prune partitions:\n$plan")
+  }
+
   test("src_bucketed_corpus: the corpus side of the rebuild join is Exchange-free and the layout is result-invisible") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
