@@ -239,12 +239,13 @@ object Corpus {
     */
   private[ops] def binAssigned(toks: DataFrame, capacity: Long,
       sort: org.apache.spark.sql.Column*): DataFrame = {
-    // ⌈Σtokens / capacity⌉ — one bounded driver aggregate (2 longs)
+    // ⌈Σtokens / capacity⌉ — one bounded driver aggregate (2 longs).
+    // An empty (or all-null) token frame packs to an EMPTY result, not
+    // a failure: the DuckDB oracle of every consumer returns the empty
+    // set on an all-empty corpus, and the engine must agree (loud-vs-
+    // empty asymmetry would be a silent contract divergence).
     val totalRow = toks.agg(sum("n_tokens")).head()
-    require(!totalRow.isNullAt(0),
-      "packBins over an empty (or all-null) token frame — nothing to " +
-        "pack; upstream produced no documents")
-    val total = totalRow.getLong(0)
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val nbins = math.max(1L, (total + capacity - 1) / capacity)
     DistRank.withGlobalRank(toks, "rank", sort: _*)
       .withColumn("bin", (col("rank") - 1) % nbins)

@@ -210,6 +210,15 @@ object Corpus2 {
     * filter a projection over the cached token frame, the audit a
     * |langs| aggregate — one corpus-sized scan, no wide shuffle.
     */
+  /** F22's token keep-rate with the zero-mass guard: avail_tokens = 0
+    * (a language present only via zero-BPE-token docs) would be Spark
+    * NULL vs a DuckDB division-by-zero error — rate 0 is the honest
+    * answer (no tokens to keep), mirrored as a CASE on BOTH sides.
+    */
+  private[graft] val tokenRatePpmCol =
+    when(col("avail_tokens") === 0, lit(0L)).otherwise(least(lit(1000000L),
+      expr("(CAST(quota_tokens AS DECIMAL(38,0)) * 1000000) div avail_tokens")))
+
   def corpusMixTokens(spark: SparkSession, dir: String): DataFrame = {
     val tmap = map(targetPpm.flatMap { case (l, p) => Seq(lit(l), lit(p)) }: _*)
     val docs = Bpe.bpeToks(spark, dir)
@@ -222,8 +231,7 @@ object Corpus2 {
       .withColumn("target_ppm", element_at(tmap, col("lang")))
       .withColumn("quota_tokens",
         expr("(CAST(target_ppm AS DECIMAL(38,0)) * budget) div 1000000"))
-      .withColumn("rate_ppm", least(lit(1000000L),
-        expr("(CAST(quota_tokens AS DECIMAL(38,0)) * 1000000) div avail_tokens")))
+      .withColumn("rate_ppm", tokenRatePpmCol)
     val kept = docs.join(broadcast(rates.select("lang", "rate_ppm")), Seq("lang"))
       .filter(col("ppm") < col("rate_ppm"))
       .groupBy("lang")
@@ -404,9 +412,16 @@ object Corpus2 {
     * the 100 TB regime; F22's discipline). Languages come from the
     * declared target table (F14's discipline).
     */
-  def corpusInterleave(spark: SparkSession, dir: String): DataFrame = {
+  def corpusInterleave(spark: SparkSession, dir: String): DataFrame =
+    interleaveOf(Tables.documents(spark, dir))
+
+  /** The interleave core over an arbitrary (doc_id, lang, …) frame —
+    * split out so the undeclared-language guard is directly testable
+    * (the contract corpus only carries declared languages).
+    */
+  private[graft] def interleaveOf(documents: DataFrame): DataFrame = {
     val langs = targetPpm.map(_._1)
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .select(col("doc_id"), col("lang"), shuffleKey.as("key"))
     val vals = langs.map(l =>
       (when(col("lang") === l, 1L).otherwise(0L), s"p_$l"))
@@ -414,10 +429,17 @@ object Corpus2 {
       docs, vals, col("key"), col("doc_id"))
     val withN = cum.crossJoin(broadcast(
       totals.select(langs.map(l => col(s"p_$l").as(s"n_$l")): _*)))
+    // a lang outside the declared targetPpm table would leave both
+    // coalesces NULL and silently sort nulls-first — fail LOUDLY
+    // instead (coalesce short-circuits, so the raise only fires on an
+    // actually-undeclared language)
+    val undeclared = raise_error(concat(
+      lit("corpus_interleave: lang not in declared targetPpm table: "),
+      col("lang"))).cast("long")
     val p = coalesce(langs.map(l =>
-      when(col("lang") === l, col(s"p_$l"))): _*)
+      when(col("lang") === l, col(s"p_$l"))) :+ undeclared: _*)
     val nL = coalesce(langs.map(l =>
-      when(col("lang") === l, col(s"n_$l"))): _*)
+      when(col("lang") === l, col(s"n_$l"))) :+ undeclared: _*)
     val strided = withN
       .withColumn("_p", p).withColumn("_nl", nL)
       .withColumn("k2",
@@ -736,9 +758,9 @@ object Corpus2 {
          |r2 AS (
          | SELECT lang, avail_tokens,
          |   target_ppm::HUGEINT * budget // 1000000 AS quota_tokens,
-         |   least(1000000,
+         |   CASE WHEN avail_tokens = 0 THEN 0 ELSE least(1000000,
          |     (target_ppm::HUGEINT * budget // 1000000) * 1000000 // avail_tokens)
-         |     AS rate_ppm
+         |     END AS rate_ppm
          | FROM r),
          |k AS (
          | SELECT dl.lang, count(*) AS n_kept, sum(bpe) AS kept_tokens

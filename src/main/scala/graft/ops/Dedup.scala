@@ -128,6 +128,14 @@ object Dedup {
     * all-pairs truth; the candidate side is D2's own guarded pipeline
     * restricted to the panel.
     */
+  /** D15's recall ratio with the degenerate-panel guard: n_truth = 0
+    * (a corpus whose probe panel has no true near-dup pairs) is a
+    * legal input — Spark's `div` would return NULL while DuckDB's `//`
+    * raises, so BOTH sides carry the same -1 sentinel CASE.
+    */
+  private[graft] val recallPctCol =
+    expr("case when n_truth = 0 then -1 else n_hits * 100 div n_truth end")
+
   def dedupRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(Tables.documents(spark, dir))
     val probes = sh.filter(col("doc_id") % 10 === 0)
@@ -147,7 +155,7 @@ object Dedup {
         .agg(count(lit(1)).as("n_hits")))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
       .select(col("n_truth"), col("n_candidates"), col("n_hits"),
-        expr("n_hits * 100 div n_truth").as("recall_pct"))
+        recallPctCol.as("recall_pct"))
   }
 
   /** D2 — MinHash + LSH near-dup detection.
@@ -506,7 +514,8 @@ object Dedup {
          |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
          |  CAST((SELECT count(*) FROM pc) AS BIGINT) AS n_candidates,
          |  CAST(n_hits AS BIGINT) AS n_hits,
-         |  CAST(n_hits * 100 // (SELECT count(*) FROM truth) AS BIGINT) AS recall_pct
+         |  CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
+         |       ELSE n_hits * 100 // (SELECT count(*) FROM truth) END AS BIGINT) AS recall_pct
          |FROM h""".stripMargin,
     // DuckDB list comprehension mirrors the trigram transform exactly
     // (i in 1..len-2, distinct, intersect/union cardinality ratio)

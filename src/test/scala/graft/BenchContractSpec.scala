@@ -33,6 +33,30 @@ class BenchContractSpec extends AnyFunSuite {
         "appends ~100 more) — move new fields to Bench.sidecarLine")
   }
 
+  test("the standing bench baseline stays anchored to the headline set") {
+    // BASELINE_BENCH.json pins the round-8 driver bench (sf0.1) as the
+    // standing per-query regression baseline — a future slowdown is
+    // graded against a committed NUMBER, not round-over-round memory.
+    // Structural contract only (wall-times are host-load-dependent, so
+    // the time comparison itself belongs to the judge, not the suite):
+    // every baselined query must still be a headline query, and the
+    // artifact must parse with its graded fields.
+    val node = mapper.readTree(
+      new java.io.File("BASELINE_BENCH.json"))
+    assert(node.get("total_sec").isNumber)
+    val qs = node.get("queries_sec")
+    assert(qs != null && qs.size() == node.get("n_queries").asInt())
+    val headline = Bench.headline.toSet
+    val it = qs.fieldNames()
+    while (it.hasNext) {
+      val q = it.next()
+      assert(headline.contains(q),
+        s"baseline query $q vanished from Bench.headline — a silent " +
+          "de-benchmarking would un-grade its regression history")
+      assert(qs.get(q).isNumber)
+    }
+  }
+
   test("bench final line is valid JSON with the graded fields") {
     val node = mapper.readTree(worstCaseLine)
     assert(node.get("metric").asText() == "total")
