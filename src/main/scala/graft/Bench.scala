@@ -46,7 +46,11 @@ object Bench {
     // round-8 second wave: document-splitting sequence packing (the
     // chunk-explode + rank/bin shape) and the bucketed corpus layout
     // (F17's rebuild join over a bucket-co-located scan)
-    "corpus_pack_split", "src_bucketed_corpus")
+    "corpus_pack_split", "src_bucketed_corpus",
+    // round 9: the production-vocab broadcast-trie subword encoder —
+    // timed next to the literal-CASE twin (text_token_count_bpe) so a
+    // vocab-scalability regression shows as a wall-clock number
+    "text_token_count_prod")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

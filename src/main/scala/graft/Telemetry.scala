@@ -125,6 +125,7 @@ object ShuffleBudget {
     "corpus_passage_clean" -> 710000L,
     "text_redact" -> 190000L,
     "text_token_count_bpe" -> 16000L,
+    "text_token_count_prod" -> 17000L,
     "corpus_pack_bpe" -> 13000L,
     "corpus_pack_split" -> 100000L,
     "src_bucketed_corpus" -> 710000L,
@@ -172,6 +173,7 @@ object ShuffleBudget {
     "corpus_passage_clean" -> 6900000L,
     "text_redact" -> 1800000L,
     "text_token_count_bpe" -> 150000L,
+    "text_token_count_prod" -> 160000L,
     "corpus_pack_bpe" -> 110000L,
     "corpus_pack_split" -> 770000L,
     "src_bucketed_corpus" -> 6900000L,

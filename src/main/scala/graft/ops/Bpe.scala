@@ -82,13 +82,17 @@ object Bpe {
     cnt
   }
 
-  /** BPE token count of a whole text column: split on whitespace, fold
-    * the greedy encoder over each word, sum. Each step consumes ≥ 1
-    * character, so length(w) iterations always terminate the word; the
-    * lazy IF makes finished words free. Exposed for F20 and the shard
-    * manifest.
+  /** The literal-CASE greedy fold — the round-8 formulation, kept as
+    * the TWIN of the trie path (Round9bSpec pins trie ≡ literal over
+    * the whole contract corpus): split on whitespace, fold the greedy
+    * encoder over each word, sum. Each step consumes ≥ 1 character, so
+    * length(w) iterations always terminate the word; the lazy IF makes
+    * finished words free. This shape is exactly what the DuckDB oracle
+    * replays — but it inlines the piece table into the Catalyst tree,
+    * so it cannot scale past a demo vocabulary (a 32k-piece release
+    * vocab would blow the tree and the 8 KB JIT method limit).
     */
-  private[graft] def bpeCountCol(textCol: String): Column = expr(
+  private[graft] def bpeCountColLiteral(textCol: String): Column = expr(
     s"""aggregate(
        |  split(trim($textCol), '\\\\s+'),
        |  0L,
@@ -100,6 +104,45 @@ object Bpe {
        |                   'cnt', st.cnt + 1L)),
        |    st -> st.cnt))""".stripMargin)
 
+  /** One memoized broadcast trie per (app, vocab) — built on the driver
+    * once, fetched once per executor; every expression over the same
+    * released vocabulary shares it.
+    */
+  private[graft] def trieFor(name: String, pieces: Seq[String])
+  : org.apache.spark.broadcast.Broadcast[graft.functions.PieceTrie] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    graft.QueryCaches.memo(s"subword.trie:$name:${sc.applicationId}") {
+      sc.broadcast(graft.functions.PieceTrie(pieces))
+    }
+  }
+
+  /** The contract vocabulary's pieces, flat (lengths 2–4 + implicit
+    * single-char fallback).
+    */
+  private[graft] val contractVocab: Seq[String] = vocab4 ++ vocab3 ++ vocab2
+
+  /** BPE token count of a whole text column — the ENGINE path: the
+    * native [[graft.functions.SubwordCount]] expression over the
+    * broadcast [[graft.functions.PieceTrie]]. Same maximal-munch
+    * semantics as [[bpeCountColLiteral]] (spec-pinned equal on the
+    * shared vocab), but the generated code is ONE call regardless of
+    * |vocab| — the production-scalable path every subword-budgeted
+    * consumer (F20/F22/F23/I17/G17) now rides, while the oracle keeps
+    * replaying the literal recurrence.
+    */
+  private[graft] def bpeCountCol(textCol: String): Column =
+    subwordCount(col(textCol), "contract36", contractVocab)
+
+  /** [[graft.functions.SubwordCount]] as a Column over an arbitrary
+    * frozen vocabulary.
+    */
+  private[graft] def subwordCount(textCol: Column, vocabName: String,
+                                  pieces: Seq[String]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SubwordCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(textCol),
+        trieFor(vocabName, pieces), vocabName))
+
   /** F19 — whitespace vs subword accounting per document. */
   def textTokenCountBpe(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -108,6 +151,49 @@ object Bpe {
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         bpeCountCol("text").as("n_bpe_tokens"))
       .orderBy("doc_id")
+
+  /** The PRODUCTION-SCALE frozen vocabulary — ≥ 1k pieces, generated
+    * deterministically (no RNG, no corpus dependence — a release vocab
+    * is frozen before it meets data) as the onset × nucleus × coda
+    * syllable product of English phonotactics, the realistic SHAPE of
+    * a subword inventory: short high-frequency fragments with heavy
+    * shared prefixes — exactly the regime a trie collapses and a
+    * literal CASE cannot survive. ~3.4k distinct pieces, lengths 2–6.
+    */
+  private[graft] val prodVocab: Seq[String] = {
+    val onsets = Seq("", "b", "c", "d", "f", "g", "h", "l", "m", "n",
+      "p", "r", "s", "t", "w", "br", "ch", "cl", "cr", "dr", "fl", "gr",
+      "pl", "pr", "sc", "sh", "sl", "sp", "st", "th", "tr")
+    val nuclei = Seq("a", "e", "i", "o", "u", "ai", "ea", "ee", "oo", "ou")
+    val codas = Seq("", "d", "k", "l", "m", "n", "r", "s", "t",
+      "ck", "ll", "nd", "ng", "nt", "st", "th")
+    (for { o <- onsets; n <- nuclei; c <- codas } yield o + n + c)
+      .filter(_.length >= 2).distinct
+  }
+
+  /** F31 — `text_token_count_prod`: F19's accounting under the
+    * PRODUCTION-SCALE vocabulary, with the big vocab on the ENGINE
+    * path (the broadcast-trie [[graft.functions.SubwordCount]] — the
+    * literal CASE is structurally impossible at this size) and the
+    * oracle replaying the identical maximal-munch recurrence
+    * relationally: the piece table as a VALUES relation, the per-
+    * position longest match as a per-LENGTH equi-join (substr(w, i, L)
+    * is a computed key, so each length's probe hash-joins — no
+    * nested-loop over |vocab|), then the same recursive (pos, cnt)
+    * walk as F19 over distinct words. Fully exact: both engines
+    * compute the same integer counts.
+    */
+  def textTokenCountProd(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        subwordCount(col("text"), "prod", prodVocab).as("n_subwords"))
+      .orderBy("doc_id")
+
+  /** The production vocab as a `vocab(p, l)` VALUES relation. */
+  private def prodVocabSql: String =
+    prodVocab.map(p => s"('$p',${p.length})").mkString(", ")
 
   /** The memoized+persisted per-doc BPE frame (doc_id, lang,
     * n_tokens) every subword-budgeted consumer reads — F20's pack
@@ -174,6 +260,7 @@ object Bpe {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count_bpe" -> (textTokenCountBpe _),
+    "text_token_count_prod" -> (textTokenCountProd _),
     "corpus_pack_bpe" -> ((s, d) => corpusPackBpe(s, d)),
     "corpus_pack_split" -> ((s, d) => corpusPackSplit(s, d)))
 
@@ -203,6 +290,41 @@ object Bpe {
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(n_bpe AS BIGINT) AS n_bpe_tokens
          |FROM doc_bpe ORDER BY doc_id""".stripMargin,
+    // the prod-vocab replay: longest match per position via per-length
+    // equi-joins (substr(w,i,L) can only equal a length-L piece, so the
+    // truncated-at-word-end substrings never false-match), then F19's
+    // recursive (pos, cnt) walk with the precomputed steps
+    "text_token_count_prod" ->
+      s"""WITH RECURSIVE
+         |vocab(p, l) AS (SELECT * FROM (VALUES $prodVocabSql) v(p, l)),
+         |occ AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents),
+         |dw AS (SELECT DISTINCT w FROM occ),
+         |pos AS (
+         |  SELECT w, unnest(generate_series(1, length(w))) AS i FROM dw),
+         |lens AS (SELECT DISTINCT l FROM vocab),
+         |hit AS (
+         |  SELECT c.w, c.i, max(c.l) AS step
+         |  FROM (SELECT pos.w, pos.i, lens.l,
+         |          substr(pos.w, pos.i, lens.l) AS sub
+         |        FROM pos CROSS JOIN lens) c
+         |  JOIN vocab v ON c.sub = v.p AND c.l = v.l
+         |  GROUP BY c.w, c.i),
+         |step AS (
+         |  SELECT pos.w, pos.i, coalesce(hit.step, 1) AS step
+         |  FROM pos LEFT JOIN hit USING (w, i)),
+         |enc AS (
+         |  SELECT w, 1 AS pos, 0 AS cnt FROM dw
+         |  UNION ALL
+         |  SELECT e.w, e.pos + s.step, e.cnt + 1
+         |  FROM enc e JOIN step s ON s.w = e.w AND s.i = e.pos
+         |  WHERE e.pos <= length(e.w)),
+         |wc AS (SELECT w, cnt FROM enc WHERE pos > length(w))
+         |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(wc.cnt) AS BIGINT) AS n_subwords
+         |FROM occ o JOIN wc USING (w)
+         |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
     // chunk explode via generate_series + the same rank/bin replay;
     // tie-break extended by chunk (a total order — capacity-sized
     // chunks of one doc are otherwise rank-ambiguous)
