@@ -49,8 +49,9 @@ object Bench {
     "corpus_pack_split", "src_bucketed_corpus",
     // round 9: the production-vocab broadcast-trie subword encoder —
     // timed next to the literal-CASE twin (text_token_count_bpe) so a
-    // vocab-scalability regression shows as a wall-clock number
-    "text_token_count_prod")
+    // vocab-scalability regression shows as a wall-clock number — and
+    // the graph-ANN serve (NN-descent build + multi-entry greedy walk)
+    "text_token_count_prod", "ann_graph_search")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
