@@ -655,6 +655,19 @@ object SourceQueries {
         concat(lit("shard|"), col("doc_id").cast("string"))),
         lit(nshards.toLong)).as("shard"))
 
+  /** The DUAL-accounting shard row (round-9 directive #5): I17's
+    * subword column added to the shared route projection — ONE
+    * definition consumed by both the batch layout (I17) and the
+    * streaming router (G17), so the streamed manifest carries the same
+    * dual accounting the batch hand-off does and the two can never
+    * drift.
+    */
+  private[graft] def shardRouteColsBpe(nshards: Int): Seq[org.apache.spark.sql.Column] = {
+    val base = shardRouteCols(nshards)
+    base.dropRight(1) ++
+      Seq(graft.ops.Bpe.bpeCountCol("text").as("n_bpe_tokens")) :+ base.last
+  }
+
   private def shardLayoutPath(spark: SparkSession, dir: String,
                               artifact: String, nshards: Int,
                               extraCols: Seq[org.apache.spark.sql.Column]): String =
@@ -697,8 +710,13 @@ object SourceQueries {
     */
   def corpusShardBpePath(spark: SparkSession, dir: String,
                          nshards: Int = 8): String =
-    shardLayoutPath(spark, dir, "corpus_shard_bpe", nshards,
-      Seq(graft.ops.Bpe.bpeCountCol("text").as("n_bpe_tokens")))
+    once(s"corpus_shard_bpe:$dir:$nshards") {
+      val path = scratch("corpus_shard_bpe")
+      Tables.documents(spark, dir)
+        .select(shardRouteColsBpe(nshards): _*)
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      path
+    }
 
   def corpusShardBpe(spark: SparkSession, dir: String): DataFrame =
     shardManifest(spark, corpusShardBpePath(spark, dir),

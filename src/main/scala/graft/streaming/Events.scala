@@ -172,7 +172,7 @@ object Events {
     "stream_quality_admit" -> graft.ops.QualityGate.oracles("corpus_quality_gate"),
     // I16's oracle VERBATIM: the streamed route must land the manifest
     // the batch shard writer produces
-    "stream_shard_route" -> graft.sources.SourceQueries.oracles("corpus_shard"),
+    "stream_shard_route" -> graft.sources.SourceQueries.oracles("corpus_shard_bpe"),
     "stream_window_topk" ->
       """WITH c AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events

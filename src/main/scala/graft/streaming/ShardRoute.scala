@@ -18,9 +18,9 @@ import graft.tables.Tables
   * at-least-once overwrite discipline).
   *
   * The contract query aggregates the shard manifest FROM THE SINK and
-  * shares I16's oracle VERBATIM — the driver hash-proves that routing
+  * shares I17's oracle VERBATIM — the driver hash-proves that routing
   * documents one micro-batch at a time lands the byte-identical
-  * manifest the batch shard writer produces.
+  * DUAL-accounting manifest the batch shard writer produces.
   *
   * Scale shape: per micro-batch one arrival-sized codegen projection —
   * no joins, no shuffle, no state store; the route is a pure function
@@ -35,7 +35,7 @@ object ShardRoute {
     */
   private[graft] def routeBatch(batch: DataFrame, nshards: Int,
                                 sink: String, batchId: Long): Unit =
-    batch.select(graft.sources.SourceQueries.shardRouteCols(nshards): _*)
+    batch.select(graft.sources.SourceQueries.shardRouteColsBpe(nshards): _*)
       .write.mode("overwrite").parquet(s"$sink/batch=$batchId")
 
   private[graft] def drain(spark: SparkSession, srcDir: String, glob: String,
@@ -63,10 +63,16 @@ object ShardRoute {
       sink
     })
 
-  /** The manifest aggregated from the routed sink (I16's oracle). */
+  /** The DUAL-accounting manifest aggregated from the routed sink —
+    * I17's oracle verbatim: whitespace AND subword budgets per shard
+    * (round-9 directive #5: the loader budgets in subwords, so the
+    * STREAMED manifest must carry the same dual accounting the batch
+    * hand-off does).
+    */
   private[graft] def manifestOf(routed: DataFrame): DataFrame =
     routed.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("shard")
 

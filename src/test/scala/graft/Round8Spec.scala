@@ -510,17 +510,18 @@ class Round8Spec extends AnyFunSuite {
       "redelivered micro-batch duplicated routed rows")
     // per-doc route parity with the batch layout's written shards
     val layout = spark.read.parquet(
-      graft.sources.SourceQueries.corpusShardPath(spark, sf))
+      graft.sources.SourceQueries.corpusShardBpePath(spark, sf))
       .select($"doc_id", $"shard".cast("long").as("shard"))
     val routed = all.select("doc_id", "shard")
     assert(routed.except(layout).count() == 0 &&
       layout.except(routed).count() == 0,
       "stream route diverges from the batch shard assignment")
-    // and the audited sink manifest equals I16's manifest exactly
+    // and the audited sink manifest equals I17's DUAL-accounting
+    // manifest exactly (round 9: the stream carries both budgets)
     val stream = ShardRoute.streamShardRoute(spark, sf).collect()
-    val batch = graft.sources.SourceQueries.corpusShard(spark, sf).collect()
+    val batch = graft.sources.SourceQueries.corpusShardBpe(spark, sf).collect()
     assert(stream.sameElements(batch),
-      "audited stream manifest diverges from the batch shard manifest")
+      "audited stream manifest diverges from the batch dual-accounting manifest")
   }
 
   test("ann_dim_truncate: truncation loses neighbors decided in the cut dimensions; full width is its own truth") {
