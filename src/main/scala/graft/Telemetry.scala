@@ -195,6 +195,7 @@ object ShuffleBudget {
     "corpus_pack_chunks" -> 3800000L,
     "src_time_travel" -> 9800000L,
     "src_concurrent_commit" -> 7100000L,
+    "dedup_band_tune" -> 7000000L,
     "q_interpolate" -> 5100000L,
     "q_unpivot" -> 64000000L,
     "ml_item_cooccurrence" -> 52000000L,

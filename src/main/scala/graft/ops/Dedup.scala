@@ -136,6 +136,45 @@ object Dedup {
   private[graft] val recallPctCol =
     expr("case when n_truth = 0 then -1 else n_hits * 100 div n_truth end")
 
+  /** The guarded band-bucket candidate self-join over an arbitrary
+    * signature frame — D2's core generalized so the banding auto-tuner
+    * (D16) and its borderline-corpus spec can run ANY (bands, rows)
+    * scheme through the same salted join.
+    */
+  private[graft] def candidatePairsOfSigs(bandSigs: DataFrame, site: String): DataFrame = {
+    val salted = HotBucket.saltByCap(bandSigs, Seq("band", "sig"), col("doc_id"), site)
+    val l = salted.select(col("band"), col("sig"), col("salt"), col("doc_id").as("a"))
+    val r = salted.select(col("band"), col("sig"), col("salt"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "sig", "salt"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** D15's probe-panel recall audit over an arbitrary docs frame and an
+    * arbitrary banding scheme: exact shingle-Jaccard truth (≥ 0.5) on
+    * the 10% panel scored against the scheme's candidate pairs.
+    */
+  private[graft] def recallAuditOf(docs: DataFrame, numPerm: Int, bands: Int,
+                                   site: String): DataFrame = {
+    val sh = shingled(docs)
+    val probes = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("p"), col("shingles").as("sh_p"))
+    val truth = sh.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("p"))
+      .filter((size(array_intersect(col("shingles"), col("sh_p"))).cast("double") /
+        size(array_union(col("shingles"), col("sh_p")))) >= 0.5)
+      .select(least(col("doc_id"), col("p")).as("a"),
+        greatest(col("doc_id"), col("p")).as("b"))
+      .distinct()
+    val cand = candidatePairsOfSigs(bandSignaturesOf(docs, numPerm, bands), site)
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(truth.join(cand, Seq("a", "b")).agg(count(lit(1)).as("n_hits")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        recallPctCol.as("recall_pct"))
+  }
+
   def dedupRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(Tables.documents(spark, dir))
     val probes = sh.filter(col("doc_id") % 10 === 0)
@@ -325,6 +364,50 @@ object Dedup {
     * [[minhashCandidatePairs]], shared by the D2 oracle and the
     * composite-pipeline oracle.
     */
+  /** The parameterized signature/candidate replay block: `${p}mh` →
+    * `${p}sigs` → `${p}cand` over the shared `h0` shingle-hash CTE —
+    * the SQL twin of [[bandSignaturesOf]] + the candidate self-join
+    * for an ARBITRARY (numPerm, bands) scheme, so the banding
+    * auto-tuner's oracle can replay two schemes in one query.
+    */
+  private[graft] def bandCandCtes(numPerm: Int, bands: Int,
+                                  prefix: String): String = {
+    val rpb = numPerm / bands
+    val consts = mixConsts(numPerm)
+    val mhSelect = (0 until numPerm).map { i =>
+      val (a, b) = consts(i)
+      val mix = s"((hu * $a::HUGEINT + $b::HUGEINT) % $U64)"
+      s"min(${wrapSql(mix)}) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until bands).map { bi =>
+      val elems = (s"$bi::HUGEINT" +:
+        (0 until rpb).map(r => unsignedSql(s"mh_${bi * rpb + r}"))).mkString(", ")
+      val fold = s"list_reduce(list_prepend(1125899906842597::HUGEINT, [$elems]), " +
+        s"(a, b) -> (a * 31 + b) % $U64)"
+      s"SELECT doc_id, $bi AS band, ${wrapSql(fold)} AS sig FROM ${prefix}mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${prefix}mh AS MATERIALIZED (SELECT doc_id,
+       |  $mhSelect
+       | FROM h0 GROUP BY doc_id),
+       |${prefix}sigs AS MATERIALIZED (
+       |  $bandSelects),
+       |${prefix}cand AS MATERIALIZED (
+       | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       | FROM ${prefix}sigs l JOIN ${prefix}sigs r
+       |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  /** The shared shingle→hash preamble: `tok` → `sh` → `expl` → `h0`. */
+  private[graft] val shingleHashCtes: String =
+    s"""tok AS (
+       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+       |sh AS MATERIALIZED (
+       | SELECT doc_id, list_distinct([concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])
+       |   FOR i IN range(1, greatest(len(tokens) - 3, 0) + 2)]) AS shingles
+       | FROM tok),
+       |expl AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |h0 AS MATERIALIZED (SELECT doc_id, ${rollSql("shingle")} AS hu FROM expl)""".stripMargin
+
   private[graft] lazy val minhashJacCtes: String = {
     val numPerm = 32; val bands = 8; val rpb = numPerm / bands
     val consts = mixConsts(numPerm)
@@ -340,14 +423,7 @@ object Dedup {
         s"(a, b) -> (a * 31 + b) % $U64)"
       s"SELECT doc_id, $bi AS band, ${wrapSql(fold)} AS sig FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    s"""tok AS (
-       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
-       |sh AS (
-       | SELECT doc_id, list_distinct([concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])
-       |   FOR i IN range(1, greatest(len(tokens) - 3, 0) + 2)]) AS shingles
-       | FROM tok),
-       |expl AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-       |h0 AS (SELECT doc_id, ${rollSql("shingle")} AS hu FROM expl),
+    s"""$shingleHashCtes,
        |mh AS (SELECT doc_id,
        |  $mhSelect
        | FROM h0 GROUP BY doc_id),

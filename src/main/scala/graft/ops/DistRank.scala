@@ -46,15 +46,15 @@ object DistRank {
     * returns the frame with a `_slice` column plus the slice count.
     * Shared by [[withGlobalRank]] and [[withRunningSums]].
     */
-  private def sliceByKey(df: DataFrame, sortCols: Seq[Column]): (DataFrame, Int) = {
-    val spark = df.sparkSession
-    val slices = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // ascending-monotone image of the leading sort key. For desc the key
-    // negates, but NaN and null don't flip under negation: NaN (sorted
-    // FIRST under desc) maps to -inf, null (sorted LAST under desc) to
-    // +inf. Under asc the raw double already agrees with the sort order
-    // (null -> slice 0 via null-comparison semantics, NaN -> last).
-    val lead = org.apache.spark.sql.GraftColumnBridge.sortOrder(sortCols.head) match {
+  /** Ascending-monotone double image of one sort column. For desc the
+    * key negates, but NaN and null don't flip under negation: NaN
+    * (sorted FIRST under desc) maps to -inf, null (sorted LAST under
+    * desc) to +inf. Under asc the raw double already agrees with the
+    * sort order (null -> slice 0 via null-comparison semantics, NaN ->
+    * last).
+    */
+  private def monotoneImage(sortCol: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.sortOrder(sortCol) match {
       case Some((_, _, false)) =>
         // asc_nulls_last / desc_nulls_first would route nulls to the
         // WRONG end of the keyspace and silently corrupt every rank in
@@ -68,29 +68,84 @@ object DistRank {
           .when(isnan(kd), lit(Double.NegativeInfinity))
           .otherwise(negate(kd))
       case Some((key, false, _)) => key.cast("double")
-      case None => sortCols.head.cast("double")
+      case None => sortCol.cast("double")
     }
-    val keyed = df.withColumn("_k", lead)
-    val probs = (1 until slices).map(_.toDouble / slices).toArray
-    val bounds =
-      if (probs.isEmpty) Array.empty[Double]
-      else keyed.stat.approxQuantile("_k", probs, 0.01).distinct.sorted
-    // binary-search `when` tree over the sorted bounds: log(slices)
-    // comparisons per row (a linear fold would pay O(slices) per row on
-    // the full-table hot path — RangePartitioner binary-searches too)
+
+  /** Binary-search `when` tree over sorted bounds: log(slices)
+    * comparisons per row (a linear fold would pay O(slices) per row on
+    * the full-table hot path — RangePartitioner binary-searches too).
+    */
+  private def bucketTree(k: Column, bounds: Array[Double]): Column = {
     def bucket(lo: Int, hi: Int): Column =
       if (lo >= hi) lit(lo)
       else {
         val mid = (lo + hi) / 2
-        when(col("_k") > lit(bounds(mid)), bucket(mid + 1, hi))
+        when(k > lit(bounds(mid)), bucket(mid + 1, hi))
           .otherwise(bucket(lo, mid))
       }
-    val sliceCol =
-      if (bounds.isEmpty) lit(0)
-      // null _k never exceeds a bound -> every comparison is null/false
-      // -> slice 0, matching asc NULLS FIRST (desc nulls were remapped)
-      else bucket(0, bounds.length)
-    (keyed.withColumn("_slice", sliceCol), bounds.length + 1)
+    if (bounds.isEmpty) lit(0)
+    // null k never exceeds a bound -> every comparison is null/false
+    // -> slice 0, matching asc NULLS FIRST (desc nulls were remapped)
+    else bucket(0, bounds.length)
+  }
+
+  private def sliceByKey(df: DataFrame, sortCols: Seq[Column]): (DataFrame, Int) = {
+    val spark = df.sparkSession
+    val slices = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df.withColumn("_k", monotoneImage(sortCols.head))
+    val probs = (1 until slices).map(_.toDouble / slices).toArray
+    val raw =
+      if (probs.isEmpty) Array.empty[Double]
+      else keyed.stat.approxQuantile("_k", probs, 0.01)
+    val bounds = raw.distinct.sorted
+    // HOT-SLICE SPLIT (round-9 stretch): a leading-key value holding
+    // ≥ 2/slices of the mass collapses quantile bounds onto itself and
+    // would funnel all its rows into ONE slice — the rank window's
+    // per-task input then grows with the hot key, not with n/slices
+    // (HotBucket's lesson applied to rank slices). The tied rows are
+    // still totally ordered by the REMAINING sort columns, so they can
+    // be order-preservingly sub-sliced on the second key's own quantile
+    // bounds: final slice id = base·K + sub, where rows below the hot
+    // value keep sub 0 and the hot value's rows take sub 1..m in
+    // second-key order — lexicographically monotone, so local rank +
+    // slice offset is still the exact global rank wherever the cuts
+    // land. Degrades gracefully: no hot values (the common case) means
+    // K = 1 and the plan is byte-identical to the unsplit one; a hot
+    // value with no second sort column (or a constant one) stays one
+    // slice, exactly today's behavior.
+    val mult = raw.groupBy(identity).view.mapValues(_.length).toMap
+    val hot = bounds.filter(v => mult.getOrElse(v, 0) >= 2)
+    val base = bucketTree(col("_k"), bounds)
+    if (hot.isEmpty || sortCols.size < 2)
+      (keyed.withColumn("_slice", base), bounds.length + 1)
+    else {
+      val k2 = monotoneImage(sortCols(1))
+      val keyed2 = keyed.withColumn("_k2", k2)
+      val maxMult = hot.map(mult(_)).max
+      val kFactor = maxMult + 1
+      val subCol = hot.foldLeft(lit(0)) { (acc, v) =>
+        val m = mult(v)
+        val subProbs = (1 until m).map(_.toDouble / m).toArray
+        val subBounds =
+          if (subProbs.isEmpty) Array.empty[Double]
+          else keyed2.filter(col("_k") === v)
+            .stat.approxQuantile("_k2", subProbs, 0.01).distinct.sorted
+        when(col("_k") === v, lit(1) + bucketTree(col("_k2"), subBounds))
+          .otherwise(acc)
+      }
+      (keyed2.withColumn("_slice", base * lit(kFactor) + subCol).drop("_k2"),
+        (bounds.length + 1) * kFactor)
+    }
+  }
+
+  /** Spec hook: the materialized per-slice row counts for a frame under
+    * a sort — how Round9gSpec proves the hot-slice split bounds every
+    * rank window's per-task input.
+    */
+  private[graft] def sliceSizesFor(df: DataFrame, sortCols: Column*): Array[Long] = {
+    val (sliced, _) = sliceByKey(df, sortCols)
+    sliced.groupBy("_slice").count().orderBy("_slice")
+      .collect().map(_.getLong(1))
   }
 
   /** FULLY LAZY two-scan plan (was three): the per-slice sizes are no
