@@ -116,7 +116,18 @@ object DistRank {
     val mult = raw.groupBy(identity).view.mapValues(_.length).toMap
     val hot = bounds.filter(v => mult.getOrElse(v, 0) >= 2)
     val base = bucketTree(col("_k"), bounds)
-    if (hot.isEmpty || sortCols.size < 2)
+    // split only on a genuinely NUMERIC second key: a double image of a
+    // string key would mis-order ("10" < "9" lexicographically but not
+    // numerically) — and under ANSI the cast itself throws. A non-
+    // numeric tie-break (corpus_interleave sorts (k2, lang, doc_id))
+    // falls back to the unsplit slicing, exactly today's behavior.
+    val secondNumeric = sortCols.size >= 2 && {
+      val key2 = org.apache.spark.sql.GraftColumnBridge
+        .sortOrder(sortCols(1)).map(_._1).getOrElse(sortCols(1))
+      df.select(key2).schema.head.dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }
+    if (hot.isEmpty || !secondNumeric)
       (keyed.withColumn("_slice", base), bounds.length + 1)
     else {
       val k2 = monotoneImage(sortCols(1))

@@ -68,6 +68,22 @@ class Round9gSpec extends AnyFunSuite {
     assert(ranks == (1L to 4000L).toSeq)
   }
 
+  test("a STRING second sort key never splits (double-imaging a string would mis-order)") {
+    // hot leading key + string tie-break: the slicer must fall back to
+    // unsplit slicing — a lexicographic order has no monotone double
+    // image, and under ANSI the cast would throw mid-query
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val frame = (0 until 1000).map(i => (i.toLong, 5.0, langs(i % 5)))
+      .toDF("id", "score", "lang")
+    val dist = DistRank.withGlobalRank(frame, "r",
+        col("score"), col("lang"), col("id"))
+      .select(col("id"), col("r")).as[(Long, Long)].collect().toMap
+    val truth = frame.withColumn("r", row_number().over(
+        Window.orderBy(col("score"), col("lang"), col("id"))))
+      .select(col("id"), col("r").cast("long")).as[(Long, Long)].collect().toMap
+    assert(dist == truth, "string tie-break ranks diverged from the window truth")
+  }
+
   test("an unskewed frame is untouched: K = 1, same slice count as before") {
     val uniform = (0 until 4000).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
     val sizes = DistRank.sliceSizesFor(uniform, col("score"), col("id"))
