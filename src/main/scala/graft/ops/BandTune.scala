@@ -42,7 +42,12 @@ object BandTune {
 
   /** Exact S-curve recall estimate in per-mille ticks: q = ⌊τ^r⌋ in
     * per-mille, then b truncating decay steps s ← ⌊s·(1000−q)/1000⌋;
-    * estimate = 1000 − s. Pure integer — replays in HUGEINT.
+    * estimate = 1000 − s. Pure integer — replays in HUGEINT. The
+    * truncation floors the SURVIVOR mass, so the estimate is OPTIMISTIC
+    * by at most b ticks (Round9iSpec property-bounds it against the
+    * closed form) — at the contract decision boundary the true closed
+    * form still clears: 18×3 closes at 909‰ ≥ 900 while 17 bands'
+    * integer 899 correctly rejects.
     */
   private[graft] def estRecallPermille(tau: Long, r: Int, b: Int): Long = {
     val q = (BigInt(tau).pow(r) / BigInt(1000).pow(r - 1)).toLong
