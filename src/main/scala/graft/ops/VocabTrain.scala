@@ -84,19 +84,61 @@ object VocabTrain {
     merges.toSeq
   }
 
-  def vocabTrain(spark: SparkSession, dir: String): DataFrame =
-    graft.QueryCaches.memo(s"vocabtrain:$dir") {
+  /** The contract corpus's training run, memoized once per JVM per
+    * dir — shared by the merge-table query and the F33 encoder.
+    */
+  private def mergesFor(spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] =
+    graft.QueryCaches.memo(s"vocabtrain.merges:$dir") {
       val wf = Tables.documents(spark, dir)
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-      import spark.implicits._
-      trainOn(wf).toDF("step", "lhs", "rhs", "merged", "pair_count")
-        .orderBy("step")
+      trainOn(wf)
     }
 
+  def vocabTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mergesFor(spark, dir).toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("step")
+  }
+
+  /** F33 — `text_token_count_trained`: the trained merges APPLIED the
+    * way BPE defines encoding — in MERGE ORDER, not greedy
+    * longest-match (the two genuinely differ: greedy would take a
+    * longer late-learned piece where true BPE first commits an
+    * early-learned pair inside it). Every non-whitespace character is
+    * separator-wrapped, then the 12 trained replaces run in training
+    * order over the WHOLE document (whitespace stays unwrapped, so a
+    * pattern can never match across a word boundary), and the token
+    * count is just the separator count over two. Engine: 13 chained
+    * codegen string ops per row, zero shuffle; the merge patterns are
+    * literals from the memoized training run. Oracle: the SAME 12
+    * replaces chained over the training oracle's own b1..b12 argmax
+    * CTEs — one query replays train AND encode, so the driver
+    * hash-proves the end-to-end tokenizer.
+    */
+  def textTokenCountTrained(spark: SparkSession, dir: String): DataFrame = {
+    val merges = mergesFor(spark, dir)
+    val wrapped = regexp_replace(col("text"),
+      "([^ \\t\\n\\x0B\\f\\r])", s"$sep$$1$sep")
+    val encoded = merges.foldLeft(wrapped) { case (s, (_, l, r, _, _)) =>
+      replace(s, lit(s"$sep$l$sep$sep$r$sep"), lit(s"$sep$l$r$sep"))
+    }
+    // token count = half the separator count: every symbol carries
+    // exactly two U+001F and whitespace carries none; the difference of
+    // lengths is always even, so the halving is exact
+    val docs = Tables.documents(spark, dir).withColumn("_enc", encoded)
+    val seps = length(col("_enc")) -
+      length(replace(col("_enc"), lit(sep), lit("")))
+    docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        (seps.cast("long") / lit(2)).cast("long").as("n_bpe_merged"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "vocab_train" -> (vocabTrain _))
+    "vocab_train" -> (vocabTrain _),
+    "text_token_count_trained" -> (textTokenCountTrained _))
 
   /** One unrolled training round: pairs → argmax → replace. */
   private def roundSql(i: Int): String =
@@ -116,7 +158,45 @@ object VocabTrain {
        |                chr(31) || b.l || b.r || chr(31)) AS s, t.cnt
        | FROM r${i - 1} t CROSS JOIN b$i b)""".stripMargin
 
+  /** One encode round over the doc chain: the SAME replace as r$i,
+    * guarded no-op when the corresponding argmax is empty (chr(30)
+    * never occurs, so the replace matches nothing) — mirroring the
+    * engine applying only the merges that exist.
+    */
+  private def encRoundSql(i: Int): String =
+    s"""d$i AS MATERIALIZED (
+       | SELECT d.doc_id, d.text,
+       |   replace(d.s,
+       |     coalesce((SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM b$i), chr(30)),
+       |     coalesce((SELECT chr(31) || l || r || chr(31) FROM b$i), chr(30))) AS s
+       | FROM d${i - 1} d)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_token_count_trained" -> {
+      val roundsSql = (1 to rounds).map(roundSql).mkString(",\n")
+      val encSql = (1 to rounds).map(encRoundSql).mkString(",\n")
+      s"""WITH wf AS MATERIALIZED (
+         | SELECT word, count(*) AS cnt FROM (
+         |   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |   FROM documents) t
+         | WHERE length(word) > 0 GROUP BY 1),
+         |r0 AS MATERIALIZED (
+         | SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s,
+         |        cnt
+         | FROM wf),
+         |$roundsSql,
+         |d0 AS (
+         | SELECT doc_id, text,
+         |   regexp_replace(text, '([^ \\t\\n\\x0B\\f\\r])',
+         |                  chr(31) || '\\1' || chr(31), 'g') AS s
+         | FROM documents),
+         |$encSql
+         |SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST((length(s) - length(replace(s, chr(31), ''))) // 2 AS BIGINT)
+         |    AS n_bpe_merged
+         |FROM d$rounds ORDER BY doc_id""".stripMargin
+    },
     "vocab_train" -> {
       val roundsSql = (1 to rounds).map(roundSql).mkString(",\n")
       val arms = (1 to rounds).map(i =>

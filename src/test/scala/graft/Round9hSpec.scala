@@ -53,6 +53,25 @@ class Round9hSpec extends AnyFunSuite {
       "a merge step re-learned an existing piece")
   }
 
+  test("merge-order encoding: token counts sandwich between words and characters") {
+    val out = VocabTrain.textTokenCountTrained(spark, TestSpark.sf)
+    val chars = graft.tables.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]", ""))
+          .cast("long").as("n_chars"))
+    val joined = out.join(chars, "doc_id").collect()
+    joined.foreach { r =>
+      val (w, m, c) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_bpe_merged"), r.getAs[Long]("n_chars"))
+      assert(w <= m && m <= c,
+        s"doc ${r.getAs[Long]("doc_id")}: words=$w merged=$m chars=$c")
+    }
+    // the 12 learned merges genuinely fire on the corpus
+    val (tm, tc) = joined.map(r => (r.getAs[Long]("n_bpe_merged"),
+      r.getAs[Long]("n_chars"))).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(tm * 5 <= tc * 4, s"merge-order encoding barely compressed: $tm/$tc")
+  }
+
   test("train -> freeze -> serve: the trained pieces compress the corpus through the trie encoder") {
     val pieces = VocabTrain.vocabTrain(spark, TestSpark.sf)
       .select("merged").as[String].collect().toSeq
