@@ -51,7 +51,12 @@ object Bench {
     // timed next to the literal-CASE twin (text_token_count_bpe) so a
     // vocab-scalability regression shows as a wall-clock number — and
     // the graph-ANN serve (NN-descent build + multi-entry greedy walk)
-    "text_token_count_prod", "ann_graph_search")
+    "text_token_count_prod", "ann_graph_search",
+    // round 10: the native merge-order BPE encoder at production merge
+    // count (broadcast merge-rank table, in-order heap encode) — timed
+    // next to the trie path so the merge-COUNT-scalability story has a
+    // wall-clock number
+    "text_token_count_merges_prod")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

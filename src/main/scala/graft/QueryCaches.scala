@@ -37,6 +37,12 @@ object QueryCaches {
     * A lost race double-builds harmlessly — persist of a plan-equal
     * frame reuses the winner's cache entry.
     */
+  /** Spec hook: whether a site has memoized under `key` — how
+    * Round10Spec pins that session-scoped state (catalog registrations)
+    * keys on the applicationId, not on the dir alone.
+    */
+  private[graft] def has(key: String): Boolean = live.containsKey(key)
+
   def memo[T <: AnyRef](key: String)(build: => T): T = {
     val hit = live.get(key)
     if (hit != null) hit.asInstanceOf[T]

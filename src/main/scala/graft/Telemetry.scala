@@ -126,6 +126,7 @@ object ShuffleBudget {
     "text_redact" -> 190000L,
     "text_token_count_bpe" -> 16000L,
     "text_token_count_prod" -> 17000L,
+    "text_token_count_merges_prod" -> 17000L,
     // serve reads the memoized, checkpointed result — the walk/build
     // shuffles happen at construction (probed 0 B; floor pinned)
     "ann_graph_search" -> 1000L,
@@ -177,6 +178,7 @@ object ShuffleBudget {
     "text_redact" -> 1800000L,
     "text_token_count_bpe" -> 150000L,
     "text_token_count_prod" -> 160000L,
+    "text_token_count_merges_prod" -> 160000L,
     "ann_graph_search" -> 1000L,
     "corpus_pack_bpe" -> 110000L,
     "corpus_pack_split" -> 770000L,

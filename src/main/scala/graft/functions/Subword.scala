@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * LONGEST vocabulary piece that matches, else consume one code point
   * (byte-fallback, as real BPE vocabularies guarantee); whitespace
   * (Java's regex `\s` set — space, tab, LF, VT, FF, CR, matching the
-  * `split(trim(text), '\\s+')` word accounting every consumer uses)
+  * `split(trim(text), '[ \\t\\n\\x0B\\f\\r]+')` word accounting every consumer uses)
   * separates words and is never part of a token. Round9bSpec pins
   * trie ≡ literal fold on the shared contract vocabulary over the
   * whole corpus, and property-tests the trie against an independent

@@ -32,7 +32,7 @@ object NaiveBayes {
     val feats = docs.select(
       (col("doc_id") +: col("lang") +:
         vocab.zipWithIndex.map { case (t, i) =>
-          array_contains(split(trim(col("text")), "\\s+"), t).cast("int").as(s"x$i")
+          array_contains(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"), t).cast("int").as(s"x$i")
         }): _*)
     val cls = feats.groupBy(col("lang").as("c_lang"))
       .agg(count(lit(1)).as("n_j"),
@@ -58,7 +58,7 @@ object NaiveBayes {
 
   private val featSql: String = vocab.zipWithIndex
     .map { case (t, i) =>
-      s"CAST(list_contains(string_split_regex(trim(text), '\\s+'), '$t') AS INT) AS x$i"
+      s"CAST(list_contains(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), '$t') AS INT) AS x$i"
     }.mkString(",\n  ")
   private val clsSql: String = vocab.indices
     .map(i => s"CAST(sum(x$i) AS BIGINT) AS m$i").mkString(", ")

@@ -94,7 +94,7 @@ object Bpe {
     */
   private[graft] def bpeCountColLiteral(textCol: String): Column = expr(
     s"""aggregate(
-       |  split(trim($textCol), '\\\\s+'),
+       |  split(trim($textCol), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'),
        |  0L,
        |  (tot, w) -> tot + aggregate(
        |    sequence(1, greatest(char_length(w), 1)),
@@ -148,7 +148,7 @@ object Bpe {
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("n_tokens"),
         bpeCountCol("text").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
@@ -187,7 +187,7 @@ object Bpe {
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("n_tokens"),
         subwordCount(col("text"), "prod", prodVocab).as("n_subwords"))
       .orderBy("doc_id")
 
@@ -271,7 +271,7 @@ object Bpe {
     */
   private[graft] val bpeCtes: String =
     s"""occ AS (
-       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |  FROM documents),
        |dw AS (SELECT DISTINCT w FROM occ),
        |enc AS (
@@ -298,7 +298,7 @@ object Bpe {
       s"""WITH RECURSIVE
          |vocab(p, l) AS (SELECT * FROM (VALUES $prodVocabSql) v(p, l)),
          |occ AS (
-         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
          |  FROM documents),
          |dw AS (SELECT DISTINCT w FROM occ),
          |pos AS (

@@ -108,7 +108,7 @@ object Corpus {
                  capacity: Long = 2048): DataFrame =
     packBins(Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("n_tokens")),
       capacity)
 
   /** F29 — `corpus_build_audit`: the corpus BUILD as one funnel — the
@@ -143,7 +143,7 @@ object Corpus {
   private[graft] def buildFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("n_tokens"))
     val dropDup = Dedup.dedupCluster(spark, dir)
       .join(dedupCanonical(spark, dir).select("cluster", "keep_id"), Seq("cluster"))
       .filter(col("doc_id") =!= col("keep_id"))
@@ -204,7 +204,7 @@ object Corpus {
   def corpusPackChunks(spark: SparkSession, dir: String,
                        capacity: Long = 64): DataFrame = {
     val chunks = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+").as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n"),
         explode(expr(s"sequence(0L, CAST((size(toks) - 1) div $capacity AS BIGINT))"))
@@ -264,8 +264,8 @@ object Corpus {
     * meaning — the canonical pick depends on it).
     */
   private[ops] val qualitySql =
-    """floor((least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) *
-      |       (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+    """floor((least(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) / 50.0, 1.0) *
+      |       (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')))
       |        / CAST(length(text) AS DOUBLE))) * 10000 + 0.5) / 10000""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -294,7 +294,7 @@ object Corpus {
     // is DISTINCT hashes, overlap counts a train doc's hashes in it
     "text_decontaminate" ->
       s"""WITH tok AS (
-         | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+         | SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens FROM documents),
          |sh AS (
          | SELECT doc_id, list_distinct([concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])
          |   FOR i IN range(1, greatest(len(tokens) - 3, 0) + 2)]) AS shingles
@@ -316,7 +316,7 @@ object Corpus {
     "corpus_pack" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |p AS (SELECT CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS nbins FROM t),
         |r AS (
@@ -331,7 +331,7 @@ object Corpus {
     // engines cut the identical token ranges and reassemble with ' '
     "corpus_pack_chunks" ->
       """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
         |ch0 AS (
         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
         |    unnest(range(0, (len(t) - 1) // 64 + 1)) AS chunk

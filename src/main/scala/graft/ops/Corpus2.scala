@@ -42,7 +42,7 @@ object Corpus2 {
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("toks", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .withColumn("bgs", expr(
         """IF(size(toks) >= 2,
           |   transform(sequence(0, size(toks) - 2),
@@ -283,7 +283,7 @@ object Corpus2 {
     val fmap = map(epochPpm.flatMap { case (l, p) => Seq(lit(l), lit(p)) }: _*)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("n_tokens"),
         ppmDraw("ups|", col("doc_id")).as("ppm"))
       .withColumn("f_ppm", element_at(fmap, col("lang")))
       .withColumn("copies",
@@ -371,7 +371,7 @@ object Corpus2 {
   private[graft] def perplexityOf(docs: DataFrame, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bg = docs
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("toks", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
@@ -466,7 +466,7 @@ object Corpus2 {
     */
   private[graft] def cascadeFlags(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("toks", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
     val nTok = size(col("toks")).cast("long")
     val topFrac = OracleRound.r4b(expr(maxRunSql("toks")) / nTok)
     base.select(
@@ -550,7 +550,7 @@ object Corpus2 {
     */
   def textNovelty(spark: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(spark, dir)
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("toks", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
@@ -585,7 +585,7 @@ object Corpus2 {
     // an exact integer sum of per-occurrence corpus frequencies
     "text_novelty" ->
       """WITH tok AS (
-        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks FROM documents),
         |bg AS (
         | SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
         | FROM tok WHERE len(toks) >= 2),
@@ -603,7 +603,7 @@ object Corpus2 {
     // the engine's sorted-run fold); bigrams by 1-indexed adjacency
     "text_repetition" ->
       """WITH tok AS (
-        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks FROM documents),
         |base AS (
         | SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM tok),
@@ -670,7 +670,7 @@ object Corpus2 {
     // length (bin ↔ conv(…,10,2) — both are the exact floor-log₂+1)
     "text_perplexity" ->
       """WITH tok AS (
-        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        | SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks FROM documents),
         |bg AS (
         | SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
         | FROM tok WHERE len(toks) >= 2),
@@ -711,7 +711,7 @@ object Corpus2 {
         s"WHEN '$l' THEN $p" }.mkString(" ") + " END"
       s"""WITH d0 AS (
          | SELECT doc_id, lang,
-         |   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |   CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
          |   'ups|' || CAST(doc_id AS VARCHAR) AS s FROM documents),
          |d AS (
          | SELECT lang, n_tokens, ${ppmDrawSql("s")} AS ppm,
@@ -780,7 +780,7 @@ object Corpus2 {
     "corpus_filter_cascade" ->
       s"""WITH tok AS (
          | SELECT doc_id, lang, text,
-         |        string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents),
          |uni AS (
          | SELECT doc_id, max(cnt) AS top_uni FROM (
          |   SELECT doc_id, count(*) AS cnt

@@ -32,7 +32,7 @@ object Dedup {
     * would re-split the text for every shingle position (O(words²)/row).
     */
   private[graft] def shingled(df: DataFrame): DataFrame =
-    df.withColumn("tokens", split(trim(col("text")), "\\s+"))
+    df.withColumn("tokens", split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(col("doc_id"), array_distinct(expr(
         """transform(sequence(0, greatest(size(tokens) - 3, 0)),
           |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))""".stripMargin))
@@ -234,7 +234,7 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .select(col("doc_id"), explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
       // native RollHash64 (not xxhash64): same single-pass cost, but the
       // mod-2⁶⁴ polynomial replays in the DuckDB oracle
@@ -400,7 +400,7 @@ object Dedup {
   /** The shared shingle→hash preamble: `tok` → `sh` → `expl` → `h0`. */
   private[graft] val shingleHashCtes: String =
     s"""tok AS (
-       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+       | SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens FROM documents),
        |sh AS MATERIALIZED (
        | SELECT doc_id, list_distinct([concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])
        |   FOR i IN range(1, greatest(len(tokens) - 3, 0) + 2)]) AS shingles
@@ -635,7 +635,7 @@ object Dedup {
       }.mkString("\n  UNION ALL\n  ")
       s"""WITH tf AS (
          | SELECT doc_id, token, count(*) AS w FROM (
-         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS token FROM documents)
          | GROUP BY 1, 2),
          |hashed AS (SELECT doc_id, w, ${rollSql("token")} AS hu FROM tf),
          |bits AS (SELECT doc_id,

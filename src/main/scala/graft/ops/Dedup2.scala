@@ -32,7 +32,7 @@ object Dedup2 {
     */
   def dedupDocChunk(spark: SparkSession, dir: String): DataFrame = {
     val blocks = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tokens"))
+      .select(col("doc_id"), split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+").as("tokens"))
       .select(col("doc_id"), expr(
         """CASE WHEN size(tokens) >= 10 THEN
           |  transform(sequence(0, size(tokens) div 10 - 1),
@@ -266,7 +266,7 @@ object Dedup2 {
   private[graft] def spansOf(docs: DataFrame, win: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+").as("toks"))
       .filter(size(col("toks")) >= win)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, size(toks) - $win),
@@ -313,7 +313,7 @@ object Dedup2 {
       .agg(collect_list(struct(col("start_tok").as("s"),
         col("end_tok").as("e"))).as("spans"))
     docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+").as("toks"))
       .join(spans, Seq("doc_id"), "left")
       .withColumn("spans", coalesce(col("spans"),
         array().cast("array<struct<s:bigint,e:bigint>>")))
@@ -341,7 +341,7 @@ object Dedup2 {
     */
   private lazy val passageCtes: String =
     s"""tok AS (
-       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       | SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents),
        |wins AS (
        | SELECT doc_id, i - 1 AS i, array_to_string(t[i:i+9], ' ') AS w
        | FROM (SELECT doc_id, t, CAST(unnest(range(1, len(t) - 8)) AS BIGINT) AS i
@@ -456,7 +456,7 @@ object Dedup2 {
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_doc_chunk" ->
       s"""WITH tok AS (
-         | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tokens FROM documents),
+         | SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tokens FROM documents),
          |blk AS (
          | SELECT doc_id,
          |  unnest([array_to_string(tokens[(i - 1) * 10 + 1 : i * 10], ' ')

@@ -73,7 +73,7 @@ object QualityGate {
       col("doc_id"), col("lang"),
       (expr("substr(source, 4)").cast("int") % 2 === 0)
         .cast("int").as("y"),
-      aggregate(split(trim(col("text")), "\\s+"), lit(0L),
+      aggregate(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"), lit(0L),
         (acc, t) => acc + tokenSign(t)).as("q"))
 
   /** The trained (b0, b1) ticks, memoized per dir — the frozen model
@@ -119,7 +119,7 @@ object QualityGate {
            |  SELECT doc_id, lang,
            |    CAST(CAST(substr(source, 4) AS INT) % 2 = 0 AS INT) AS y,
            |    (SELECT CAST(coalesce(sum($sign), 0) AS BIGINT)
-           |     FROM unnest(string_split_regex(trim(text), '\\s+')) AS u(t)) AS q
+           |     FROM unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS u(t)) AS q
            |  FROM documents),
            |""".stripMargin
       s"""${graft.ml.Irls.stepsCtes(2, prelude, "SELECT y, q FROM lab")},

@@ -37,7 +37,12 @@ object StatsPlan {
     * parquet — ANALYZE writes stats into the session catalog only.
     */
   private[graft] def analyzedTables(spark: SparkSession, dir: String): (String, String) =
-    graft.QueryCaches.memo(s"statsplan.tables:$dir") {
+    // applicationId is part of the key (trieFor's discipline): the
+    // CREATE TABLE/ANALYZE registrations live in one SparkContext's
+    // catalog, so a dir-only memo would hand a later context in the
+    // same JVM table names that no longer resolve
+    graft.QueryCaches.memo(
+      s"statsplan.tables:$dir:${spark.sparkContext.applicationId}") {
       val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val cust = s"g_stats_customer$tag"
       val ord = s"g_stats_orders$tag"

@@ -24,7 +24,7 @@ object Text {
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("n_tokens"),
         size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_alpha_tokens"))
       .orderBy("doc_id")
 
@@ -39,17 +39,17 @@ object Text {
     */
   private[ops] def qualityScoreCol: Column = {
     val len = length(col("text")).cast("double")
-    val nTokens = size(split(trim(col("text")), "\\s+")).cast("double")
-    val punct = len - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")).cast("double")
+    val nTokens = size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("double")
+    val punct = len - length(regexp_replace(col("text"), "[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]", "")).cast("double")
     r4(least(nTokens / lit(50.0), lit(1.0)) * (lit(1.0) - punct / len))
   }
 
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val len = length(col("text")).cast("double")
-    val nTokens = size(split(trim(col("text")), "\\s+")).cast("double")
-    val punct = len - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")).cast("double")
+    val nTokens = size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("double")
+    val punct = len - length(regexp_replace(col("text"), "[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]", "")).cast("double")
     val digits = len - length(regexp_replace(col("text"), "[0-9]", "")).cast("double")
-    val nonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+    val nonSpace = length(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]", "")).cast("double")
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
@@ -125,7 +125,7 @@ object Text {
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+        md5(lower(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " "))).as("fingerprint"))
       .orderBy("doc_id")
 
   /** F4b — 64-bit rolling-hash fingerprint via the native codegen'd
@@ -139,7 +139,7 @@ object Text {
       .select(
         col("doc_id"),
         graft.functions.VectorOps.rollhash64(
-          lower(regexp_replace(col("text"), "\\s+", " "))).as("rollhash"))
+          lower(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " "))).as("rollhash"))
       .orderBy("doc_id")
 
   /** F5 — corpus-level top character trigrams: explode trigram positions
@@ -168,7 +168,7 @@ object Text {
     Tables.documents(spark, dir).createOrReplaceTempView("graft_docs")
     spark.sql(
       """SELECT doc_id,
-        |  graft_rollhash64(lower(regexp_replace(text, '\\s+', ' '))) AS rollhash
+        |  graft_rollhash64(lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' '))) AS rollhash
         |FROM graft_docs ORDER BY doc_id""".stripMargin)
   }
 
@@ -206,18 +206,18 @@ object Text {
   val oracles: Map[String, String] = Map(
     "text_token_count" ->
       """SELECT doc_id,
-        | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        | len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tokens,
         | len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         | length(text) AS len,
-        | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-        | floor(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 10000 + 0.5) / 10000 AS punct_ratio,
+        | len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tokens,
+        | floor(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 10000 + 0.5) / 10000 AS punct_ratio,
         | floor(((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 10000 + 0.5) / 10000 AS digit_ratio,
-        | floor((length(regexp_replace(text, '\s', '', 'g')) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean_token_len,
-        | floor((least(len(string_split_regex(trim(text), '\s+')) / 50.0, 1.0) *
-        |       (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+        | floor((length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) / CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE)) * 10000 + 0.5) / 10000 AS mean_token_len,
+        | floor((least(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) / 50.0, 1.0) *
+        |       (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')))
         |        / CAST(length(text) AS DOUBLE))) * 10000 + 0.5) / 10000 AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
@@ -234,7 +234,7 @@ object Text {
          |FROM c JOIN t USING (true_lang)
          |ORDER BY true_lang, pred_lang""".stripMargin,
     "text_fingerprint" ->
-      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+      """SELECT doc_id, md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_ngram_stats" ->
       """SELECT gram, count(*) AS n FROM (
@@ -251,7 +251,7 @@ object Text {
     s"""SELECT doc_id, ${Dedup.wrapSql("h")} AS rollhash
        |FROM (
        | SELECT doc_id, ${Dedup.rollSql("t")} AS h
-       | FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+       | FROM (SELECT doc_id, lower(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
        |       FROM documents))
        |ORDER BY doc_id""".stripMargin
 }

@@ -32,7 +32,7 @@ object Text2 {
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
-      explode(split(trim(col("text")), "\\s+")).as("term"))
+      explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val tot = docs.agg(count(lit(1)).as("n_total"))
@@ -55,7 +55,7 @@ object Text2 {
     */
   def textReadability(spark: SparkSession, dir: String): DataFrame = {
     val nSent = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1)).cast("double")
-    val nWords = size(split(trim(col("text")), "\\s+")).cast("double")
+    val nWords = size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("double")
     val nSyll = greatest(size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))), lit(1)).cast("double")
     Tables.documents(spark, dir)
       .select(
@@ -86,7 +86,7 @@ object Text2 {
     def cnt(re: String): Column =
       n - length(regexp_replace(col("text"), re, ""))
     val lo = cnt("[a-z]"); val up = cnt("[A-Z]")
-    val di = cnt("[0-9]"); val sp = cnt("\\s")
+    val di = cnt("[0-9]"); val sp = cnt("[ \\t\\n\\x0B\\f\\r]")
     def term(c: Column): Column = {
       val p = c.cast("double") / col("n_chars_t").cast("double")
       when(c > 0, p * log(p)).otherwise(lit(0.0))
@@ -124,7 +124,7 @@ object Text2 {
     */
   def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = Tables.documents(spark, dir)
-      .select(split(trim(col("text")), "\\s+").as("tokens"))
+      .select(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+").as("tokens"))
       .filter(size(col("tokens")) >= 2)
       .select(explode(expr(
         """transform(sequence(0, size(tokens) - 2),
@@ -148,7 +148,7 @@ object Text2 {
 
   private val bigramLmSql: String =
     """WITH tok AS (
-      |  SELECT string_split_regex(trim(text), '\s+') AS tokens FROM documents),
+      |  SELECT string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS tokens FROM documents),
       |bg AS (
       |  SELECT unnest(tokens[1 : len(tokens) - 1]) AS w1,
       |         unnest(tokens[2 : len(tokens)]) AS w2
@@ -174,7 +174,7 @@ object Text2 {
          |  length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS c_lo,
          |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS c_up,
          |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS c_di,
-         |  length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS c_sp
+         |  length(text) - length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS c_sp
          | FROM documents),
          |c2 AS (SELECT *, n - c_lo - c_up - c_di - c_sp AS c_ot FROM c)
          |SELECT doc_id,
@@ -187,7 +187,7 @@ object Text2 {
     },
     "text_tfidf" ->
       """WITH toks AS (
-        | SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        | SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
         | FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
@@ -206,7 +206,7 @@ object Text2 {
       s"""WITH c AS (
         | SELECT doc_id,
         |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
-        |  len(string_split_regex(trim(text), '\\s+')) AS n_words,
+        |  len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words,
         |  greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syll
         | FROM documents)
         |SELECT doc_id,

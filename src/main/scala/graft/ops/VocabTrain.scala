@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -44,6 +44,30 @@ object VocabTrain {
 
   private val sep = "\u001F"
   private[graft] val rounds = 12
+
+  /** The U+001F symbol-separator encoding silently MISCOUNTS if the
+    * corpus text itself ever carries chr(31): engine and oracle agree
+    * (same encoding), so the driver hash would still match while the
+    * token counts are semantically wrong. Fail loudly instead --
+    * PieceTrie's whitespace-bearing-piece `require` mirrored onto the
+    * input side; the oracle carries the identical check via DuckDB's
+    * lazy `error()` ([[docsCkSql]]), so both engines reject the same
+    * corpora. Round10Spec witnesses the raise.
+    */
+  private[graft] def guarded(text: Column): Column =
+    when(text.contains(lit(sep)),
+      raise_error(concat(lit("vocab_train: input text contains U+001F, " +
+        "the reserved symbol separator - doc text: "), text)).cast("string"))
+      .otherwise(text)
+
+  /** The oracle mirror of [[guarded]]: a checked `documents` view. */
+  private[graft] def docsCkSql: String =
+    """docs_ck AS (
+      | SELECT doc_id,
+      |   CASE WHEN contains(text, chr(31))
+      |        THEN error('vocab_train: input text contains U+001F, the reserved symbol separator')
+      |        ELSE text END AS text
+      | FROM documents)""".stripMargin
 
   /** (step, lhs, rhs, merged, pair_count) merge rows for an arbitrary
     * (word, cnt) frame — the core the contract query and the
@@ -90,7 +114,7 @@ object VocabTrain {
   private def mergesFor(spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] =
     graft.QueryCaches.memo(s"vocabtrain.merges:$dir") {
       val wf = Tables.documents(spark, dir)
-        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .select(explode(split(trim(guarded(col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy("word").agg(count(lit(1)).as("cnt"))
       trainOn(wf)
@@ -102,22 +126,68 @@ object VocabTrain {
       .orderBy("step")
   }
 
+  /** One memoized broadcast [[graft.functions.MergeTable]] per (app,
+    * merge list) — Bpe.trieFor's discipline for the merge-order
+    * encoder: built on the driver once, fetched once per executor,
+    * shared by every expression over the same training run.
+    */
+  private[graft] def mergeTableFor(name: String, merges: Seq[(String, String)])
+  : org.apache.spark.broadcast.Broadcast[graft.functions.MergeTable] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    graft.QueryCaches.memo(s"mergeencode.table:$name:${sc.applicationId}") {
+      sc.broadcast(graft.functions.MergeTable(merges))
+    }
+  }
+
+  /** [[graft.functions.MergeEncodeCount]] as a Column over an
+    * arbitrary trained merge list.
+    */
+  private[graft] def mergeEncodeCount(textCol: Column, tag: String,
+                                      merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MergeEncodeCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(textCol),
+        mergeTableFor(tag, merges), tag))
+
   /** F33 — `text_token_count_trained`: the trained merges APPLIED the
     * way BPE defines encoding — in MERGE ORDER, not greedy
     * longest-match (the two genuinely differ: greedy would take a
     * longer late-learned piece where true BPE first commits an
-    * early-learned pair inside it). Every non-whitespace character is
-    * separator-wrapped, then the 12 trained replaces run in training
-    * order over the WHOLE document (whitespace stays unwrapped, so a
-    * pattern can never match across a word boundary), and the token
-    * count is just the separator count over two. Engine: 13 chained
-    * codegen string ops per row, zero shuffle; the merge patterns are
-    * literals from the memoized training run. Oracle: the SAME 12
-    * replaces chained over the training oracle's own b1..b12 argmax
-    * CTEs — one query replays train AND encode, so the driver
-    * hash-proves the end-to-end tokenizer.
+    * early-learned pair inside it).
+    *
+    * ENGINE path (round-10 directive #1): the native
+    * [[graft.functions.MergeEncodeCount]] expression over the
+    * broadcast merge-rank table — one generated call regardless of
+    * merge count, so the TRAINED vocabulary can serve at a release
+    * tokenizer's 30k+ merges with BPE-faithful semantics. The
+    * chained-replace formulation this replaced is retained as
+    * [[textTokenCountTrainedLit]], the oracle-exact twin Round10bSpec
+    * pins equal over the whole contract corpus (and property-tests on
+    * adversarial strings).
+    *
+    * ORACLE: unchanged — the separator-encoding replaces chained over
+    * the training oracle's own b1..b12 argmax CTEs, so ONE query
+    * still replays train AND encode and the driver hash-proves the
+    * end-to-end tokenizer against the native engine path.
     */
   def textTokenCountTrained(spark: SparkSession, dir: String): DataFrame = {
+    val merges = mergesFor(spark, dir).map(m => (m._2, m._3))
+    Tables.documents(spark, dir)
+      .withColumn("text", guarded(col("text")))
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("n_tokens"),
+        mergeEncodeCount(col("text"), s"trained:$dir", merges).as("n_bpe_merged"))
+      .orderBy("doc_id")
+  }
+
+  /** The round-9 chained-replace realization of F33 — 12 codegen
+    * `replace` calls over the separator-wrapped document. Exactly
+    * right at the 12 contract merges and exactly what the oracle
+    * replays; kept as the engine-side TWIN the native encoder is
+    * spec-pinned against (it cannot scale past a demo merge count —
+    * one Catalyst node per merge).
+    */
+  private[graft] def textTokenCountTrainedLit(spark: SparkSession, dir: String): DataFrame = {
     val merges = mergesFor(spark, dir)
     val wrapped = regexp_replace(col("text"),
       "([^ \\t\\n\\x0B\\f\\r])", s"$sep$$1$sep")
@@ -127,18 +197,62 @@ object VocabTrain {
     // token count = half the separator count: every symbol carries
     // exactly two U+001F and whitespace carries none; the difference of
     // lengths is always even, so the halving is exact
-    val docs = Tables.documents(spark, dir).withColumn("_enc", encoded)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("text", guarded(col("text")))
+      .withColumn("_enc", encoded)
     val seps = length(col("_enc")) -
       length(replace(col("_enc"), lit(sep), lit("")))
     docs.select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("n_tokens"),
         (seps.cast("long") / lit(2)).cast("long").as("n_bpe_merged"))
       .orderBy("doc_id")
   }
 
+  /** The PRODUCTION-SHAPE merge list: ~512 merges, generated
+    * deterministically (no RNG, no corpus dependence) in dependency
+    * order the way a real training run lays them down — consonant
+    * clusters first, then (onset, vowel) units over symbols the
+    * earlier merges created, then (syllable, coda) — Bpe.prodVocab's
+    * realism argument applied to MERGES: later ranks consume earlier
+    * ranks' outputs, so in-order encoding is genuinely exercised (a
+    * rank-oblivious encoder diverges on this list; Round10bSpec pins
+    * one such witness).
+    */
+  private[graft] val prodMerges: Seq[(String, String)] = {
+    val clusters = Seq("th", "ch", "sh", "br", "cr", "dr", "fl", "gr",
+      "pl", "pr", "sc", "sl", "sp", "st", "tr", "cl")
+    val vowels = Seq("a", "e", "i", "o", "u")
+    val onsets = Seq("b", "c", "d", "f", "g", "h", "l", "m", "n", "p",
+      "r", "s", "t", "w") ++ clusters
+    val codas = Seq("d", "k", "l", "m", "n", "r", "s", "t")
+    val s1 = clusters.map(c => (c.substring(0, 1), c.substring(1)))
+    val s2 = for { o <- onsets; v <- vowels } yield (o, v)
+    val s3 = for { o <- onsets; v <- vowels; cd <- codas } yield (o + v, cd)
+    (s1 ++ s2 ++ s3).take(512)
+  }
+
+  /** F34 — `text_token_count_merges_prod`: the merge-order encoder at
+    * PRODUCTION merge count (512 — 40× the trained contract list),
+    * with the merge table on the broadcast engine path and the oracle
+    * replaying the identical in-order pass-by-pass semantics as a
+    * DuckDB recursive CTE that advances (word, symbolization, rank)
+    * one trained merge per iteration over the Zipf-collapsed DISTINCT
+    * words — M iterations × |distinct words| rows, fully exact.
+    * Engine cost is one scan with a constant-size generated
+    * projection; the merge count only grows the broadcast table.
+    */
+  def textTokenCountMergesProd(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("text", guarded(col("text")))
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("n_tokens"),
+        mergeEncodeCount(col("text"), "prod512", prodMerges).as("n_merged"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_train" -> (vocabTrain _),
-    "text_token_count_trained" -> (textTokenCountTrained _))
+    "text_token_count_trained" -> (textTokenCountTrained _),
+    "text_token_count_merges_prod" -> (textTokenCountMergesProd _))
 
   /** One unrolled training round: pairs → argmax → replace. */
   private def roundSql(i: Int): String =
@@ -172,13 +286,50 @@ object VocabTrain {
        | FROM d${i - 1} d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // in-order encode under the generated production merge list: the
+    // merges as a VALUES rank relation, one recursive iteration per
+    // rank applying the SAME boundary-exact separator replace the
+    // trainer defines, over DISTINCT words (Zipf-collapsed — the
+    // whole corpus re-joins by word at the end). Letters-only merge
+    // sides, so the literal quoting is safe by construction.
+    "text_token_count_merges_prod" -> {
+      val m = prodMerges.size
+      val vals = prodMerges.zipWithIndex
+        .map { case ((l, r), i) => s"(${i + 1},'$l','$r')" }.mkString(", ")
+      s"""WITH RECURSIVE
+         |mg(rk, l, r) AS (SELECT * FROM (VALUES $vals) v(rk, l, r)),
+         |$docsCkSql,
+         |occ AS (
+         | SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+         | FROM docs_ck),
+         |dw AS (SELECT DISTINCT w FROM occ),
+         |enc AS (
+         | SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s,
+         |        1 AS i
+         | FROM dw
+         | UNION ALL
+         | SELECT e.w,
+         |   replace(e.s, chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31),
+         |           chr(31) || m.l || m.r || chr(31)) AS s,
+         |   e.i + 1
+         | FROM enc e JOIN mg m ON m.rk = e.i),
+         |fin AS (SELECT w, s FROM enc WHERE i = $m + 1),
+         |wc AS (
+         | SELECT w, (length(s) - length(replace(s, chr(31), ''))) // 2 AS cnt
+         | FROM fin)
+         |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(wc.cnt) AS BIGINT) AS n_merged
+         |FROM occ o JOIN wc USING (w)
+         |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+    },
     "text_token_count_trained" -> {
       val roundsSql = (1 to rounds).map(roundSql).mkString(",\n")
       val encSql = (1 to rounds).map(encRoundSql).mkString(",\n")
-      s"""WITH wf AS MATERIALIZED (
+      s"""WITH $docsCkSql,
+         |wf AS MATERIALIZED (
          | SELECT word, count(*) AS cnt FROM (
-         |   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
-         |   FROM documents) t
+         |   SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
+         |   FROM docs_ck) t
          | WHERE length(word) > 0 GROUP BY 1),
          |r0 AS MATERIALIZED (
          | SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s,
@@ -189,10 +340,10 @@ object VocabTrain {
          | SELECT doc_id, text,
          |   regexp_replace(text, '([^ \\t\\n\\x0B\\f\\r])',
          |                  chr(31) || '\\1' || chr(31), 'g') AS s
-         | FROM documents),
+         | FROM docs_ck),
          |$encSql
          |SELECT doc_id,
-         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
          |  CAST((length(s) - length(replace(s, chr(31), ''))) // 2 AS BIGINT)
          |    AS n_bpe_merged
          |FROM d$rounds ORDER BY doc_id""".stripMargin
@@ -203,10 +354,11 @@ object VocabTrain {
         s"""SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs,
            |  l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
         .mkString("\n  UNION ALL\n  ")
-      s"""WITH wf AS MATERIALIZED (
+      s"""WITH $docsCkSql,
+         |wf AS MATERIALIZED (
          | SELECT word, count(*) AS cnt FROM (
-         |   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
-         |   FROM documents) t
+         |   SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
+         |   FROM docs_ck) t
          | WHERE length(word) > 0 GROUP BY 1),
          |r0 AS MATERIALIZED (
          | SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS s,

@@ -650,7 +650,7 @@ object SourceQueries {
     */
   private[graft] def shardRouteCols(nshards: Int): Seq[org.apache.spark.sql.Column] =
     Seq(col("doc_id"), col("lang"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).cast("long").as("n_tokens"),
       pmod(graft.functions.VectorOps.rollhash64(
         concat(lit("shard|"), col("doc_id").cast("string"))),
         lit(nshards.toLong)).as("shard"))
@@ -1148,7 +1148,7 @@ object SourceQueries {
       val h = graft.ops.Dedup.wrapSql(graft.ops.Dedup.rollSql("s"))
       s"""WITH d0 AS (
          | SELECT doc_id, lang,
-         |   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |   CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
          |   'shard|' || CAST(doc_id AS VARCHAR) AS s
          | FROM documents),
          |a AS (SELECT (($h % 8) + 8) % 8 AS shard, lang, n_tokens FROM d0)

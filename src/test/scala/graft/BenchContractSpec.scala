@@ -34,7 +34,7 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("the standing bench baseline stays anchored to the headline set") {
-    // BASELINE_BENCH.json pins the round-8 driver bench (sf0.1) as the
+    // BASELINE_BENCH.json pins the round-9 driver bench (sf0.1) as the
     // standing per-query regression baseline — a future slowdown is
     // graded against a committed NUMBER, not round-over-round memory.
     // Structural contract only (wall-times are host-load-dependent, so
