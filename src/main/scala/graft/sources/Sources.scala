@@ -274,6 +274,78 @@ object Sources {
       .filter(f => f.isDirectory && f.getName.startsWith("_batch_id="))
       .map(_.getName.stripPrefix("_batch_id=").toLong).sorted.toSeq
 
+  /** The CLAIM PRIMITIVE behind the optimistic commit protocol
+    * (round-10 directive #6): one attempt to atomically publish a
+    * staged batch as `_batch_id=<id>`. The contract every store must
+    * honor:
+    *
+    *  - `true` — the batch is PUBLISHED under `id`: claim and data
+    *    publish were ONE atomic operation (no commit marker can exist
+    *    without its data);
+    *  - `false` — `id` was already claimed by another writer, and the
+    *    staged batch is UNTOUCHED (the caller retries the next id);
+    *  - anything else THROWS: a non-conflict failure (permissions, a
+    *    consumed staging dir, an unreachable store) must surface
+    *    immediately, never spin through the id space — the round-9
+    *    advisor's finding against the previous catch-all retry.
+    *
+    * [[PosixRenameStore]] realizes it as atomic rename(2);
+    * [[graft.ConditionalPutStore]] (the spec double) as an
+    * if-none-match conditional PUT of a per-id manifest — the
+    * object-store realization. Round10cSpec runs the SAME 8-writer
+    * race and dense-id suite over both.
+    */
+  trait CommitStore {
+    /** One-time per-commit setup (directory creation, staged-batch
+      * existence check) — whatever the realization needs before the
+      * claim loop.
+      */
+    def prepare(logPath: String, stagedPath: String): Unit
+    /** One atomic claim attempt; see the trait contract. */
+    def tryClaim(logPath: String, stagedPath: String, id: Long): Boolean
+  }
+
+  /** The local-filesystem realization: POSIX rename(2) is atomic and
+    * fails with EEXIST/ENOTEMPTY when the target partition already
+    * holds a committed batch — exactly the conflict signal. ONLY those
+    * two are conflicts; any other FileSystemException (EACCES, a
+    * vanished staging dir, ENAMETOOLONG) propagates immediately.
+    */
+  object PosixRenameStore extends CommitStore {
+    override def prepare(logPath: String, stagedPath: String): Unit = {
+      require(new java.io.File(stagedPath).isDirectory,
+        s"no staged batch at $stagedPath")
+      java.nio.file.Files.createDirectories(new java.io.File(logPath).toPath)
+    }
+    override def tryClaim(logPath: String, stagedPath: String, id: Long): Boolean = {
+      val target = new java.io.File(logPath, s"_batch_id=$id")
+      try {
+        java.nio.file.Files.move(new java.io.File(stagedPath).toPath,
+          target.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException => throw
+          new IllegalStateException(
+            s"$logPath does not support atomic rename — use the " +
+              "conditional-PUT realization of the commit protocol")
+        // the two claim-conflict errnos, and ONLY them. EEXIST maps to
+        // FileAlreadyExistsException, but the JDK's rename path leaves
+        // ENOTEMPTY a GENERIC FileSystemException (measured on this
+        // JVM: "Directory not empty", not DirectoryNotEmptyException),
+        // so the generic arm must disambiguate SEMANTICALLY: it is a
+        // conflict iff the target batch now exists and the staged dir
+        // survived untouched — an EACCES, a vanished staging dir, or an
+        // unreachable path all fail that check and rethrow immediately
+        // (the round-9 advisor's finding against the catch-all retry)
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.DirectoryNotEmptyException => false
+        case _: java.nio.file.FileSystemException
+            if target.isDirectory &&
+              new java.io.File(stagedPath).isDirectory => false
+      }
+    }
+  }
+
   /** Claim the next free batch id for a staged batch and publish it.
     * Returns the id actually claimed (≥ the optimistic next id at call
     * time; higher exactly when a concurrent writer won the race for a
@@ -285,31 +357,18 @@ object Sources {
 
   /** The claim loop from an explicit starting candidate — split out so
     * the contract query and specs can hand a writer a STALE candidate
-    * and exercise the conflict-retry path deterministically.
+    * and exercise the conflict-retry path deterministically, and
+    * parameterized by the [[CommitStore]] so the object-store double
+    * proves the same no-lost-write property over conditional PUTs.
     */
   private[graft] def commitStagedFrom(logPath: String, stagedPath: String,
-                                      fromId: Long): Long = {
-    val staged = new java.io.File(stagedPath)
-    require(staged.isDirectory, s"no staged batch at $stagedPath")
-    java.nio.file.Files.createDirectories(new java.io.File(logPath).toPath)
+                                      fromId: Long,
+                                      store: CommitStore = PosixRenameStore): Long = {
+    store.prepare(logPath, stagedPath)
     var id = fromId
     while (id < fromId + 100000) {
-      val target = new java.io.File(logPath, s"_batch_id=$id")
-      try {
-        java.nio.file.Files.move(staged.toPath, target.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        return id
-      } catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException => throw
-          new IllegalStateException(
-            s"$logPath does not support atomic rename — use the " +
-              "conditional-PUT realization of the commit protocol")
-        // target already committed by a concurrent writer (EEXIST /
-        // ENOTEMPTY) — retry the next id; anything that consumed the
-        // staged dir is not a claim conflict and must surface
-        case e: java.nio.file.FileSystemException if staged.isDirectory =>
-          id += 1
-      }
+      if (store.tryClaim(logPath, stagedPath, id)) return id
+      id += 1
     }
     throw new IllegalStateException(
       s"commitStagedFrom: exhausted 100000 claim attempts from $fromId")
