@@ -55,8 +55,9 @@ object Bench {
     // round 10: the native merge-order BPE encoder at production merge
     // count (broadcast merge-rank table, in-order heap encode) — timed
     // next to the trie path so the merge-COUNT-scalability story has a
-    // wall-clock number
-    "text_token_count_merges_prod")
+    // wall-clock number — and the ef-bounded beam serve next to the
+    // greedy graph walk
+    "text_token_count_merges_prod", "ann_graph_beam")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
