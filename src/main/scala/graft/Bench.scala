@@ -57,7 +57,9 @@ object Bench {
     // next to the trie path so the merge-COUNT-scalability story has a
     // wall-clock number — and the ef-bounded beam serve next to the
     // greedy graph walk
-    "text_token_count_merges_prod", "ann_graph_beam")
+    "text_token_count_merges_prod", "ann_graph_beam",
+    // and the maintained graph index serving from the gate-picked generation
+    "ann_graph_append")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

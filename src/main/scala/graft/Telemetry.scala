@@ -131,6 +131,7 @@ object ShuffleBudget {
     // shuffles happen at construction (probed 0 B; floor pinned)
     "ann_graph_search" -> 1000L,
     "ann_graph_beam" -> 1000L,
+    "ann_graph_append" -> 1000L,
     "corpus_pack_bpe" -> 13000L,
     "corpus_pack_split" -> 100000L,
     "src_bucketed_corpus" -> 710000L,
@@ -182,6 +183,7 @@ object ShuffleBudget {
     "text_token_count_merges_prod" -> 160000L,
     "ann_graph_search" -> 1000L,
     "ann_graph_beam" -> 1000L,
+    "ann_graph_append" -> 1000L,
     "corpus_pack_bpe" -> 110000L,
     "corpus_pack_split" -> 770000L,
     "src_bucketed_corpus" -> 6900000L,

@@ -61,10 +61,26 @@ object GraphAnn {
   private def qticks(c: Column): Column =
     transform(c, x => floor(x * lit(1000000.0) + lit(0.5)).cast("long"))
 
+  /** The 4-hyperplane sign-bucket expression over an `emb` column —
+    * shared by the build, the entry medoids, and the append insert.
+    */
+  private def bucketCol: Column = {
+    val planes = Dedup.hyperplanes(4, 64)
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** (vec_id, tv) — the integer-tick view of an embeddings-shaped
+    * frame (vec_id, embedding).
+    */
+  private def ticksOf(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), qticks(asDouble(col("embedding"))).as("tv"))
+
   /** (vec_id, tv) — the integer-tick corpus. */
   private def ticks(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), qticks(asDouble(col("embedding"))).as("tv"))
+    ticksOf(Tables.embeddings(spark, dir))
 
   private def withDist(pairs: DataFrame, tk: DataFrame): DataFrame =
     pairs
@@ -128,19 +144,22 @@ object GraphAnn {
     * audit it (no fact-scale single-partition window anywhere in the
     * build).
     */
-  private[graft] def buildEdges(spark: SparkSession, dir: String): DataFrame = {
-      val tk = ticks(spark, dir).persist()
-      val planes = Dedup.hyperplanes(4, 64)
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        val planeCol = array(p.map(lit(_)): _*)
-        when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val e = Tables.embeddings(spark, dir)
+  private[graft] def buildEdges(spark: SparkSession, dir: String): DataFrame =
+    buildEdgesFrom(Tables.embeddings(spark, dir), s"graphann.buckets:$dir")
+
+  /** NN-descent over an ARBITRARY embeddings-shaped frame — the
+    * frame-parameterized core the full-corpus build, the append
+    * pipeline's BASE build, and the shifted-delta specs share.
+    */
+  private[graft] def buildEdgesFrom(embs: DataFrame, bucketTag: String): DataFrame = {
+      val tk = ticksOf(embs).persist()
+      val bucket = bucketCol
+      val e = embs
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       // same-bucket init pairs under the lossless triangle guard (E7's
       // discipline — 16 sign buckets are STRUCTURALLY hot at scale)
       val bucketed = HotBucket.triangleReplicate(e.withColumn("bucket", bucket),
-        Seq("bucket"), col("vec_id"), s"graphann.buckets:$dir")
+        Seq("bucket"), col("vec_id"), bucketTag)
       val pairs0 = bucketed.as("l")
         .join(bucketed.as("r"), Seq("bucket", "tmin", "tmax"))
         .filter(HotBucket.trianglePairFilter(col("l.grp"), col("r.grp")))
@@ -191,13 +210,19 @@ object GraphAnn {
     */
   private def probeEntries(spark: SparkSession, dir: String): DataFrame =
     graft.QueryCaches.memo(s"graphann.entries:$dir") {
-      val tk = ticks(spark, dir)
-      val planes = Dedup.hyperplanes(4, 64)
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        val planeCol = array(p.map(lit(_)): _*)
-        when(dot(col("emb"), planeCol) > 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val withB = Tables.embeddings(spark, dir)
+      val embs = Tables.embeddings(spark, dir)
+      entriesFrom(embs, embs.filter(col("vec_id") % 100 === 0))
+    }
+
+  /** Entries for an ARBITRARY probe frame over an ARBITRARY corpus
+    * frame: medoids from the corpus, entry picks per probe bucket —
+    * the append pipeline routes its delta probes through the BASE
+    * corpus's medoids with this.
+    */
+  private[graft] def entriesFrom(corpusEmbs: DataFrame, probeEmbs: DataFrame): DataFrame = {
+      val tk = ticksOf(corpusEmbs)
+      val bucket = bucketCol
+      val withB = corpusEmbs
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         .withColumn("bucket", bucket)
         .select(col("vec_id"), col("bucket"), qticks(col("emb")).as("tv"))
@@ -222,25 +247,27 @@ object GraphAnn {
       val entries = entryMasks.map(m =>
         coalesce(element_at(bmapLit, col("bucket").bitwiseXOR(lit(m))),
           lit(gmed))) :+ lit(gmed)
-      withB.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("tv").as("qv"),
+      probeEmbs
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("bucket", bucket)
+        .select(col("vec_id").as("qid"), qticks(col("emb")).as("qv"),
           explode(array_distinct(array(entries: _*))).as("ent"))
         .localCheckpoint()
     }
 
-  def annGraphSearch(spark: SparkSession, dir: String, k: Int = 3,
-                     stepCap: Int = maxSteps): DataFrame =
-    graft.QueryCaches.memo(s"graphann.search:$dir:$k:$stepCap") {
-      val tk = ticks(spark, dir).persist()
-      val edges = edgesArtifact(spark, dir)
-      val probes = probeEntries(spark, dir)
-      // localCheckpoint (not persist) on every loop frame is
-      // CORRECTNESS-critical, not an optimization: with plain persist
-      // the next step's `edges.join(frontier, ...)` is a self-join
-      // (frontier's lineage CONTAINS the edge scan), whose ambiguous
-      // column resolution silently mis-joined at sf0.1 — and the
-      // uncheckpointed lineage doubles per step (measured: 188 s → 52 s
-      // for the whole serve, and a driver OOM in the debug twin)
+  /** The greedy multi-entry walk over an ARBITRARY edge frame + probe
+    * frame, returning (touched pool (qid, nid, d), steps) — shared by
+    * the E15 serve and the append pipeline's staleness gate.
+    * localCheckpoint (not persist) on every loop frame is
+    * CORRECTNESS-critical, not an optimization: with plain persist
+    * the next step's `edges.join(frontier, ...)` is a self-join
+    * (frontier's lineage CONTAINS the edge scan), whose ambiguous
+    * column resolution silently mis-joined at sf0.1 — and the
+    * uncheckpointed lineage doubles per step (measured: 188 s → 52 s
+    * for the whole serve, and a driver OOM in the debug twin).
+    */
+  private[graft] def greedyPoolFrom(edges: DataFrame, probes: DataFrame,
+                                    tk: DataFrame, stepCap: Int): (DataFrame, Int) = {
       var frontier = probes
         .join(tk.select(col("vec_id").as("ent"), col("tv").as("ev")), Seq("ent"))
         .select(col("qid"), col("ent"), col("qv"), col("ent").as("cur"),
@@ -275,12 +302,22 @@ object GraphAnn {
       // truncate the touched pool here and surface only as a confusing
       // hash mismatch — fail loudly instead (Round10Spec witnesses)
       require(active == 0,
-        s"annGraphSearch: $active walk(s) still strictly improving after " +
+        s"greedy walk: $active walk(s) still strictly improving after " +
           s"$stepCap steps — the bounded engine walk would diverge from " +
           "the oracle's unbounded greedy fixpoint; raise the step cap")
       val pool = pools.reduce(_.union(_)).distinct()
         .filter(col("nid") =!= col("qid"))
         .localCheckpoint()
+      (pool, steps)
+  }
+
+  def annGraphSearch(spark: SparkSession, dir: String, k: Int = 3,
+                     stepCap: Int = maxSteps): DataFrame =
+    graft.QueryCaches.memo(s"graphann.search:$dir:$k:$stepCap") {
+      val tk = ticks(spark, dir).persist()
+      val edges = edgesArtifact(spark, dir)
+      val probes = probeEntries(spark, dir)
+      val (pool, steps) = greedyPoolFrom(edges, probes, tk, stepCap)
       serveStats.put(dir, (steps, pool.count()))
       val w = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
       pool.withColumn("rank", row_number().over(w))
@@ -303,6 +340,52 @@ object GraphAnn {
   /** Per-dir beam-serve telemetry: (rounds to fixpoint, pooled rows). */
   private[graft] val beamStats =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+
+  /** The ef-bounded best-first frontier loop over an ARBITRARY edge
+    * frame + (qid, qv, ent) probe frame, to the fixpoint — shared by
+    * the E17 serve and the append pipeline's search-based insert.
+    * Returns (touched pool (qid, nid, d), rounds).
+    */
+  private[graft] def beamPoolFrom(edges: DataFrame, probes: DataFrame,
+                                  tk: DataFrame, ef: Int,
+                                  roundCap: Int): (DataFrame, Int) = {
+      val w = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
+      var frontier = probes
+        .join(tk.select(col("vec_id").as("ent"), col("tv").as("ev")), Seq("ent"))
+        .select(col("qid"), col("qv"), col("ent").as("nid"),
+          intSqDist(col("qv"), col("ev")).as("d"))
+        .distinct()
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= ef)
+        .drop("_rn")
+        .localCheckpoint()
+      val pools = scala.collection.mutable.ArrayBuffer(
+        frontier.select(col("qid"), col("nid"), col("d")))
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < roundCap) {
+        val cand = edges.join(broadcast(frontier), edges("src") === frontier("nid"))
+          .join(tk.select(col("vec_id").as("dst"), col("tv").as("dv")), Seq("dst"))
+          .select(col("qid"), col("qv"), col("dst").as("nid"),
+            intSqDist(col("qv"), col("dv")).as("d"))
+          .localCheckpoint()
+        pools += cand.select(col("qid"), col("nid"), col("d"))
+        val next = frontier.union(cand).distinct()
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= ef)
+          .drop("_rn")
+          .localCheckpoint()
+        converged = next.select(col("qid"), col("nid"))
+          .exceptAll(frontier.select(col("qid"), col("nid"))).isEmpty
+        frontier = next
+        rounds += 1
+      }
+      require(converged,
+        s"beam frontier still improving after $roundCap rounds — " +
+          "the fixed-unroll oracle would diverge; raise beamRounds")
+      val pool = pools.reduce(_.union(_)).distinct()
+        .filter(col("nid") =!= col("qid"))
+        .localCheckpoint()
+      (pool, rounds)
+  }
 
   /** E17 — `ann_graph_beam` (round-10 directive #4): the greedy walk
     * widened to an ef-BOUNDED BEST-FIRST FRONTIER — HNSW's ef-search,
@@ -333,40 +416,8 @@ object GraphAnn {
       val tk = ticks(spark, dir).persist()
       val edges = edgesArtifact(spark, dir)
       val w = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
-      var frontier = probeEntries(spark, dir)
-        .join(tk.select(col("vec_id").as("ent"), col("tv").as("ev")), Seq("ent"))
-        .select(col("qid"), col("qv"), col("ent").as("nid"),
-          intSqDist(col("qv"), col("ev")).as("d"))
-        .distinct()
-        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= ef)
-        .drop("_rn")
-        .localCheckpoint()
-      val pools = scala.collection.mutable.ArrayBuffer(
-        frontier.select(col("qid"), col("nid"), col("d")))
-      var rounds = 0
-      var converged = false
-      while (!converged && rounds < roundCap) {
-        val cand = edges.join(broadcast(frontier), edges("src") === frontier("nid"))
-          .join(tk.select(col("vec_id").as("dst"), col("tv").as("dv")), Seq("dst"))
-          .select(col("qid"), col("qv"), col("dst").as("nid"),
-            intSqDist(col("qv"), col("dv")).as("d"))
-          .localCheckpoint()
-        pools += cand.select(col("qid"), col("nid"), col("d"))
-        val next = frontier.union(cand).distinct()
-          .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= ef)
-          .drop("_rn")
-          .localCheckpoint()
-        converged = next.select(col("qid"), col("nid"))
-          .exceptAll(frontier.select(col("qid"), col("nid"))).isEmpty
-        frontier = next
-        rounds += 1
-      }
-      require(converged,
-        s"annGraphBeam: frontier still improving after $roundCap rounds — " +
-          "the fixed-unroll oracle would diverge; raise beamRounds")
-      val pool = pools.reduce(_.union(_)).distinct()
-        .filter(col("nid") =!= col("qid"))
-        .localCheckpoint()
+      val (pool, rounds) = beamPoolFrom(edges, probeEntries(spark, dir),
+        tk, ef, roundCap)
       beamStats.put(dir, (rounds, pool.count()))
       pool.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
@@ -376,9 +427,147 @@ object GraphAnn {
         .persist()
     }
 
+  // ---------------- E18: incremental append + staleness gate ----------------
+
+  /** Gate threshold, integer percent: recall@3 of the appended
+    * vectors' OWN serve over base ∪ append. Measured (exact integers,
+    * deterministic): contract delta 78/77/43% at sf0.001/0.01/0.1; the
+    * constructed disjoint-cluster delta 26% — the cluster is reachable
+    * only through the ≤`degree` reverse slots of the few base nodes
+    * nearest to it, so most cluster-mates never serve. 30% separates
+    * the regimes on every measured corpus (Round10fSpec pins both
+    * sides).
+    */
+  private[graft] val appendThresholdPct = 30L
+
+  /** Per-dir append telemetry: (gate hits, gate truth slots, stale). */
+  private[graft] val appendStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Boolean)]()
+
+  private[graft] case class AppendBuild(baseEdges: DataFrame,
+                                        appendEdges: DataFrame,
+                                        probes: DataFrame,
+                                        gatePool: DataFrame,
+                                        hits: Long, truth: Long, stale: Boolean)
+
+  /** E18's frame-parameterized core (the shifted-delta specs drive
+    * synthetic corpora through it): incremental maintenance of the
+    * edge artifact, E12/E13's discipline applied to the graph tier.
+    *
+    *  - BASE: the full NN-descent build over the base subset only —
+    *    built once, its files never touched again.
+    *  - INSERT (search-based, HNSW's discipline — stronger than
+    *    bucket-candidate attach: it reuses the index being maintained
+    *    and costs one beam search per vector instead of an
+    *    O(|bucket|) scan): each appended vector beam-searches the
+    *    BASE graph from the base medoid entries; its top-`degree`
+    *    pooled results become its out-edges. One LOCALIZED descent
+    *    round (neighbor-of-neighbor through the base adjacency,
+    *    re-top-degree by exact distance) then repairs what the beam
+    *    missed — O(|delta|·degree²), never O(corpus).
+    *  - REVERSE edges give reachability INTO the appended vectors: per
+    *    touched base node up to `degree` nearest appended vectors
+    *    (out-degree may temporarily exceed `degree` — the same
+    *    overflow HNSW tolerates between maintenance passes).
+    *  - GATE: greedy-serve the appended vectors THEMSELVES over
+    *    base ∪ append against the exact full-corpus truth — a
+    *    well-attached delta serves its own neighborhood; a
+    *    distribution-shifted one is unreachable from base entries and
+    *    collapses. All-integer recall, so the decision replays
+    *    bit-for-bit in the oracle (E13's gate pattern).
+    */
+  private[graft] def appendPipeline(embs: DataFrame, isDelta: Column,
+                                    bucketTag: String): AppendBuild = {
+    val base = embs.filter(!isDelta)
+    val delta = embs.filter(isDelta)
+    val tkAll = ticksOf(embs).localCheckpoint()
+    val baseEdges = buildEdgesFrom(base, bucketTag).localCheckpoint()
+    ticksOf(base).unpersist()
+    val dEntries = entriesFrom(base, delta)
+    val (insPool, _) = beamPoolFrom(baseEdges, dEntries, tkAll, beamEf, beamRounds)
+    val wq = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
+    val dEdges0 = insPool.withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= degree)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    val comp = dEdges0.join(
+        baseEdges.select(col("src").as("dst"), col("dst").as("dst2")), Seq("dst"))
+      .select(col("src"), col("dst2").as("dst"))
+    val dEdges = topDeg(dEdges0.union(comp).distinct(), tkAll)
+      .localCheckpoint()
+    val wr = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
+    val rev = dEdges
+      .select(col("dst").as("src"), col("src").as("dst"), col("d2"))
+      .withColumn("_rn", row_number().over(wr)).filter(col("_rn") <= degree)
+      .drop("_rn")
+    val appendEdges = dEdges.union(rev).localCheckpoint()
+    val (gatePool, _) =
+      greedyPoolFrom(baseEdges.union(appendEdges), dEntries, tkAll, maxSteps)
+    val served3 = gatePool.withColumn("_rn", row_number().over(wq))
+      .filter(col("_rn") <= 3).select("qid", "nid")
+    val qarr = ticksOf(delta).select(col("vec_id").as("qid"), col("tv").as("qv"))
+    val wt = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    val exact3 = tkAll.select(col("vec_id").as("nid"), col("tv"))
+      .crossJoin(broadcast(qarr))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), intSqDist(col("qv"), col("tv")).as("d2"))
+      .withColumn("_rn", row_number().over(wt)).filter(col("_rn") <= 3)
+      .select("qid", "nid")
+      .localCheckpoint()
+    val hits = exact3.join(served3, Seq("qid", "nid")).count()
+    val truth = exact3.count()
+    val stale = hits * 100L < appendThresholdPct * truth
+    AppendBuild(baseEdges, appendEdges, dEntries, gatePool, hits, truth, stale)
+  }
+
+  /** Per-dir append artifact root, for the base-files-untouched spec. */
+  private[graft] val appendRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** E18 — `ann_graph_append`: the maintained index serving the
+    * APPENDED vectors' searches from whichever generation the gate
+    * picked — the appended base∪delta artifact when fresh (the
+    * contract corpus), the full rebuild when the gate trips. The
+    * oracle replays the base build, the insert beams, the localized
+    * descent, the reverse cap, the gate arithmetic, and BOTH serve
+    * branches, UNION-selecting on the gate boolean — the driver
+    * hash-proves the maintenance DECISION, not just the served rows.
+    */
+  def annGraphAppend(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    graft.QueryCaches.memo(s"graphann.append:$dir:$k") {
+      val embs = Tables.embeddings(spark, dir)
+      val isDelta = col("vec_id") % 10 === 7
+      val ab = appendPipeline(embs, isDelta, s"graphann.abuckets:$dir")
+      val root = graft.Scratch.dir("graphann_append")
+      ab.baseEdges.write.mode("overwrite").parquet(s"$root/base")
+      // the append writes a SEPARATE file set — the base generation's
+      // files stay byte-identical (Round10fSpec pins it)
+      ab.appendEdges.write.mode("overwrite").parquet(s"$root/delta")
+      appendRoots.put(dir, root)
+      appendStats.put(dir, (ab.hits, ab.truth, ab.stale))
+      // the stale branch REBUILDS — and a rebuild regenerates the entry
+      // medoids from the full corpus too (base-medoid entries can never
+      // route a walk into a delta-only region; Round10fSpec measured
+      // exactly that: rebuilt edges under base entries served 0/120 on
+      // the disjoint-cluster delta, full entries recover it)
+      val pool =
+        if (ab.stale)
+          greedyPoolFrom(edgesArtifact(spark, dir),
+            entriesFrom(embs, embs.filter(isDelta)),
+            ticksOf(embs), maxSteps)._1
+        else ab.gatePool
+      val w = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
+      pool.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("nid").as("neighbor_id"), col("d").as("append_dist"))
+        .orderBy("query_id", "rank")
+        .persist()
+    }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_graph_search" -> ((s, d) => annGraphSearch(s, d)),
-    "ann_graph_beam" -> ((s, d) => annGraphBeam(s, d)))
+    "ann_graph_beam" -> ((s, d) => annGraphBeam(s, d)),
+    "ann_graph_append" -> ((s, d) => annGraphAppend(s, d)))
 
   /** Integer pairwise distance over a named pair CTE: joins the tick
     * explode to both endpoints — exactly `IntSqDist` relationally.
@@ -397,31 +586,59 @@ object GraphAnn {
   // and its arms are NOT set-deduped against each other (measured: a
   // 2-arm UNION of one row returned 2 rows) — the duplicates then
   // multiply the grouped distance sums by odd factors
-  private def descentRoundSql(candIn: String, i: Int): String =
-    s"""rev$i AS (
+  private def descentRoundSql(candIn: String, i: Int,
+                              pfx: String = ""): String =
+    s"""${pfx}rev$i AS (
        | SELECT src, dst FROM (
        |   SELECT e.dst AS src, e.src AS dst, e.d2,
        |     row_number() OVER (PARTITION BY e.dst ORDER BY e.d2, e.src) AS rn
        |   FROM $candIn e) t
        | WHERE rn <= $degree),
-       |u$i AS MATERIALIZED (
+       |${pfx}u$i AS MATERIALIZED (
        | SELECT DISTINCT src, dst FROM (
        |   SELECT src, dst FROM $candIn
-       |   UNION ALL SELECT src, dst FROM rev$i) t),
-       |comp$i AS (
+       |   UNION ALL SELECT src, dst FROM ${pfx}rev$i) t),
+       |${pfx}comp$i AS (
        | SELECT a.src AS src, b.dst AS dst
-       | FROM u$i a JOIN u$i b ON a.dst = b.src WHERE a.src <> b.dst),
-       |c$i AS (
+       | FROM ${pfx}u$i a JOIN ${pfx}u$i b ON a.dst = b.src WHERE a.src <> b.dst),
+       |${pfx}c$i AS (
        | SELECT DISTINCT src, dst FROM (
        |   SELECT src, dst FROM $candIn
-       |   UNION ALL SELECT src, dst FROM comp$i) t),
-       |${distSql(s"c$i", s"dd$i")},
-       |e$i AS MATERIALIZED (
+       |   UNION ALL SELECT src, dst FROM ${pfx}comp$i) t),
+       |${distSql(s"${pfx}c$i", s"${pfx}dd$i")},
+       |${pfx}e$i AS MATERIALIZED (
        | SELECT src, dst, d2 FROM (
        |   SELECT src, dst, d2,
        |     row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
-       |   FROM dd$i)
+       |   FROM ${pfx}dd$i)
        | WHERE rn <= $degree)""".stripMargin
+
+  /** The NN-descent build chain (p0 .. e2) over a bucketed gb-shaped
+    * CTE, name-prefixed so the full-corpus chain and the append
+    * pipeline's BASE chain coexist in one oracle.
+    */
+  private def buildChainSql(gbName: String, pfx: String): String =
+    s"""${pfx}p0 AS (
+       | SELECT l.vec_id AS src, r.vec_id AS dst
+       | FROM $gbName l JOIN $gbName r USING (bucket) WHERE l.vec_id <> r.vec_id),
+       |${pfx}ring AS (
+       | SELECT vec_id AS src,
+       |   coalesce(lead(vec_id) OVER (ORDER BY vec_id),
+       |            (SELECT min(vec_id) FROM $gbName)) AS dst
+       | FROM $gbName),
+       |${pfx}cinit AS (
+       | SELECT DISTINCT src, dst FROM (
+       |   SELECT src, dst FROM ${pfx}p0 UNION ALL SELECT src, dst FROM ${pfx}ring) t
+       | WHERE src <> dst),
+       |${distSql(s"${pfx}cinit", s"${pfx}dd0")},
+       |${pfx}e0 AS MATERIALIZED (
+       | SELECT src, dst, d2 FROM (
+       |   SELECT src, dst, d2,
+       |     row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+       |   FROM ${pfx}dd0)
+       | WHERE rn <= $degree),
+       |${descentRoundSql(s"${pfx}e0", 1, pfx)},
+       |${descentRoundSql(s"${pfx}e1", 2, pfx)}""".stripMargin
 
   /** The shared oracle prefix: build replay (gex .. e2), probe
     * distances (qd), medoid entries — everything through `entries`,
@@ -499,23 +716,184 @@ object GraphAnn {
     * what makes the FIXED `beamRounds` unroll exact (the engine fails
     * loudly if convergence would need more).
     */
-  private def beamRoundSql(i: Int): String =
-    s"""cnd$i AS (
+  private def beamRoundSql(i: Int, frPfx: String = "fr",
+                           cndPfx: String = "cnd", edges: String = "e2",
+                           dist: String = "qd"): String =
+    s"""$cndPfx$i AS (
        | SELECT f.qid, e.dst AS nid, q.d2 AS d
-       | FROM fr${i - 1} f JOIN e2 e ON e.src = f.nid
-       | JOIN qd q ON q.qid = f.qid AND q.nid = e.dst),
-       |fr$i AS MATERIALIZED (
+       | FROM $frPfx${i - 1} f JOIN $edges e ON e.src = f.nid
+       | JOIN $dist q ON q.qid = f.qid AND q.nid = e.dst),
+       |$frPfx$i AS MATERIALIZED (
        | SELECT qid, nid, d FROM (
        |   SELECT qid, nid, d,
        |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
        |   FROM (SELECT DISTINCT qid, nid, d FROM (
-       |     SELECT qid, nid, d FROM fr${i - 1}
-       |     UNION ALL SELECT qid, nid, d FROM cnd$i) t) t2)
+       |     SELECT qid, nid, d FROM $frPfx${i - 1}
+       |     UNION ALL SELECT qid, nid, d FROM $cndPfx$i) t) t2)
        | WHERE rn <= $beamEf)""".stripMargin
 
+  /** A greedy multi-entry walk + touched-pool CTE block over arbitrary
+    * edge/distance/entry CTE names — the E15 serve shape, reused by the
+    * append gate serve (over the appended adjacency) and the append
+    * stale-branch serve (over the rebuilt full graph).
+    */
+  private def walkPoolSql(pfx: String, edges: String, dist: String,
+                          ents: String): String =
+    s"""${pfx}bestn AS (
+       | SELECT qid, node, bn, bnd FROM (
+       |   SELECT q.qid, e.src AS node, e.dst AS bn, q.d2 AS bnd,
+       |     row_number() OVER (PARTITION BY q.qid, e.src ORDER BY q.d2, e.dst) AS rn
+       |   FROM $edges e JOIN $dist q ON q.nid = e.dst)
+       | WHERE rn = 1),
+       |${pfx}walk(qid, ent, cur, d) AS (
+       | SELECT en.qid, en.ent, en.ent, q.d2
+       | FROM $ents en JOIN $dist q ON q.qid = en.qid AND q.nid = en.ent
+       | UNION ALL
+       | SELECT w.qid, w.ent, b.bn, b.bnd
+       | FROM ${pfx}walk w JOIN ${pfx}bestn b ON b.qid = w.qid AND b.node = w.cur
+       | WHERE b.bnd < w.d),
+       |${pfx}pool AS (
+       | SELECT DISTINCT qid, nid, d FROM (
+       |   SELECT w.qid, e.dst AS nid, q.d2 AS d
+       |   FROM ${pfx}walk w JOIN $edges e ON e.src = w.cur
+       |   JOIN $dist q ON q.qid = w.qid AND q.nid = e.dst
+       |   UNION ALL
+       |   SELECT qid, cur AS nid, d FROM ${pfx}walk) t
+       | WHERE nid <> qid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // E18: base build (prefixed chain over the base subset), insert
+    // beams, localized descent, reverse cap, gate arithmetic, and BOTH
+    // serve branches UNION-selected on the gate boolean — the whole
+    // maintenance decision replayed relationally
+    "ann_graph_append" -> {
+      val insRounds = (1 to beamRounds)
+        .map(i => beamRoundSql(i, "ifr", "icnd", "be2", "dq")).mkString(",\n")
+      val insPoolArms = (1 to beamRounds)
+        .map(i => s"SELECT qid, nid, d FROM icnd$i")
+        .mkString("\n   UNION ALL ")
+      s"""$oraclePrefixSql,
+         |gbb AS (SELECT * FROM gb WHERE vec_id % 10 <> 7),
+         |${buildChainSql("gbb", "b")},
+         |dq AS MATERIALIZED (
+         | SELECT pa.vec_id AS qid, pb2.vec_id AS nid,
+         |        sum((pa.q - pb2.q) * (pa.q - pb2.q)) AS d2
+         | FROM gex pa JOIN gex pb2 ON pb2.dim = pa.dim
+         | WHERE pa.vec_id % 10 = 7 GROUP BY 1, 2),
+         |gexb AS (SELECT * FROM gex WHERE vec_id % 10 <> 7),
+         |bcent AS (
+         | SELECT dim, (2 * sum(q) + count(*)) // (2 * count(*)) AS cq
+         | FROM gexb GROUP BY 1),
+         |bed AS (
+         | SELECT e.vec_id, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+         | FROM gexb e JOIN bcent c USING (dim) GROUP BY 1),
+         |bgmed AS (
+         | SELECT vec_id FROM (
+         |   SELECT vec_id, row_number() OVER (ORDER BY d2, vec_id) AS rn FROM bed)
+         | WHERE rn = 1),
+         |bbmed AS (
+         | SELECT bucket, vec_id AS medoid FROM (
+         |   SELECT g.bucket, bed.vec_id,
+         |     row_number() OVER (PARTITION BY g.bucket ORDER BY bed.d2, bed.vec_id) AS rn
+         |   FROM bed JOIN gbb g ON g.vec_id = bed.vec_id)
+         | WHERE rn = 1),
+         |dpb AS (SELECT vec_id AS qid, bucket FROM gb WHERE vec_id % 10 = 7),
+         |dent AS (
+         | SELECT DISTINCT qid, ent FROM (
+         |   SELECT dpb.qid, coalesce(bm.medoid, g.vec_id) AS ent
+         |   FROM dpb
+         |   CROSS JOIN (VALUES ${entryMasks.map(m => s"($m)").mkString(", ")}) mm(m)
+         |   CROSS JOIN bgmed g
+         |   LEFT JOIN bbmed bm ON bm.bucket = xor(dpb.bucket, mm.m)
+         |   UNION ALL
+         |   SELECT dpb.qid, g.vec_id FROM dpb CROSS JOIN bgmed g) t),
+         |ifr0 AS MATERIALIZED (
+         | SELECT qid, nid, d FROM (
+         |   SELECT qid, nid, d,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+         |   FROM (SELECT DISTINCT de.qid, de.ent AS nid, q.d2 AS d
+         |         FROM dent de JOIN dq q ON q.qid = de.qid AND q.nid = de.ent) t)
+         | WHERE rn <= $beamEf),
+         |$insRounds,
+         |ipool AS (
+         | SELECT DISTINCT qid, nid, d FROM (
+         |   SELECT qid, nid, d FROM ifr0
+         |   UNION ALL $insPoolArms) t
+         | WHERE nid <> qid),
+         |ded0 AS (
+         | SELECT qid AS src, nid AS dst FROM (
+         |   SELECT qid, nid,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+         |   FROM ipool)
+         | WHERE rn <= $degree),
+         |dcomp AS (
+         | SELECT d.src, b.dst FROM ded0 d JOIN be2 b ON b.src = d.dst),
+         |dcand AS (
+         | SELECT DISTINCT src, dst FROM (
+         |   SELECT src, dst FROM ded0
+         |   UNION ALL SELECT src, dst FROM dcomp) t),
+         |dedge AS MATERIALIZED (
+         | SELECT src, dst, d2 FROM (
+         |   SELECT c.src, c.dst, q.d2,
+         |     row_number() OVER (PARTITION BY c.src ORDER BY q.d2, c.dst) AS rn
+         |   FROM dcand c JOIN dq q ON q.qid = c.src AND q.nid = c.dst)
+         | WHERE rn <= $degree),
+         |redge AS (
+         | SELECT src, dst, d2 FROM (
+         |   SELECT e.dst AS src, e.src AS dst, e.d2,
+         |     row_number() OVER (PARTITION BY e.dst ORDER BY e.d2, e.src) AS rn
+         |   FROM dedge e) t
+         | WHERE rn <= $degree),
+         |appe AS MATERIALIZED (
+         | SELECT src, dst, d2 FROM (
+         |   SELECT src, dst, d2 FROM be2
+         |   UNION ALL SELECT src, dst, d2 FROM dedge
+         |   UNION ALL SELECT src, dst, d2 FROM redge) t),
+         |${walkPoolSql("a", "appe", "dq", "dent")},
+         |tr3 AS MATERIALIZED (
+         | SELECT qid, nid FROM (
+         |   SELECT qid, nid,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+         |   FROM dq WHERE nid <> qid)
+         | WHERE rn <= 3),
+         |srv3 AS (
+         | SELECT qid, nid FROM (
+         |   SELECT qid, nid,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+         |   FROM apool)
+         | WHERE rn <= 3),
+         |gate AS MATERIALIZED (
+         | SELECT (SELECT count(*) FROM srv3 JOIN tr3 USING (qid, nid)) * 100
+         |        < $appendThresholdPct * (SELECT count(*) FROM tr3) AS stale),
+         |fent AS (
+         | SELECT DISTINCT qid, ent FROM (
+         |   SELECT dpb.qid, coalesce(bm.medoid, g.vec_id) AS ent
+         |   FROM dpb
+         |   CROSS JOIN (VALUES ${entryMasks.map(m => s"($m)").mkString(", ")}) mm(m)
+         |   CROSS JOIN gmed g
+         |   LEFT JOIN bmed bm ON bm.bucket = xor(dpb.bucket, mm.m)
+         |   UNION ALL
+         |   SELECT dpb.qid, g.vec_id FROM dpb CROSS JOIN gmed g) t),
+         |${walkPoolSql("f", "e2", "dq", "fent")},
+         |fin AS (
+         | SELECT qid, rank, nid, d FROM (
+         |   SELECT qid, rank, nid, d FROM (
+         |     SELECT qid, nid, d,
+         |       row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |     FROM apool) t
+         |   WHERE rank <= 3 AND NOT (SELECT stale FROM gate)
+         |   UNION ALL
+         |   SELECT qid, rank, nid, d FROM (
+         |     SELECT qid, nid, d,
+         |       row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |     FROM fpool) t
+         |   WHERE rank <= 3 AND (SELECT stale FROM gate)) t3)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id,
+         |  CAST(d AS BIGINT) AS append_dist
+         |FROM fin ORDER BY query_id, rank""".stripMargin
+    },
     "ann_graph_beam" -> {
-      val roundsSql = (1 to beamRounds).map(beamRoundSql).mkString(",\n")
+      val roundsSql = (1 to beamRounds).map(i => beamRoundSql(i)).mkString(",\n")
       val poolArms = (1 to beamRounds)
         .map(i => s"SELECT qid, nid, d FROM cnd$i")
         .mkString("\n   UNION ALL ")
