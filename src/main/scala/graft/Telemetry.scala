@@ -198,6 +198,9 @@ object ShuffleBudget {
     * curated headline), violations fail the run the same way.
     */
   val extendedAtSf01: Map[String, Long] = Map(
+    // the hamming≤7 audit truth is ~30× denser than D3's ≤3 pair set —
+    // output-proportional audit work, probed 57 MB
+    "dedup_block_tune" -> 115000000L,
     "corpus_pack_chunks" -> 3800000L,
     "src_time_travel" -> 9800000L,
     "src_concurrent_commit" -> 7100000L,

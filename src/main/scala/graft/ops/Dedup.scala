@@ -231,24 +231,37 @@ object Dedup {
     * blocks — pigeonhole); verify with `bit_count(xor) <= 3`.
     * Output: per-doc signature + near-dup count.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tf = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
-      // native RollHash64 (not xxhash64): same single-pass cost, but the
-      // mod-2⁶⁴ polynomial replays in the DuckDB oracle
-      .withColumn("h", rollhash64(col("token")))
-    val bitCols = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
-        .otherwise(-col("w"))).as(s"bit_$b"))
-    val bitSums = tf.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val simhash = (0 until 64).map(b =>
-      when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    val sigs = graft.QueryCaches.memo(s"dedup.simhash:$dir") {
-      bitSums.select(col("doc_id"), simhash.as("simhash")).persist()
+  /** The memoized per-doc 64-bit SimHash signature table — shared by
+    * D3 and the D17 block-count tuner's per-scheme audits.
+    */
+  private[graft] def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    graft.QueryCaches.memo(s"dedup.simhash:$dir") {
+      simhashSigsOf(Tables.documents(spark, dir)).persist()
     }
+
+  /** The signature plan over an ARBITRARY (doc_id, text) frame — the
+    * un-memoized core, so D17's borderline-corpus spec can sign a
+    * constructed corpus with the exact arithmetic the contract uses.
+    */
+  private[graft] def simhashSigsOf(docs: DataFrame): DataFrame = {
+      val tf = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
+        // native RollHash64 (not xxhash64): same single-pass cost, but the
+        // mod-2⁶⁴ polynomial replays in the DuckDB oracle
+        .withColumn("h", rollhash64(col("token")))
+      val bitCols = (0 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
+          .otherwise(-col("w"))).as(s"bit_$b"))
+      val bitSums = tf.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      val simhash = (0 until 64).map(b =>
+        when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+      bitSums.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSigs(spark, dir)
     // SimHash's 16-bit block values make buckets STRUCTURALLY hot on
     // normal data (at sf0.1 one block value covers >4096 of 5000 docs),
     // and the declared output — per-doc near-dup counts — depends on
@@ -569,6 +582,29 @@ object Dedup {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster" -> (dedupCluster _))
 
+  /** The SimHash signature replay chain (tf -> hashed -> bits -> sigs:
+    * per-token RollHash64, signed bit-sums, signature assembly, both
+    * unsigned sigu and wrapped signed simhash) — shared verbatim by
+    * D3's oracle and D17's per-scheme block audits.
+    */
+  private[graft] lazy val simhashSigCtes: String = {
+    val bitCols = (0 until 64).map { b =>
+      s"sum(CASE WHEN (hu // ${BigInt(1) << b}::HUGEINT) % 2 = 1 THEN w ELSE -w END) AS bit_$b"
+    }.mkString(",\n  ")
+    val sigTerms = (0 until 64).map { b =>
+      s"(CASE WHEN bit_$b > 0 THEN ${BigInt(1) << b}::HUGEINT ELSE 0::HUGEINT END)"
+    }.mkString(" + ")
+    s"""tf AS (
+       | SELECT doc_id, token, count(*) AS w FROM (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS token FROM documents)
+       | GROUP BY 1, 2),
+       |hashed AS (SELECT doc_id, w, ${rollSql("token")} AS hu FROM tf),
+       |bits AS (SELECT doc_id,
+       |  $bitCols
+       | FROM hashed GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, ($sigTerms) AS sigu, ${wrapSql(s"($sigTerms)")} AS simhash FROM bits)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -624,24 +660,10 @@ object Dedup {
     // SimHash replay: per-token RollHash64, signed bit-sums, signature
     // assembly and the 4×16-bit block index — all integer-exact
     "dedup_simhash" -> {
-      val bitCols = (0 until 64).map { b =>
-        s"sum(CASE WHEN (hu // ${BigInt(1) << b}::HUGEINT) % 2 = 1 THEN w ELSE -w END) AS bit_$b"
-      }.mkString(",\n  ")
-      val sigTerms = (0 until 64).map { b =>
-        s"(CASE WHEN bit_$b > 0 THEN ${BigInt(1) << b}::HUGEINT ELSE 0::HUGEINT END)"
-      }.mkString(" + ")
       val blockSelects = (0 until 4).map { i =>
         s"SELECT doc_id, simhash, $i AS blk, (sigu // ${BigInt(1) << (i * 16)}::HUGEINT) % 65536 AS blk_val FROM sigs"
       }.mkString("\n  UNION ALL\n  ")
-      s"""WITH tf AS (
-         | SELECT doc_id, token, count(*) AS w FROM (
-         |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS token FROM documents)
-         | GROUP BY 1, 2),
-         |hashed AS (SELECT doc_id, w, ${rollSql("token")} AS hu FROM tf),
-         |bits AS (SELECT doc_id,
-         |  $bitCols
-         | FROM hashed GROUP BY doc_id),
-         |sigs AS (SELECT doc_id, ($sigTerms) AS sigu, ${wrapSql(s"($sigTerms)")} AS simhash FROM bits),
+      s"""WITH $simhashSigCtes,
          |blocks AS (
          |  $blockSelects),
          |near AS (
