@@ -217,6 +217,20 @@ object MergeTable {
     }
     new MergeTable(ranks, merges.size)
   }
+
+  /** True when the list trains the same (l, r) pair at two ranks — a
+    * LEGITIMATE training outcome (a later merge with a different split
+    * can re-create a side's string, e.g. (ab,c) trained and then (a,bc)
+    * re-creating 'abc' adjacent to 'c'), but the one shape the
+    * watermark rank table cannot represent. Callers probe this BEFORE
+    * [[apply]] and route duplicate-bearing lists through the
+    * chained-replace encoder, which applies each rank as its own global
+    * pass and handles re-learned pairs naturally.
+    */
+  def hasDuplicatePairs(merges: Seq[(String, String)]): Boolean = {
+    val seen = new java.util.HashSet[String](merges.size * 2)
+    merges.exists { case (l, r) => !seen.add(s"${l.length}:$l$r") }
+  }
 }
 
 /** In-order BPE symbol count under a broadcast [[MergeTable]] — the

@@ -129,7 +129,12 @@ object GraphAnn {
     * candidates, never empties them).
     */
   private[graft] def edgesArtifact(spark: SparkSession, dir: String): DataFrame =
-    graft.QueryCaches.memo(s"graphann.edges:$dir") {
+    // applicationId in the key (statsplan.tables / mergeencode.table
+    // discipline): the memoized frame is bound to THIS SparkContext —
+    // a later context in the same JVM must rebuild, not receive a
+    // handle to a stopped context.
+    graft.QueryCaches.memo(
+      s"graphann.edges:$dir:${spark.sparkContext.applicationId}") {
       val edges = buildEdges(spark, dir)
       val path = graft.Scratch.dir("graphann_edges")
       edges.write.mode("overwrite").parquet(path)
@@ -209,7 +214,8 @@ object GraphAnn {
     * literals. Memoized per dir.
     */
   private def probeEntries(spark: SparkSession, dir: String): DataFrame =
-    graft.QueryCaches.memo(s"graphann.entries:$dir") {
+    graft.QueryCaches.memo(
+      s"graphann.entries:$dir:${spark.sparkContext.applicationId}") {
       val embs = Tables.embeddings(spark, dir)
       entriesFrom(embs, embs.filter(col("vec_id") % 100 === 0))
     }
@@ -313,7 +319,8 @@ object GraphAnn {
 
   def annGraphSearch(spark: SparkSession, dir: String, k: Int = 3,
                      stepCap: Int = maxSteps): DataFrame =
-    graft.QueryCaches.memo(s"graphann.search:$dir:$k:$stepCap") {
+    graft.QueryCaches.memo(
+      s"graphann.search:$dir:$k:$stepCap:${spark.sparkContext.applicationId}") {
       val tk = ticks(spark, dir).persist()
       val edges = edgesArtifact(spark, dir)
       val probes = probeEntries(spark, dir)
@@ -412,7 +419,8 @@ object GraphAnn {
     */
   def annGraphBeam(spark: SparkSession, dir: String, k: Int = 3,
                    ef: Int = beamEf, roundCap: Int = beamRounds): DataFrame =
-    graft.QueryCaches.memo(s"graphann.beam:$dir:$k:$ef:$roundCap") {
+    graft.QueryCaches.memo(
+      s"graphann.beam:$dir:$k:$ef:$roundCap:${spark.sparkContext.applicationId}") {
       val tk = ticks(spark, dir).persist()
       val edges = edgesArtifact(spark, dir)
       val w = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
@@ -440,7 +448,7 @@ object GraphAnn {
     */
   private[graft] val appendThresholdPct = 30L
 
-  /** Per-dir append telemetry: (gate hits, gate truth slots, stale). */
+  /** Per-(dir, k) append telemetry: (gate hits, truth slots, stale). */
   private[graft] val appendStats =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Boolean)]()
 
@@ -519,7 +527,11 @@ object GraphAnn {
     AppendBuild(baseEdges, appendEdges, dEntries, gatePool, hits, truth, stale)
   }
 
-  /** Per-dir append artifact root, for the base-files-untouched spec. */
+  /** Per-(dir, k) append artifact root, for the base-files-untouched
+    * spec — keyed like the memo itself, so a second call with a
+    * different k never overwrites the stats/root a reader pairs with
+    * the first call's memoized frame.
+    */
   private[graft] val appendRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -533,7 +545,8 @@ object GraphAnn {
     * hash-proves the maintenance DECISION, not just the served rows.
     */
   def annGraphAppend(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
-    graft.QueryCaches.memo(s"graphann.append:$dir:$k") {
+    graft.QueryCaches.memo(
+      s"graphann.append:$dir:$k:${spark.sparkContext.applicationId}") {
       val embs = Tables.embeddings(spark, dir)
       val isDelta = col("vec_id") % 10 === 7
       val ab = appendPipeline(embs, isDelta, s"graphann.abuckets:$dir")
@@ -542,8 +555,8 @@ object GraphAnn {
       // the append writes a SEPARATE file set — the base generation's
       // files stay byte-identical (Round10fSpec pins it)
       ab.appendEdges.write.mode("overwrite").parquet(s"$root/delta")
-      appendRoots.put(dir, root)
-      appendStats.put(dir, (ab.hits, ab.truth, ab.stale))
+      appendRoots.put(s"$dir:$k", root)
+      appendStats.put(s"$dir:$k", (ab.hits, ab.truth, ab.stale))
       // the stale branch REBUILDS — and a rebuild regenerates the entry
       // medoids from the full corpus too (base-medoid entries can never
       // route a walk into a delta-only region; Round10fSpec measured

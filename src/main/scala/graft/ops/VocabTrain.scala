@@ -172,6 +172,18 @@ object VocabTrain {
     */
   def textTokenCountTrained(spark: SparkSession, dir: String): DataFrame = {
     val merges = mergesFor(spark, dir).map(m => (m._2, m._3))
+    // A training run can legitimately RE-LEARN a pair: a later merge
+    // with a different split re-creates a side's string (e.g. (ab,c)
+    // trained, then (a,bc) re-creating 'abc' adjacent to 'c'). The
+    // watermark rank table cannot represent one pair at two ranks
+    // (MergeTable.apply fails loudly), while the chained-replace twin
+    // applies each rank as its own global pass and encodes such lists
+    // exactly as the oracle does — so duplicate-bearing lists route
+    // through the twin automatically instead of throwing on a valid
+    // corpus. Round11Spec pins the routing on a constructed
+    // re-learning merge list.
+    if (graft.functions.MergeTable.hasDuplicatePairs(merges))
+      return textTokenCountTrainedLit(spark, dir)
     Tables.documents(spark, dir)
       .withColumn("text", guarded(col("text")))
       .select(col("doc_id"),

@@ -331,17 +331,22 @@ object Sources {
         // the two claim-conflict errnos, and ONLY them. EEXIST maps to
         // FileAlreadyExistsException, but the JDK's rename path leaves
         // ENOTEMPTY a GENERIC FileSystemException (measured on this
-        // JVM: "Directory not empty", not DirectoryNotEmptyException),
-        // so the generic arm must disambiguate SEMANTICALLY: it is a
-        // conflict iff the target batch now exists and the staged dir
-        // survived untouched — an EACCES, a vanished staging dir, or an
-        // unreachable path all fail that check and rethrow immediately
-        // (the round-9 advisor's finding against the catch-all retry)
+        // JVM: reason "Directory not empty", not
+        // DirectoryNotEmptyException), so the generic arm classifies on
+        // the exception's OWN errno string — NOT on post-hoc filesystem
+        // state, which races both ways: a transient EIO raised at an id
+        // whose target happens to exist would read as a conflict and be
+        // silently skipped, and a genuine ENOTEMPTY whose winning
+        // target a concurrent vacuum removes before the probe would
+        // rethrow as fatal (the round-10 advisor's finding against the
+        // TOCTOU isDirectory check; before that, the round-9 finding
+        // against the catch-all retry)
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.nio.file.DirectoryNotEmptyException => false
-        case _: java.nio.file.FileSystemException
-            if target.isDirectory &&
-              new java.io.File(stagedPath).isDirectory => false
+        case e: java.nio.file.FileSystemException
+            if Option(e.getReason).exists(
+              _.toLowerCase(java.util.Locale.ROOT).contains("not empty")) =>
+          false
       }
     }
   }

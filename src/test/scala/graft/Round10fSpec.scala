@@ -22,7 +22,7 @@ class Round10fSpec extends AnyFunSuite {
   test("append writes a separate file set; base generation stays byte-identical") {
     val dir = TestSpark.sf
     GraphAnn.annGraphAppend(spark, dir).collect()
-    val root = GraphAnn.appendRoots.get(dir)
+    val root = GraphAnn.appendRoots.get(s"$dir:3")
     def snapshot(sub: String): Map[String, (Long, Long)] =
       Option(new java.io.File(s"$root/$sub").listFiles).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
@@ -40,7 +40,7 @@ class Round10fSpec extends AnyFunSuite {
   test("the contract (unshifted) delta clears the gate — serving stays incremental") {
     val dir = TestSpark.sf
     GraphAnn.annGraphAppend(spark, dir).collect()
-    val (hits, truth, stale) = GraphAnn.appendStats.get(dir)
+    val (hits, truth, stale) = GraphAnn.appendStats.get(s"$dir:3")
     info(s"contract gate: $hits/$truth stale=$stale")
     assert(!stale,
       s"unshifted contract delta tripped the gate: $hits/$truth")
@@ -103,7 +103,7 @@ class Round10fSpec extends AnyFunSuite {
   test("append cost scales with the delta: delta out-degree is bounded by the build degree") {
     val dir = TestSpark.sf
     GraphAnn.annGraphAppend(spark, dir).collect()
-    val root = GraphAnn.appendRoots.get(dir)
+    val root = GraphAnn.appendRoots.get(s"$dir:3")
     val app = spark.read.parquet(s"$root/delta")
     // appended DELTA nodes carry at most `degree` out-edges; reverse
     // slots give base nodes at most `degree` extra out-edges
