@@ -59,7 +59,11 @@ object Bench {
     // greedy graph walk
     "text_token_count_merges_prod", "ann_graph_beam",
     // and the maintained graph index serving from the gate-picked generation
-    "ann_graph_append")
+    "ann_graph_append",
+    // round 11: O(log n) star-contraction clustering timed next to the
+    // min-label twin (dedup_cluster) — the diameter-robustness story
+    // with a wall-clock number
+    "dedup_cluster_logn")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -97,6 +97,7 @@ object ShuffleBudget {
     "text_quality" -> 25000L,
     "stream_window_agg" -> 66000L,
     "dedup_cluster" -> 11000L,
+    "dedup_cluster_logn" -> 21000L,
     "graph_pagerank" -> 12000L,
     "graph_pagerank_iter" -> 23000L,
     "ann_pq_search" -> 2500L,
@@ -151,6 +152,7 @@ object ShuffleBudget {
     "text_quality" -> 240000L,
     "stream_window_agg" -> 320000L,
     "dedup_cluster" -> 110000L,
+    "dedup_cluster_logn" -> 200000L,
     "graph_pagerank" -> 190000L,
     "graph_pagerank_iter" -> 330000L,
     "ann_pq_search" -> 13000L,
