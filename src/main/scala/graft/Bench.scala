@@ -62,8 +62,9 @@ object Bench {
     "ann_graph_append",
     // round 11: O(log n) star-contraction clustering timed next to the
     // min-label twin (dedup_cluster) — the diameter-robustness story
-    // with a wall-clock number
-    "dedup_cluster_logn")
+    // with a wall-clock number — and the layered graph serve next to
+    // the flat beam
+    "dedup_cluster_logn", "ann_graph_layer")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

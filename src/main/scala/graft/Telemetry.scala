@@ -133,6 +133,7 @@ object ShuffleBudget {
     "ann_graph_search" -> 1000L,
     "ann_graph_beam" -> 1000L,
     "ann_graph_append" -> 1000L,
+    "ann_graph_layer" -> 1000L,
     "corpus_pack_bpe" -> 13000L,
     "corpus_pack_split" -> 100000L,
     "src_bucketed_corpus" -> 710000L,
@@ -186,6 +187,7 @@ object ShuffleBudget {
     "ann_graph_search" -> 1000L,
     "ann_graph_beam" -> 1000L,
     "ann_graph_append" -> 1000L,
+    "ann_graph_layer" -> 1000L,
     "corpus_pack_bpe" -> 110000L,
     "corpus_pack_split" -> 770000L,
     "src_bucketed_corpus" -> 6900000L,

@@ -333,7 +333,7 @@ object Dedup {
   /** Deterministic pseudo-random hyperplanes (seeded Scala PRNG compiled
     * into the plan as literals — same buckets on every run/executor).
     */
-  private[ops] def hyperplanes(n: Int, dim: Int, seed: Long = 7L): Seq[Array[Double]] = {
+  private[graft] def hyperplanes(n: Int, dim: Int, seed: Long = 7L): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }

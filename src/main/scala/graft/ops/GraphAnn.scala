@@ -88,11 +88,12 @@ object GraphAnn {
       .join(tk.select(col("vec_id").as("dst"), col("tv").as("dv")), Seq("dst"))
       .select(col("src"), col("dst"), intSqDist(col("sv"), col("dv")).as("d2"))
 
-  private def topDeg(pairs: DataFrame, tk: DataFrame): DataFrame = {
+  private def topDeg(pairs: DataFrame, tk: DataFrame,
+                     deg: Int = degree): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
     withDist(pairs, tk)
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= degree)
+      .filter(col("_rn") <= deg)
       .drop("_rn")
   }
 
@@ -107,19 +108,20 @@ object GraphAnn {
     * the honest algorithm, not a shortcut. Per-node composition work is
     * then ≤ (2·degree)², deterministic, and replayable.
     */
-  private def descentRound(edges: DataFrame, tk: DataFrame): DataFrame = {
+  private def descentRound(edges: DataFrame, tk: DataFrame,
+                           deg: Int = degree): DataFrame = {
     val dir0 = edges.select("src", "dst")
     val revW = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
     val rev = edges
       .select(col("dst").as("src"), col("src").as("dst"), col("d2"))
       .withColumn("_rn", row_number().over(revW))
-      .filter(col("_rn") <= degree)
+      .filter(col("_rn") <= deg)
       .select("src", "dst")
     val u = dir0.union(rev).distinct()
     val composed = u.as("a").join(u.as("b"), col("a.dst") === col("b.src"))
       .filter(col("a.src") =!= col("b.dst"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
-    topDeg(dir0.union(composed).distinct(), tk)
+    topDeg(dir0.union(composed).distinct(), tk, deg)
   }
 
   /** The persisted edge artifact (src, dst, d2) — built once per sf
@@ -156,7 +158,9 @@ object GraphAnn {
     * frame-parameterized core the full-corpus build, the append
     * pipeline's BASE build, and the shifted-delta specs share.
     */
-  private[graft] def buildEdgesFrom(embs: DataFrame, bucketTag: String): DataFrame = {
+  private[graft] def buildEdgesFrom(embs: DataFrame, bucketTag: String,
+                                    deg: Int = degree,
+                                    rounds: Int = descentRounds): DataFrame = {
       val tk = ticksOf(embs).persist()
       val bucket = bucketCol
       val e = embs
@@ -187,8 +191,8 @@ object GraphAnn {
           Seq("_r"), "left")
         .select(col("src"), coalesce(col("dst"), lit(minId)).as("dst"))
         .filter(col("src") =!= col("dst"))
-      var edges = topDeg(pairs0.union(ring).distinct(), tk)
-      (1 to descentRounds).foreach { _ => edges = descentRound(edges, tk) }
+      var edges = topDeg(pairs0.union(ring).distinct(), tk, deg)
+      (1 to rounds).foreach { _ => edges = descentRound(edges, tk, deg) }
       edges
     }
 
@@ -577,10 +581,144 @@ object GraphAnn {
         .persist()
     }
 
+  // ---------------- E19: HNSW-style upper layer ----------------
+
+  /** Upper-layer membership: a deterministic 1/16 id-hash sample — the
+    * level assignment HNSW draws geometrically, realized replayably.
+    */
+  private[graft] val layerSampleMod = 16
+
+  /** Entries the upper-layer serve hands the base beam, per probe —
+    * measured at sf0.1 against the same exact truth as E15/E17 (see
+    * annGraphLayer's scaladoc for the sweep).
+    */
+  private[graft] val layerEntryCount = 4
+
+  /** Per-dir layer-serve telemetry: (upper rounds, base rounds, pooled
+    * rows upper, pooled rows base).
+    */
+  private[graft] val layerStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long, Long)]()
+
+  /** E19 — `ann_graph_layer` (round-11 directive #4): the recall
+    * frontier pushed past E17's measured 0.433 ceiling, with every step
+    * of the design MEASURED at sf0.1 against the exact integer truth
+    * (60 slots) rather than assumed:
+    *
+    *  - The directive's hypothesis — entries are the binding constraint
+    *    — was REFUTED on the flat deg-12 graph: an HNSW-style upper
+    *    layer (NN-descent over the deterministic 1/16 id-hash sample,
+    *    probe beams over it, top picks seeding the base beam) measured
+    *    0.383 with picks alone (WORSE than flat — four sample
+    *    near-neighbors share one basin and the frontier loses the
+    *    medoid entries' exploration) and 0.450 with picks ∪ medoids —
+    *    one truth slot above flat, at +2,300 touched.
+    *  - The BINDING constraint is BUILD QUALITY: on the same flat serve,
+    *    (degree, descent rounds) swept (12,2)→0.433, (16,2)→0.500,
+    *    (16,3)→0.650, (20,3)→0.733 — each descent round and degree slot
+    *    compounds through every beam expansion. (20,3) breaks the scan
+    *    budget, so E19's serve graph pins (16,3) — a DEDICATED artifact;
+    *    E15/E17/E18 keep the deg-12 graph and their hashes.
+    *  - The upper layer is KEPT, tuned cheap (ef=[[layerUpperEf]],
+    *    top-[[layerEntryCount]] picks ∪ medoid entries): at this corpus
+    *    scale it is recall-neutral (the ~313-node sample can't beat
+    *    medoids), but it is the principled entry mechanism when medoids
+    *    degrade at 10⁹ vectors, and its measured cost is bounded
+    *    (~1.5k touched rows of the budget).
+    *
+    * PINNED (Round11cSpec): recall@3 = 0.650 at 9,725 touched = 3.97×
+    * the LSH tier's 2,450-row bucket scan — strictly dominating E17's
+    * flat beam (0.433 @ 6,594) and meeting the directive's ≥0.6 target
+    * inside its ≤4× budget.
+    *
+    * Scale shape: the upper graph is |corpus|/16 nodes built by the
+    * same capped NN-descent equi-joins; the upper serve's frontier is
+    * |probes|·ef rows broadcast per round against the small edge
+    * artifact; the base serve is E17's plan verbatim over the
+    * higher-degree artifact. Nothing new shuffles at corpus scale, and
+    * the layer recursion generalizes (a 1/256 layer above the 1/16 one
+    * is the same code over the sample).
+    *
+    * ORACLE: the E18 subset-build machinery reused — the sample build
+    * chain (prefixed `u`, deg 16 × 3 rounds), the dedicated base chain
+    * (prefixed `L`), sample medoid entries, a fixed idempotent upper
+    * beam unroll at ef=3, the entry pick, then the base unroll from
+    * picks ∪ medoid entries; the engine fails loudly if either beam
+    * would need more rounds than the oracle unrolls.
+    */
+  /** The layered pipeline, fully parameterized for the Round11cSpec
+    * frontier sweep: dedicated (deg, rounds) serve graph, upper-layer
+    * beam at `upperEf`, top-`nEntries` picks unioned with the medoid
+    * entries, base beam at `baseEf`. Returns (top-k frame, (upper
+    * rounds, base rounds, upper pool, base pool)).
+    */
+  private[graft] def layerPipeline(spark: SparkSession, dir: String, k: Int,
+                                   upperEf: Int, baseEf: Int, nEntries: Int,
+                                   deg: Int, rounds: Int)
+  : (DataFrame, (Int, Int, Long, Long)) = {
+      val embs = Tables.embeddings(spark, dir)
+      val upper = embs.filter(col("vec_id") % layerSampleMod === 0)
+      val tkAll = ticks(spark, dir).persist()
+      val upperEdges = buildEdgesFrom(upper, s"graphann.lbuckets:$dir:$deg:$rounds",
+          deg, rounds)
+        .localCheckpoint()
+      ticksOf(upper).unpersist()
+      val baseEdges = graft.QueryCaches.memo(
+        s"graphann.ledges:$dir:$deg:$rounds:${spark.sparkContext.applicationId}") {
+        val e = buildEdgesFrom(embs, s"graphann.lbbuckets:$dir:$deg:$rounds",
+          deg, rounds)
+        val path = graft.Scratch.dir("graphann_layer_edges")
+        e.write.mode("overwrite").parquet(path)
+        ticks(spark, dir).unpersist()
+        spark.read.parquet(path)
+      }
+      val probes = embs.filter(col("vec_id") % 100 === 0)
+      val uEntries = entriesFrom(upper, probes)
+      val (uPool, uRounds) = beamPoolFrom(upperEdges, uEntries, tkAll,
+        upperEf, beamRounds)
+      val wq = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
+      val entPick = uPool.withColumn("_rn", row_number().over(wq))
+        .filter(col("_rn") <= nEntries)
+        .select(col("qid"), col("nid").as("ent"))
+      // entries = base medoid entries ∪ upper picks: the picks alone
+      // MEASURED WORSE than the flat beam (0.383 vs 0.433 at sf0.1) —
+      // eight sample near-neighbors all sit in one basin, so the
+      // frontier loses the exploration the spread-out medoid entries
+      // provide; the union keeps both (proximity + diversity)
+      val baseEntries = probeEntries(spark, dir).select("qid", "ent")
+        .union(entPick).distinct()
+      val baseProbes = uEntries.select("qid", "qv").distinct()
+        .join(baseEntries, Seq("qid"))
+      val (pool, bRounds) = beamPoolFrom(baseEdges, baseProbes,
+        tkAll, baseEf, beamRounds)
+      val res = pool.withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= k)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("nid").as("neighbor_id"), col("d").as("layer_dist"))
+        .orderBy("query_id", "rank")
+        .persist()
+      (res, (uRounds, bRounds, uPool.count(), pool.count()))
+  }
+
+  /** The pinned serve-graph constants for E19 — see annGraphLayer. */
+  private[graft] val layerDegree = 16
+  private[graft] val layerBuildRounds = 3
+  private[graft] val layerUpperEf = 3
+
+  def annGraphLayer(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    graft.QueryCaches.memo(
+      s"graphann.layer:$dir:$k:${spark.sparkContext.applicationId}") {
+      val (res, stats) = layerPipeline(spark, dir, k, layerUpperEf, beamEf,
+        layerEntryCount, layerDegree, layerBuildRounds)
+      layerStats.put(dir, stats)
+      res
+    }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_graph_search" -> ((s, d) => annGraphSearch(s, d)),
     "ann_graph_beam" -> ((s, d) => annGraphBeam(s, d)),
-    "ann_graph_append" -> ((s, d) => annGraphAppend(s, d)))
+    "ann_graph_append" -> ((s, d) => annGraphAppend(s, d)),
+    "ann_graph_layer" -> ((s, d) => annGraphLayer(s, d)))
 
   /** Integer pairwise distance over a named pair CTE: joins the tick
     * explode to both endpoints — exactly `IntSqDist` relationally.
@@ -600,13 +738,13 @@ object GraphAnn {
   // 2-arm UNION of one row returned 2 rows) — the duplicates then
   // multiply the grouped distance sums by odd factors
   private def descentRoundSql(candIn: String, i: Int,
-                              pfx: String = ""): String =
+                              pfx: String = "", deg: Int = degree): String =
     s"""${pfx}rev$i AS (
        | SELECT src, dst FROM (
        |   SELECT e.dst AS src, e.src AS dst, e.d2,
        |     row_number() OVER (PARTITION BY e.dst ORDER BY e.d2, e.src) AS rn
        |   FROM $candIn e) t
-       | WHERE rn <= $degree),
+       | WHERE rn <= $deg),
        |${pfx}u$i AS MATERIALIZED (
        | SELECT DISTINCT src, dst FROM (
        |   SELECT src, dst FROM $candIn
@@ -624,13 +762,15 @@ object GraphAnn {
        |   SELECT src, dst, d2,
        |     row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
        |   FROM ${pfx}dd$i)
-       | WHERE rn <= $degree)""".stripMargin
+       | WHERE rn <= $deg)""".stripMargin
 
   /** The NN-descent build chain (p0 .. e2) over a bucketed gb-shaped
     * CTE, name-prefixed so the full-corpus chain and the append
     * pipeline's BASE chain coexist in one oracle.
     */
-  private def buildChainSql(gbName: String, pfx: String): String =
+  private def buildChainSql(gbName: String, pfx: String,
+                            deg: Int = degree,
+                            rounds: Int = descentRounds): String =
     s"""${pfx}p0 AS (
        | SELECT l.vec_id AS src, r.vec_id AS dst
        | FROM $gbName l JOIN $gbName r USING (bucket) WHERE l.vec_id <> r.vec_id),
@@ -649,15 +789,20 @@ object GraphAnn {
        |   SELECT src, dst, d2,
        |     row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
        |   FROM ${pfx}dd0)
-       | WHERE rn <= $degree),
-       |${descentRoundSql(s"${pfx}e0", 1, pfx)},
-       |${descentRoundSql(s"${pfx}e1", 2, pfx)}""".stripMargin
+       | WHERE rn <= $deg),
+       |${(1 to rounds).map(i =>
+           descentRoundSql(s"${pfx}e${i - 1}", i, pfx, deg)).mkString(",\n")}""".stripMargin
 
   /** The shared oracle prefix: build replay (gex .. e2), probe
     * distances (qd), medoid entries — everything through `entries`,
     * reused verbatim by the greedy and beam serve oracles.
     */
-  private lazy val oraclePrefixSql: String = {
+  /** Everything the serve oracles share EXCEPT a build chain: tick
+    * explode, buckets, probe distances, and the full-corpus medoid
+    * entries — so the layer oracle (which builds at its own degree)
+    * doesn't pay a deg-12 build it never reads.
+    */
+  private lazy val corePrefixSql: String = {
     val planes = Dedup.hyperplanes(4, 64)
     s"""WITH RECURSIVE
          |gex AS MATERIALIZED (
@@ -668,27 +813,6 @@ object GraphAnn {
          | SELECT vec_id, embedding::DOUBLE[] AS emb,
          |  ${Dedup.bucketSql(planes)} AS bucket
          | FROM embeddings),
-         |p0 AS (
-         | SELECT l.vec_id AS src, r.vec_id AS dst
-         | FROM gb l JOIN gb r USING (bucket) WHERE l.vec_id <> r.vec_id),
-         |ring AS (
-         | SELECT vec_id AS src,
-         |   coalesce(lead(vec_id) OVER (ORDER BY vec_id),
-         |            (SELECT min(vec_id) FROM gb)) AS dst
-         | FROM gb),
-         |cinit AS (
-         | SELECT DISTINCT src, dst FROM (
-         |   SELECT src, dst FROM p0 UNION ALL SELECT src, dst FROM ring) t
-         | WHERE src <> dst),
-         |${distSql("cinit", "dd0")},
-         |e0 AS MATERIALIZED (
-         | SELECT src, dst, d2 FROM (
-         |   SELECT src, dst, d2,
-         |     row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
-         |   FROM dd0)
-         | WHERE rn <= $degree),
-         |${descentRoundSql("e0", 1)},
-         |${descentRoundSql("e1", 2)},
          |qd AS MATERIALIZED (
          | SELECT pa.vec_id AS qid, pb.vec_id AS nid,
          |        sum((pa.q - pb.q) * (pa.q - pb.q)) AS d2
@@ -722,6 +846,13 @@ object GraphAnn {
          |   SELECT pb.qid, g.vec_id FROM pb CROSS JOIN gmed g) t)""".stripMargin
   }
 
+  /** The shared oracle prefix the E15/E17/E18 serves read: the core
+    * plus the deg-12 × 2-round build chain (gex .. e2).
+    */
+  private lazy val oraclePrefixSql: String =
+    s"""$corePrefixSql,
+       |${buildChainSql("gb", "")}""".stripMargin
+
   /** One idempotent beam round: candidates = the previous frontier's
     * out-neighbors scored against the probe; next frontier = top-ef of
     * frontier ∪ candidates. At the fixpoint a round re-derives the
@@ -731,7 +862,7 @@ object GraphAnn {
     */
   private def beamRoundSql(i: Int, frPfx: String = "fr",
                            cndPfx: String = "cnd", edges: String = "e2",
-                           dist: String = "qd"): String =
+                           dist: String = "qd", ef: Int = beamEf): String =
     s"""$cndPfx$i AS (
        | SELECT f.qid, e.dst AS nid, q.d2 AS d
        | FROM $frPfx${i - 1} f JOIN $edges e ON e.src = f.nid
@@ -904,6 +1035,97 @@ object GraphAnn {
          |SELECT qid AS query_id, rank, nid AS neighbor_id,
          |  CAST(d AS BIGINT) AS append_dist
          |FROM fin ORDER BY query_id, rank""".stripMargin
+    },
+    // E19: sample build chain (u, deg 16 × 3), dedicated base chain
+    // (lb, deg 16 × 3), sample medoid entries, upper beam unroll at
+    // ef=3, top-4 entry pick ∪ full-corpus medoid entries, base beam
+    // unroll at ef=16 — the whole layered serve replayed relationally
+    "ann_graph_layer" -> {
+      val uRoundsSql = (1 to beamRounds).map(i =>
+        beamRoundSql(i, "ufr", "ucnd", s"ue$layerBuildRounds", "qd",
+          layerUpperEf)).mkString(",\n")
+      val uPoolArms = (1 to beamRounds)
+        .map(i => s"SELECT qid, nid, d FROM ucnd$i")
+        .mkString("\n   UNION ALL ")
+      val bRoundsSql = (1 to beamRounds).map(i =>
+        beamRoundSql(i, "lfr", "lcnd", s"lbe$layerBuildRounds", "qd"))
+        .mkString(",\n")
+      val bPoolArms = (1 to beamRounds)
+        .map(i => s"SELECT qid, nid, d FROM lcnd$i")
+        .mkString("\n   UNION ALL ")
+      s"""$corePrefixSql,
+         |gbu AS (SELECT * FROM gb WHERE vec_id % $layerSampleMod = 0),
+         |${buildChainSql("gbu", "u", layerDegree, layerBuildRounds)},
+         |${buildChainSql("gb", "lb", layerDegree, layerBuildRounds)},
+         |gexu AS (SELECT * FROM gex WHERE vec_id % $layerSampleMod = 0),
+         |ucent AS (
+         | SELECT dim, (2 * sum(q) + count(*)) // (2 * count(*)) AS cq
+         | FROM gexu GROUP BY 1),
+         |ued AS (
+         | SELECT e.vec_id, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+         | FROM gexu e JOIN ucent c USING (dim) GROUP BY 1),
+         |ugmed AS (
+         | SELECT vec_id FROM (
+         |   SELECT vec_id, row_number() OVER (ORDER BY d2, vec_id) AS rn FROM ued)
+         | WHERE rn = 1),
+         |ubmed AS (
+         | SELECT bucket, vec_id AS medoid FROM (
+         |   SELECT g.bucket, ued.vec_id,
+         |     row_number() OVER (PARTITION BY g.bucket ORDER BY ued.d2, ued.vec_id) AS rn
+         |   FROM ued JOIN gbu g ON g.vec_id = ued.vec_id)
+         | WHERE rn = 1),
+         |uent AS (
+         | SELECT DISTINCT qid, ent FROM (
+         |   SELECT pb.qid, coalesce(bm.medoid, g.vec_id) AS ent
+         |   FROM pb
+         |   CROSS JOIN (VALUES ${entryMasks.map(m => s"($m)").mkString(", ")}) mm(m)
+         |   CROSS JOIN ugmed g
+         |   LEFT JOIN ubmed bm ON bm.bucket = xor(pb.bucket, mm.m)
+         |   UNION ALL
+         |   SELECT pb.qid, g.vec_id FROM pb CROSS JOIN ugmed g) t),
+         |ufr0 AS MATERIALIZED (
+         | SELECT qid, nid, d FROM (
+         |   SELECT qid, nid, d,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+         |   FROM (SELECT DISTINCT en.qid, en.ent AS nid, q.d2 AS d
+         |         FROM uent en
+         |         JOIN qd q ON q.qid = en.qid AND q.nid = en.ent) t)
+         | WHERE rn <= $layerUpperEf),
+         |$uRoundsSql,
+         |upool AS (
+         | SELECT DISTINCT qid, nid, d FROM (
+         |   SELECT qid, nid, d FROM ufr0
+         |   UNION ALL $uPoolArms) t
+         | WHERE nid <> qid),
+         |upick AS (
+         | SELECT qid, nid AS ent FROM (
+         |   SELECT qid, nid,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+         |   FROM upool)
+         | WHERE rn <= $layerEntryCount),
+         |lent AS (
+         | SELECT DISTINCT qid, ent FROM (
+         |   SELECT qid, ent FROM entries
+         |   UNION ALL SELECT qid, ent FROM upick) t),
+         |lfr0 AS MATERIALIZED (
+         | SELECT qid, nid, d FROM (
+         |   SELECT qid, nid, d,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+         |   FROM (SELECT DISTINCT en.qid, en.ent AS nid, q.d2 AS d
+         |         FROM lent en
+         |         JOIN qd q ON q.qid = en.qid AND q.nid = en.ent) t)
+         | WHERE rn <= $beamEf),
+         |$bRoundsSql,
+         |lpool AS (
+         | SELECT DISTINCT qid, nid, d FROM (
+         |   SELECT qid, nid, d FROM lfr0
+         |   UNION ALL $bPoolArms) t
+         | WHERE nid <> qid)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id,
+         |  CAST(d AS BIGINT) AS layer_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |      FROM lpool)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
     "ann_graph_beam" -> {
       val roundsSql = (1 to beamRounds).map(i => beamRoundSql(i)).mkString(",\n")
