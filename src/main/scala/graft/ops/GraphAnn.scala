@@ -487,6 +487,10 @@ object GraphAnn {
     *    distribution-shifted one is unreachable from base entries and
     *    collapses. All-integer recall, so the decision replays
     *    bit-for-bit in the oracle (E13's gate pattern).
+    *
+    * Split (round 11) into [[insertEdges]] + [[appendTail]] so the G18
+    * streaming drain can run the per-vector-deterministic insert per
+    * micro-batch and the accumulated tail at serve time.
     */
   private[graft] def appendPipeline(embs: DataFrame, isDelta: Column,
                                     bucketTag: String): AppendBuild = {
@@ -495,7 +499,21 @@ object GraphAnn {
     val tkAll = ticksOf(embs).localCheckpoint()
     val baseEdges = buildEdgesFrom(base, bucketTag).localCheckpoint()
     ticksOf(base).unpersist()
-    val dEntries = entriesFrom(base, delta)
+    val dEdges = insertEdges(baseEdges, entriesFrom(base, delta), tkAll)
+    appendTail(baseEdges, dEdges, embs, isDelta, tkAll)
+  }
+
+  /** The search-based INSERT for one arrival frame: beam from the base
+    * medoid entries, keep each arrival's top-`degree` pooled results as
+    * out-edges, repair with one localized descent round through the
+    * base adjacency. PER-VECTOR deterministic and pure in its inputs —
+    * each probe's beam converges to its own fixpoint regardless of what
+    * else is in the frame — so ANY batching of the delta (one shot, a
+    * daily job, streaming micro-batches) lands the identical edge rows.
+    * `stream_vector_admit` (G18) rides exactly this property.
+    */
+  private[graft] def insertEdges(baseEdges: DataFrame, dEntries: DataFrame,
+                                 tkAll: DataFrame): DataFrame = {
     val (insPool, _) = beamPoolFrom(baseEdges, dEntries, tkAll, beamEf, beamRounds)
     val wq = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
     val dEdges0 = insPool.withColumn("_rn", row_number().over(wq))
@@ -504,8 +522,23 @@ object GraphAnn {
     val comp = dEdges0.join(
         baseEdges.select(col("src").as("dst"), col("dst").as("dst2")), Seq("dst"))
       .select(col("src"), col("dst2").as("dst"))
-    val dEdges = topDeg(dEdges0.union(comp).distinct(), tkAll)
-      .localCheckpoint()
+    topDeg(dEdges0.union(comp).distinct(), tkAll).localCheckpoint()
+  }
+
+  /** Everything AFTER the inserts: the reverse-edge cap (a function of
+    * the ACCUMULATED delta edges — per-batch capping would admit up to
+    * batches·degree reverse slots per base node and diverge from the
+    * one-shot build, which is why the streaming drain stores raw insert
+    * edges and derives reverse edges here), the gate serve, and the
+    * gate arithmetic. Shared verbatim by E18 and G18.
+    */
+  private[graft] def appendTail(baseEdges: DataFrame, dEdges: DataFrame,
+                                embs: DataFrame, isDelta: Column,
+                                tkAll: DataFrame): AppendBuild = {
+    val base = embs.filter(!isDelta)
+    val delta = embs.filter(isDelta)
+    val dEntries = entriesFrom(base, delta)
+    val wq = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
     val wr = Window.partitionBy("src").orderBy(col("d2"), col("dst"))
     val rev = dEdges
       .select(col("dst").as("src"), col("src").as("dst"), col("d2"))
@@ -580,6 +613,72 @@ object GraphAnn {
         .orderBy("query_id", "rank")
         .persist()
     }
+
+  // ---------------- G18: streaming vector admit (engine side) ----------------
+
+  /** G18's standing base artifact: E18's base build (the %10≠7 subset),
+    * built once per JVM per dir and persisted — every micro-batch's
+    * insert beams against THESE files, and they are never rewritten.
+    */
+  private[graft] def streamBaseEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.QueryCaches.memo(
+      s"graphann.gbase:$dir:${spark.sparkContext.applicationId}") {
+      val base = Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 7)
+      val edges = buildEdgesFrom(base, s"graphann.sbuckets:$dir")
+      val path = graft.Scratch.dir("graphann_streambase")
+      edges.write.mode("overwrite").parquet(path)
+      ticksOf(base).unpersist()
+      spark.read.parquet(path)
+    }
+
+  /** One micro-batch's insert work: beam THIS batch's arrivals
+    * (vec_id % 10 = 7, E18's delta predicate) against the standing base
+    * artifact and return their insert edges. Rides [[insertEdges]]'s
+    * per-vector determinism — any batching of the arrivals lands the
+    * identical rows, which is what makes stream ≡ batch provable
+    * row-for-row.
+    */
+  private[graft] def streamInsertBatch(batch: DataFrame, dir: String): DataFrame = {
+    val s = batch.sparkSession
+    val arrivals = batch.filter(col("vec_id") % 10 === 7)
+    val base = Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 7)
+    insertEdges(streamBaseEdges(s, dir), entriesFrom(base, arrivals),
+      ticks(s, dir).localCheckpoint())
+  }
+
+  /** Per-dir gate telemetry for the streaming path (consulted at each
+    * drain's serve): (hits, truth, stale).
+    */
+  private[graft] val streamGateStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Boolean)]()
+
+  /** The serve over the ACCUMULATED drained insert edges: reverse cap +
+    * gate + branch — [[appendTail]] and E18's branch rule verbatim, so
+    * the drained stream serves the exact frame the one-shot batch
+    * append serves (and shares its oracle).
+    */
+  private[graft] def streamAppendServe(spark: SparkSession, dir: String,
+                                       dEdges: DataFrame, k: Int = 3): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val isDelta = col("vec_id") % 10 === 7
+    val tkAll = ticksOf(embs).localCheckpoint()
+    val ab = appendTail(streamBaseEdges(spark, dir), dEdges.localCheckpoint(),
+      embs, isDelta, tkAll)
+    streamGateStats.put(dir, (ab.hits, ab.truth, ab.stale))
+    val pool =
+      if (ab.stale)
+        greedyPoolFrom(edgesArtifact(spark, dir),
+          entriesFrom(embs, embs.filter(isDelta)),
+          ticksOf(embs), maxSteps)._1
+      else ab.gatePool
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
+    pool.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("d").as("append_dist"))
+      .orderBy("query_id", "rank")
+      .persist()
+  }
 
   // ---------------- E19: HNSW-style upper layer ----------------
 

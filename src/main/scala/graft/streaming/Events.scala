@@ -141,7 +141,8 @@ object Events {
     "stream_window_topk" -> (streamWindowTopk _),
     "stream_corpus_admit" -> (CorpusAdmit.streamCorpusAdmit _),
     "stream_quality_admit" -> (QualityAdmit.streamQualityAdmit _),
-    "stream_shard_route" -> (ShardRoute.streamShardRoute _))
+    "stream_shard_route" -> (ShardRoute.streamShardRoute _),
+    "stream_vector_admit" -> (VectorAdmit.streamVectorAdmit _))
 
   /** G9 — windowed heavy hitters: top-3 event types per tumbling hour
     * (the live "what's trending this hour" report). The per-window rank
@@ -170,6 +171,10 @@ object Events {
     // frozen offline-trained model — the sink audit shares F21's
     // oracle verbatim, hash-proving stream ≡ batch verdicts
     "stream_quality_admit" -> graft.ops.QualityGate.oracles("corpus_quality_gate"),
+    // E18's oracle VERBATIM: the micro-batched graph ingest and the
+    // one-shot batch append must hash-agree on the served neighbors AND
+    // the gate decision
+    "stream_vector_admit" -> graft.ops.GraphAnn.oracles("ann_graph_append"),
     // I16's oracle VERBATIM: the streamed route must land the manifest
     // the batch shard writer produces
     "stream_shard_route" -> graft.sources.SourceQueries.oracles("corpus_shard_bpe"),
