@@ -115,14 +115,20 @@ object BandTune {
     val (tb, tr) = tune()
     Map("dedup_band_tune" ->
       s"""WITH ${Dedup.shingleHashCtes},
-         |p AS (SELECT doc_id AS pid, shingles AS shp FROM sh WHERE doc_id % 10 = 0),
+         |pex AS (SELECT doc_id AS pid, unnest(shingles) AS shingle
+         |        FROM sh WHERE doc_id % 10 = 0),
+         |tsz AS MATERIALIZED (SELECT doc_id, len(shingles) AS ns FROM sh),
+         |tinter AS MATERIALIZED (
+         | SELECT e.doc_id, px.pid, count(*) AS ni
+         | FROM expl e JOIN pex px USING (shingle)
+         | WHERE e.doc_id <> px.pid GROUP BY 1, 2),
          |truth AS MATERIALIZED (
-         | SELECT DISTINCT least(s.doc_id, p.pid) AS a,
-         |        greatest(s.doc_id, p.pid) AS b
-         | FROM sh s CROSS JOIN p
-         | WHERE s.doc_id <> p.pid
-         |  AND CAST(len(list_intersect(s.shingles, p.shp)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(s.shingles, p.shp))) >= 0.5),
+         | SELECT DISTINCT least(i.doc_id, i.pid) AS a,
+         |        greatest(i.doc_id, i.pid) AS b
+         | FROM tinter i
+         | JOIN tsz sa ON sa.doc_id = i.doc_id
+         | JOIN tsz sb ON sb.doc_id = i.pid
+         | WHERE 3 * i.ni >= sa.ns + sb.ns),
          |${Dedup.bandCandCtes(32, 8, "d_")},
          |d_pc AS MATERIALIZED (SELECT a, b FROM d_cand WHERE a % 10 = 0 OR b % 10 = 0),
          |${Dedup.bandCandCtes(tb * tr, tb, "t_")},

@@ -739,17 +739,32 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     // D2's signature chain verbatim for the candidate side; the truth
-    // side is the probe-bounded exact Jaccard panel
+    // side is the probe-bounded exact Jaccard panel — REPLAYED
+    // RELATIONALLY (round-11 directive #3): the |probes|·n
+    // list_intersect panel was the single slowest oracle in the whole
+    // sweep (231 s at sf0.1, superlinear at rehearsal scale), while the
+    // same set is one shingle EQUI-JOIN: |∩|/|∪| ≥ 1/2 ⟺ 3·|∩| ≥
+    // |A|+|B| on distinct-shingle lists — EXACT integers, and exactly
+    // the double test both engines run (the nearest non-half rational
+    // is ≥ 1/(2·|∪|) from 0.5, ~10 orders above double rounding).
+    // Zero-overlap pairs can't pass the threshold, so the join's
+    // omission of them is lossless.
     "dedup_recall_eval" ->
       s"""WITH $minhashJacCtes,
-         |p AS (SELECT doc_id AS pid, shingles AS shp FROM sh WHERE doc_id % 10 = 0),
-         |truth AS (
-         | SELECT DISTINCT least(s.doc_id, p.pid) AS a,
-         |        greatest(s.doc_id, p.pid) AS b
-         | FROM sh s CROSS JOIN p
-         | WHERE s.doc_id <> p.pid
-         |  AND CAST(len(list_intersect(s.shingles, p.shp)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(s.shingles, p.shp))) >= 0.5),
+         |pex AS (SELECT doc_id AS pid, unnest(shingles) AS shingle
+         |        FROM sh WHERE doc_id % 10 = 0),
+         |tsz AS MATERIALIZED (SELECT doc_id, len(shingles) AS ns FROM sh),
+         |tinter AS MATERIALIZED (
+         | SELECT e.doc_id, px.pid, count(*) AS ni
+         | FROM expl e JOIN pex px USING (shingle)
+         | WHERE e.doc_id <> px.pid GROUP BY 1, 2),
+         |truth AS MATERIALIZED (
+         | SELECT DISTINCT least(i.doc_id, i.pid) AS a,
+         |        greatest(i.doc_id, i.pid) AS b
+         | FROM tinter i
+         | JOIN tsz sa ON sa.doc_id = i.doc_id
+         | JOIN tsz sb ON sb.doc_id = i.pid
+         | WHERE 3 * i.ni >= sa.ns + sb.ns),
          |pc AS (SELECT a, b FROM cand WHERE a % 10 = 0 OR b % 10 = 0),
          |h AS (SELECT count(*) AS n_hits FROM truth JOIN pc USING (a, b))
          |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
@@ -759,19 +774,36 @@ object Dedup {
          |       ELSE n_hits * 100 // (SELECT count(*) FROM truth) END AS BIGINT) AS recall_pct
          |FROM h""".stripMargin,
     // DuckDB list comprehension mirrors the trigram transform exactly
-    // (i in 1..len-2, distinct, intersect/union cardinality ratio)
+    // (i in 1..len-2, distinct); the intersect/union ratio is replayed
+    // RELATIONALLY (round-11 directive #3): |∩| via a gram equi-join
+    // inside the block, |∪| = |A|+|B|−|∩| on distinct-gram lists — the
+    // DOUBLE division then has the identical integer operands as the
+    // list_intersect form, so the rounded value is bit-equal. The
+    // blocked pair frame is kept as a LEFT JOIN (coalesce 0) so
+    // zero-overlap pairs still rank for the top-20, as before. Was
+    // 87 s at sf0.1 in list form.
     "dedup_ngram_jaccard" ->
       """WITH g AS (
         | SELECT doc_id, lang, floor(n_chars / 100) AS len_bucket,
         |  list_distinct([substring(text, i, 3) FOR i IN range(1, length(text) - 1)]) AS grams
-        | FROM documents)
-        |SELECT a, b,
-        | floor((CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
-        |        len(list_distinct(list_concat(ga, gb)))) * 10000 + 0.5) / 10000 AS jaccard
-        |FROM (
-        | SELECT l.doc_id AS a, r.doc_id AS b, l.grams AS ga, r.grams AS gb
-        | FROM g l JOIN g r ON l.lang = r.lang AND l.len_bucket = r.len_bucket
+        | FROM documents),
+        |gsz AS MATERIALIZED (
+        | SELECT doc_id, lang, len_bucket, len(grams) AS ng FROM g),
+        |gex AS MATERIALIZED (
+        | SELECT doc_id, lang, len_bucket, unnest(grams) AS gram FROM g),
+        |ginter AS MATERIALIZED (
+        | SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS ni
+        | FROM gex l JOIN gex r ON l.lang = r.lang AND l.len_bucket = r.len_bucket
+        |  AND l.gram = r.gram AND l.doc_id < r.doc_id
+        | GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT l.doc_id AS a, r.doc_id AS b, l.ng AS na, r.ng AS nb
+        | FROM gsz l JOIN gsz r ON l.lang = r.lang AND l.len_bucket = r.len_bucket
         |  AND l.doc_id < r.doc_id)
+        |SELECT a, b,
+        | floor((CAST(coalesce(ni, 0) AS DOUBLE) /
+        |        (na + nb - coalesce(ni, 0))) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM pairs LEFT JOIN ginter USING (a, b)
         |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
     // full MinHash+LSH replay: shingling, RollHash64, the 32 affine-mix
     // permutations, band signatures, candidate join, and Jaccard verify —
