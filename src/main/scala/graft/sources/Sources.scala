@@ -409,6 +409,111 @@ object Sources {
       .drop("_rn", "_batch_id")
   }
 
+  // ---------------- I21: file-stats manifest (data skipping) ----------------
+
+  /** The dot-prefixed manifest sidecar root — invisible to Spark's file
+    * listing (the `.staging` trick), so manifest rows can never leak
+    * into a log read.
+    */
+  private[graft] def manifestDir(logPath: String): String = s"$logPath/.manifest"
+
+  /** Stage + claim + record per-file key stats in one call — the
+    * data-skipping counterpart of [[commitBatch]] (round-11 directive
+    * #6: I13/I14 prove min/max skipping for sorted layouts; this
+    * applies it to the lakehouse LOG). Stats (min/max of the LONG
+    * merge-key column per parquet file) are computed on the STAGED
+    * files — rename moves, never rewrites, so the claimed batch's
+    * basenames and bytes are exactly what was measured — and the
+    * manifest is published to `.manifest/batch=<id>` only AFTER the
+    * claim wins, keyed by the claimed id, so it can never describe a
+    * batch that lost its race. A crash between claim and manifest
+    * write leaves a committed batch WITHOUT a manifest — which readers
+    * treat as unprunable (skipping is an optimization, never
+    * load-bearing for correctness).
+    */
+  def commitBatchWithStats(df: DataFrame, logPath: String, writerId: String,
+                           statsCol: String): Long = {
+    val spark = df.sparkSession
+    val staged = stageBatch(df, logPath, writerId)
+    val files = Option(new java.io.File(staged).listFiles)
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    // bounded per-file footer aggregations (min/max come from parquet
+    // statistics) — the per-commit cost is O(files in THIS batch)
+    val stats = files.toSeq.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col(statsCol)).cast("long"), max(col(statsCol)).cast("long"))
+        .head()
+      (f.getName, r.getLong(0), r.getLong(1))
+    }
+    val id = commitStaged(logPath, staged)
+    import spark.implicits._
+    stats.toDF("file", "min_key", "max_key").coalesce(1)
+      .write.mode("overwrite").parquet(s"${manifestDir(logPath)}/batch=$id")
+    id
+  }
+
+  /** The pruned file list for a key-range read: every committed file
+    * EXCEPT those whose manifest row proves [min,max] ∩ [lo,hi] = ∅.
+    * Files of batches without a manifest are always kept. The listing
+    * and manifest collect are driver-side by design — this is the
+    * planning step every table format (Delta/Iceberg) runs on the
+    * driver, bounded by file COUNT, never data size.
+    */
+  private def prunedFiles(spark: SparkSession, logPath: String,
+                          ids: Seq[Long], lo: Long, hi: Long): Seq[String] = {
+    ids.flatMap { id =>
+      val bdir = new java.io.File(logPath, s"_batch_id=$id")
+      val files = Option(bdir.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      val mf = new java.io.File(manifestDir(logPath), s"batch=$id")
+      if (!mf.isDirectory) files.map(_.getAbsolutePath).toSeq
+      else {
+        val st = spark.read.parquet(mf.getAbsolutePath).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        files.toSeq.flatMap { f =>
+          st.get(f.getName) match {
+            case Some((mn, mx)) if mx < lo || mn > hi => None // skipped
+            case _ => Some(f.getAbsolutePath)
+          }
+        }
+      }
+    }
+  }
+
+  /** [[readLatest]] with FILE-LEVEL DATA SKIPPING on a merge-key range:
+    * only files whose manifest stats intersect [lo, hi] are handed to
+    * the scan — pruned files are never opened, footer included. Because
+    * `statsCol` must be one of the MERGE keys, every version of an
+    * in-range key lives in a kept file, so latest-wins over the pruned
+    * set is exactly the unpruned read's result filtered to the range
+    * (Round11eSpec pins result equality AND a ≥2× scanned-file
+    * reduction read off the plan).
+    */
+  def readLatestRange(spark: SparkSession, logPath: String, keyCols: Seq[String],
+                      statsCol: String, lo: Long, hi: Long): DataFrame =
+    readAsOfRange(spark, logPath, keyCols, statsCol, lo, hi, Long.MaxValue)
+
+  /** [[readAsOf]] with the same file-level skipping — time travel and
+    * data skipping compose (the id filter prunes whole batch
+    * directories before the manifest is even consulted).
+    */
+  def readAsOfRange(spark: SparkSession, logPath: String, keyCols: Seq[String],
+                    statsCol: String, lo: Long, hi: Long, asOf: Long): DataFrame = {
+    require(keyCols.contains(statsCol),
+      s"data skipping needs the stats column '$statsCol' to be a merge key " +
+        s"(got keys $keyCols) — pruning on a non-key column could drop a " +
+        "newer version of a surviving key and resurrect stale rows")
+    val ids = committedIds(logPath).filter(_ <= asOf)
+    val keep = prunedFiles(spark, logPath, ids, lo, hi)
+    // an all-pruned range is a legitimate EMPTY result, not an error —
+    // serve it as a zero-row scan of the log's own schema
+    val log =
+      if (keep.isEmpty) spark.read.parquet(logPath).filter(lit(false))
+      else spark.read.option("basePath", logPath).parquet(keep: _*)
+    latestWins(log, keyCols).filter(col(statsCol).between(lo, hi))
+  }
+
   /** I15 — compact the batch-partitioned append log into a latest-state
     * BASE. [[readLatest]]'s read amplification grows without bound at
     * daily-ETL cadence (the reference's INSERT-then-UPDATE cycle,
@@ -1079,7 +1184,38 @@ object SourceQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** I21 — `src_stats_prune`: the file-stats manifest exercised end to
+    * end. A PENDING base batch lands range-laid across 8 files and a %5
+    * status-update batch across 4 (repartitionByRange → disjoint
+    * per-file key ranges — the layout I13 proves skips; the manifest
+    * carries each file's exact [min,max]), both through
+    * [[Sources.commitBatchWithStats]]'s stage→stat→claim→manifest
+    * path. The read asks for the FIRST QUARTER of the key space:
+    * [[Sources.readLatestRange]] opens only the files whose stats
+    * intersect it (Round11eSpec reads ≥2× fewer files off the plan)
+    * and the per-status counts hash-prove the pruned latest-wins
+    * result exact. The range bound is derived from the table
+    * (max(o_orderkey) div 4) so the oracle replays it as a subquery.
+    */
+  def srcStatsPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("statsprune")
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    Sources.commitBatchWithStats(
+      orders.withColumn("o_orderstatus", lit("PENDING"))
+        .repartitionByRange(8, col("o_orderkey")),
+      path, "base_job", "o_orderkey")
+    Sources.commitBatchWithStats(
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .repartitionByRange(4, col("o_orderkey")),
+      path, "update_job", "o_orderkey")
+    val hi = orders.agg(max("o_orderkey")).head().getLong(0) / 4
+    Sources.readLatestRange(spark, path, Seq("o_orderkey"), "o_orderkey", 1L, hi)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_stats_prune" -> (srcStatsPrune _),
     "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
     "src_jdbc_merge" -> (srcJdbcMerge _),
     "src_jdbc_filter" -> (srcJdbcFilter _),
@@ -1108,6 +1244,18 @@ object SourceQueries {
     * surfaces as a hash mismatch.
     */
   val oracles: Map[String, String] = Map(
+    // the pruned latest-wins read replayed on the source table: %5 keys
+    // carry the update batch's true status, everything else PENDING,
+    // restricted to the first quarter of the key space (the same
+    // truncating div both engines run) — file skipping must be
+    // result-invisible, which is exactly what the hash proves
+    "src_stats_prune" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_orderstatus
+        |              ELSE 'PENDING' END AS o_orderstatus
+        |  FROM orders
+        |  WHERE o_orderkey BETWEEN 1 AND (SELECT max(o_orderkey) // 4 FROM orders))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_jdbc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
