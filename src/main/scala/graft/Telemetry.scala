@@ -205,6 +205,9 @@ object ShuffleBudget {
     // the hamming≤7 audit truth is ~30× denser than D3's ≤3 pair set —
     // output-proportional audit work, probed 57 MB
     "dedup_block_tune" -> 115000000L,
+    // the deliberately UNSALTED sort-merge join (AQE splits it at
+    // runtime) — both fact sides shuffle in full, probed 10.3 MB
+    "q_skew_join_aqe" -> 21000000L,
     "corpus_pack_chunks" -> 3800000L,
     "src_time_travel" -> 9800000L,
     "src_concurrent_commit" -> 7100000L,

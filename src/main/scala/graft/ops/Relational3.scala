@@ -62,6 +62,39 @@ object Relational3 {
       .orderBy("o_orderpriority")
   }
 
+  /** A27b — `q_skew_join_aqe` (round-11 stretch #9): A27's join with
+    * the salt REMOVED and AQE's runtime skew-split left to handle the
+    * hot keys instead — `spark.sql.adaptive.skewJoin` splits an
+    * oversized sort-merge partition into advisory-sized sub-reads at
+    * runtime, joining each against a replicated other side (exactly the
+    * probe-replication HotBucket variant, decided from MEASURED map
+    * output sizes instead of a pre-pinned hot list). The merge-join
+    * hint keeps the plan in SMJ territory — at 100 TB both sides are
+    * fact-sized and SMJ is the real plan; without the hint the demo-SF
+    * orders side would broadcast and there'd be nothing to split.
+    *
+    * WHEN THE MANUAL SALT (A27) IS STILL REQUIRED — the documented
+    * boundary Round11fSpec pins: AQE can only re-split a SHUFFLE
+    * sort-merge/hash join. A broadcast join has no shuffle to split; a
+    * bucketed co-located join (A22/I18) reads pre-shuffled files AQE
+    * never re-plans; and aggregation skew (one hot GROUP BY key) needs
+    * the two-level salt-and-merge rewrite — AQE's skewedJoin
+    * optimization rule does not touch it. The oracle is A27's
+    * VERBATIM (the unsalted replay): however the engine splits, the
+    * result must be the plain join's.
+    */
+  def qSkewJoinAqe(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")) / 10000.0).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   /** A28 — lead/lag gap analysis: time between consecutive events per
     * user (inter-arrival stats — the "days since last game" family of
     * features). Single shuffle on user_id; microsecond integer arithmetic
@@ -185,9 +218,17 @@ object Relational3 {
     "q_bloom_prejoin" -> (qBloomPrejoin _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_skew_salt_join" -> (qSkewSaltJoin _),
+    "q_skew_join_aqe" -> (qSkewJoinAqe _),
     "q_lead_lag" -> (qLeadLag _),
     "q_date_spine" -> (qDateSpine _),
     "q_scd2" -> (qScd2 _))
+
+  private lazy val skewJoinOracle: String =
+    """SELECT o_orderpriority,
+      | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+      | count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_sql_api" ->
@@ -222,12 +263,10 @@ object Relational3 {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         |ORDER BY status, priority""".stripMargin,
     // the oracle is the UNSALTED join — salting must be result-invisible
-    "q_skew_salt_join" ->
-      """SELECT o_orderpriority,
-        | sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
-        | count(*) AS n
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skew_salt_join" -> skewJoinOracle,
+    // A27b shares it VERBATIM: however AQE splits the skewed shuffle at
+    // runtime, the result must be the plain join's
+    "q_skew_join_aqe" -> skewJoinOracle,
     "q_lead_lag" ->
       """WITH g AS (
         | SELECT user_id, event_id, epoch_us(ts) AS us,
