@@ -723,21 +723,44 @@ class Round6bSpec extends AnyFunSuite {
           math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray)
       .sortBy(_._1)
     val (subs, dps) = (8, 8)
-    val cb = raw.filter(_._1 < 16).map { case (id, q) =>
-      id -> q.grouped(dps).toArray
+    // round 11: the engine codebook is LLOYD-TRAINED — replicate the
+    // two training rounds in PLAIN SCALA (an independent reference, not
+    // the engine's code path): seed with the 16 lowest ids, assign each
+    // vector per subspace by (d2, ordinal), update each non-empty cell
+    // with the round-half integer division, carry empty cells
+    val seedIds = raw.map(_._1).sorted.take(16)
+    var cb: Array[(Long, Array[Array[Long]])] = seedIds.map { id =>
+      id -> raw.find(_._1 == id).get._2.grouped(dps).toArray
+    }.toArray
+    def subDist(sv: Array[Long], slice: Array[Long]): Long = {
+      var d2 = 0L; var i = 0
+      while (i < dps) { val d = sv(i) - slice(i); d2 += d * d; i += 1 }
+      d2
+    }
+    for (_ <- 1 to graft.ops.Similarity.pqTrainRounds) {
+      val next = Array.tabulate(16, subs) { (c, s) => cb(c)._2(s).clone() }
+      for (s <- 0 until subs) {
+        val members = raw.groupBy { case (_, q) =>
+          val sv = q.slice(s * dps, (s + 1) * dps)
+          cb.indices.minBy(c => (subDist(sv, cb(c)._2(s)), c))
+        }
+        members.foreach { case (c, vs) =>
+          for (d <- 0 until dps) {
+            val sum = vs.map(_._2(s * dps + d)).sum
+            next(c)(s)(d) = (2 * sum + vs.length) / (2L * vs.length)
+          }
+        }
+      }
+      cb = cb.zipWithIndex.map { case ((id, _), c) => (id, next(c)) }
     }
     def encode(q: Array[Long]): (Seq[Long], Long) = {
       var err = 0L
       val codes = (0 until subs).map { s =>
         val sv = q.slice(s * dps, (s + 1) * dps)
-        // lowest-code-id tie-break, matching the engine's ordinal order
-        val (bestId, bestD2) = cb.map { case (id, slices) =>
-          var d2 = 0L; var i = 0
-          while (i < dps) { val d = sv(i) - slices(s)(i); d2 += d * d; i += 1 }
-          (id, d2)
-        }.minBy { case (id, d2) => (d2, id) }
-        err += bestD2
-        bestId
+        // lowest-ordinal tie-break = lowest seed id (cb sorted by id)
+        val best = cb.indices.minBy(c => (subDist(sv, cb(c)._2(s)), c))
+        err += subDist(sv, cb(best)._2(s))
+        cb(best)._1
       }
       (codes, err)
     }
