@@ -192,7 +192,16 @@ object GraphAnn {
         .select(col("src"), coalesce(col("dst"), lit(minId)).as("dst"))
         .filter(col("src") =!= col("dst"))
       var edges = topDeg(pairs0.union(ring).distinct(), tk, deg)
-      (1 to rounds).foreach { _ => edges = descentRound(edges, tk, deg) }
+      // materialize BETWEEN rounds: an un-checkpointed r-round descent
+      // executes as one stacked job whose concurrent join/aggregate
+      // buffers scale with r·deg² — the 4× rehearsal's deg-16 × 3-round
+      // layer build exhausted execution memory exactly this way inside
+      // the full-sweep JVM (standalone it fit). Per-round checkpoints
+      // cap the live set at ONE round's shuffles; results are identical
+      // (re-verified at all three SFs for every graph row).
+      (1 to rounds).foreach { _ =>
+        edges = descentRound(edges.localCheckpoint(), tk, deg)
+      }
       edges
     }
 
@@ -973,7 +982,7 @@ object GraphAnn {
        |   FROM (SELECT DISTINCT qid, nid, d FROM (
        |     SELECT qid, nid, d FROM $frPfx${i - 1}
        |     UNION ALL SELECT qid, nid, d FROM $cndPfx$i) t) t2)
-       | WHERE rn <= $beamEf)""".stripMargin
+       | WHERE rn <= $ef)""".stripMargin
 
   /** A greedy multi-entry walk + touched-pool CTE block over arbitrary
     * edge/distance/entry CTE names — the E15 serve shape, reused by the
