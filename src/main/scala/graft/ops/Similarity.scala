@@ -161,6 +161,69 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** E20 — `ann_ivf_trained`: LABEL-FREE IVF. E3's coarse quantizer is
+    * the per-label centroid — supervision a 100 TB unlabeled corpus
+    * doesn't have (the one residual crutch in the ANN tier). Here the
+    * coarse quantizer is TRAINED unsupervised: seeds = the `cells`
+    * lowest-vec_id vectors' full 64-dim tick slices, then
+    * [[pqTrainRounds]] exact integer-tick Lloyd rounds —
+    * [[trainCodebookOf]] REUSED VERBATIM at subs=1 (IVF coarse training
+    * IS the degenerate one-subspace case of PQ training), so the
+    * training discipline, determinism argument, memo key, and oracle
+    * pattern ([[pqTrainCtes]] at sub=0) are shared, not re-derived.
+    * Serving is E3's exact shape: probes route to their `nprobe`
+    * nearest trained cells (lowest-ordinal tie-break = the oracle's
+    * (d2, code) order, ordinals sorted by seed id), members are scored
+    * by exact cosine, per-probe top-k. Only the ROUTING differs from
+    * E3 — same scan cost (n/cells · nprobe per probe), no label read
+    * anywhere in the plan (Round11gSpec pins the scan schema).
+    *
+    * Scale shape: training is one corpus scan per round with a bounded
+    * cells·dim collect (the PQ argument, S=1); the trained codebook is
+    * cells·64 longs inlined as a literal, so assignment and routing
+    * are pure codegen projections — zero shuffle, zero join on the
+    * data side; the only shuffles are training's (cell, dim) partials
+    * and the final per-probe top-k window.
+    */
+  /** E20's trained assignment, exposed like [[ivfAssignment]]: the
+    * corpus with each vector's TRAINED cell — (vec_id, emb, cell) —
+    * plus the literal-codebook distance fold probes route with.
+    * Round11gSpec reads both assignments to pin that unsupervised
+    * routing actually departs from the label partition.
+    */
+  private[graft] def ivfTrainedAssignment(spark: SparkSession, dir: String,
+      cells: Int): (DataFrame, Column => Column) = {
+    val cb = pqCodebook(spark, dir, 1, cells)
+    val cellsLit = array(cb.zipWithIndex.map { case ((_, slices), ord) =>
+      struct(lit(ord).as("cell"),
+        array(slices(0).map(lit(_)): _*).as("cv"))
+    }: _*)
+    def cellDists(q: Column): Column = transform(cellsLit, c =>
+      struct(intSqDist(q, c.getField("cv")).as("d2"),
+        c.getField("cell").as("cell")))
+    val e = emb(spark, dir)
+    val assigned = e.withColumn("_q", qticks(col("emb")))
+      .select(col("vec_id"), col("emb"),
+        array_min(cellDists(col("_q"))).getField("cell").as("cell"))
+    (assigned, cellDists)
+  }
+
+  def annIvfTrained(spark: SparkSession, dir: String, k: Int = 5,
+                    nprobe: Int = 2, cells: Int = 8): DataFrame = {
+    val (assigned, cellDists) = ivfTrainedAssignment(spark, dir, cells)
+    val e = emb(spark, dir)
+    val probeCells = probesOf(e).withColumn("_q", qticks(col("q_emb")))
+      .select(col("qid"), col("q_emb"),
+        explode(transform(
+          slice(array_sort(cellDists(col("_q"))), 1, nprobe),
+          p => p.getField("cell"))).as("cell"))
+    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("q_emb"), col("emb")).as("cos_sim"))
+    topK(scored, k)
+  }
+
   /** E4 — product quantization: 64 dims → 8 subspaces × 8 dims, each
     * subvector coded to its nearest of 16 codewords (the sub-slices of
     * the 16 lowest-id vectors), plus the total quantization error. A
@@ -916,6 +979,7 @@ object Similarity {
     "ann_lsh" -> ((s, d) => annLsh(s, d)),
     "ann_rerank" -> ((s, d) => annRerank(s, d)),
     "ann_centroid_ivf" -> ((s, d) => annCentroidIvf(s, d)),
+    "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "ann_pq" -> ((s, d) => annPq(s, d)),
     "ann_pq_search" -> ((s, d) => annPqSearch(s, d)),
     "ann_ivf_pq" -> ((s, d) => annIvfPq(s, d)),
@@ -968,6 +1032,44 @@ object Similarity {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
         |      FROM scored)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // E20: the SAME serve replay as ann_centroid_ivf, with the routing
+    // cells swapped from per-label centroids to the subs=1 Lloyd-trained
+    // codebook — pqTrainCtes REUSED at sub=0, so the driver hash-proves
+    // the unsupervised coarse training itself (cell identity = seed
+    // vec_id = the engine's ordinal order, making (d2, code) the exact
+    // lowest-ordinal tie-break the literal-array argmin applies)
+    "ann_ivf_trained" ->
+      s"""WITH ex0 AS (
+         | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
+         | FROM embeddings),
+         |ex AS (SELECT vec_id, 0 AS sub, dim - 1 AS dimin, q FROM ex0),
+         |${pqTrainCtes("iv", "ex", "TRUE", 8)},
+         |ivd AS (
+         | SELECT e.vec_id, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+         | FROM ex e JOIN ivcb c USING (sub, dimin) GROUP BY 1, 2),
+         |ivasg AS (
+         | SELECT vec_id, code AS cell FROM (
+         |   SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+         |   FROM ivd)
+         | WHERE rn = 1),
+         |ivpc AS (
+         | SELECT vec_id AS qid, code AS cell FROM (
+         |   SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+         |   FROM ivd WHERE vec_id % 100 = 0)
+         | WHERE rn <= 2),
+         |scored AS (
+         | SELECT p.qid, a.vec_id AS nid,
+         |        list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS cos_sim
+         | FROM ivasg a JOIN ivpc p USING (cell)
+         | JOIN embeddings qe ON qe.vec_id = p.qid
+         | JOIN embeddings ne ON ne.vec_id = a.vec_id
+         | WHERE a.vec_id <> p.qid)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id,
+         | floor((cos_sim) * 10000 + 0.5) / 10000 AS cos_sim
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+         |      FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_bruteforce" ->
       """WITH probes AS (
         |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),

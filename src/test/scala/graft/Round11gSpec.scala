@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+import graft.tables.Tables
+
+/** E20 `ann_ivf_trained` witnesses — the LABEL-FREE IVF twin. E3's
+  * coarse quantizer is the per-label centroid, i.e. supervision a real
+  * 100 TB corpus doesn't ship with; E20 trains the quantizer
+  * unsupervised with the subs=1 degenerate case of the PQ Lloyd
+  * machinery (trainCodebookOf — Round11bSpec already pins that
+  * machinery's determinism, identity stability, and empty-cell rule at
+  * subs=8; those transfer verbatim). What is NEW here, each tested:
+  *
+  *  1. the subs=1 training gain — trained full-width codebook strictly
+  *     below the lowest-id seeds on total quantization error;
+  *  2. label-freedom as a PLAN property — no scan in the serve plan
+  *     reads the `label` column (the operator's reason to exist);
+  *  3. the unsupervised routing actually DEPARTS from the label
+  *     partition (were they identical, E20 would be E3 with extra
+  *     steps) while still routing structurally: cells are non-trivially
+  *     populated;
+  *  4. serving quality — recall@5 against the exact brute-force truth,
+  *     measured side by side with E3's label routing and floor-pinned.
+  *
+  * Cross-engine exactness of training + routing + serve is the
+  * driver's: the oracle replays pqTrainCtes at sub=0 (hash-green at
+  * all three SFs, round 11).
+  */
+class Round11gSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def embs = Tables.embeddings(spark, TestSpark.sf)
+
+  test("subs=1 Lloyd training cuts full-width quantization error strictly below the seeds") {
+    val seed = Similarity.codebookOf(embs, 1, 8)
+    val trained = Similarity.trainCodebookOf(embs, 1, 8, Similarity.pqTrainRounds)
+    val eSeed = Similarity.quantErrOf(embs, 1, seed)
+    val eTrained = Similarity.quantErrOf(embs, 1, trained)
+    info(s"full-width quantization error: seed=$eSeed trained=$eTrained")
+    assert(eTrained < eSeed,
+      s"training did not improve the coarse quantizer: $eTrained vs $eSeed")
+    // same structural-gain bar as the PQ codebooks (Round11bSpec): a
+    // <5% saving would not justify the oracle's unrolled rounds
+    assert(eTrained * 100 < eSeed * 95, s"training saved <5%: $eTrained vs $eSeed")
+  }
+
+  test("label-freedom is functional: E20 serves a corpus with NO label column, E3 cannot") {
+    // the serve PLANS of both operators are literal-codebook projections
+    // (the codebook is collected driver-side), so a plan-text check
+    // cannot distinguish them — delete the column for real instead
+    val dir = Scratch.dir("unlabeled")
+    embs.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val unlabeled = Similarity.annIvfTrained(spark, dir).collect()
+    val labeled = Similarity.annIvfTrained(spark, TestSpark.sf).collect()
+    assert(unlabeled.length == labeled.length && unlabeled.sameElements(labeled),
+      "E20 on the label-stripped corpus diverged from the labeled run — " +
+        "something in the path still consumes supervision")
+    // the contrast that makes the check real: E3's quantizer NEEDS the
+    // column and must fail on the same corpus
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Similarity.annCentroidIvf(spark, dir).collect()
+    }
+  }
+
+  test("trained routing departs from the label partition but stays structural") {
+    val (trainedAsg, _) = Similarity.ivfTrainedAssignment(spark, TestSpark.sf, 8)
+    val (labelAsg, _) = Similarity.ivfAssignment(spark, TestSpark.sf)
+    val joined = trainedAsg.select(col("vec_id"), col("cell").as("tcell"))
+      .join(labelAsg.select(col("vec_id"), col("cell").as("lcell")), Seq("vec_id"))
+      .cache()
+    try {
+      val n = joined.count()
+      // cell ids are arbitrary ordinals on both sides, so compare the
+      // PARTITIONS, not the labels: the max one-to-one cell overlap is
+      // bounded by sum over trained cells of its largest label-cell
+      // intersection — if that equals n the partitions are identical
+      // up to renaming
+      val bestOverlap = joined.groupBy("tcell", "lcell").count()
+        .groupBy("tcell").agg(max("count").as("m"))
+        .agg(sum("m")).head().getLong(0)
+      info(s"n=$n, best per-cell overlap with label partition=$bestOverlap")
+      assert(bestOverlap < n,
+        "unsupervised training reproduced the label partition exactly — " +
+          "E20 would be E3 with extra steps")
+      // structural routing: every vector lands in a cell, and no cell
+      // swallows the corpus (the degenerate all-in-one quantizer)
+      val cellSizes = trainedAsg.groupBy("cell").count().collect()
+      assert(cellSizes.map(_.getLong(1)).sum == n)
+      assert(cellSizes.map(_.getLong(1)).max < n,
+        "one trained cell holds the whole corpus — routing is vacuous")
+    } finally { joined.unpersist(); () }
+  }
+
+  test("recall@5 vs exact truth, side by side with E3's label routing") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.annBruteforce(spark, TestSpark.sf))
+    val trained = pairs(Similarity.annIvfTrained(spark, TestSpark.sf))
+    val labeled = pairs(Similarity.annCentroidIvf(spark, TestSpark.sf))
+    val rTrained = trained.intersect(exact).size.toDouble / exact.size
+    val rLabeled = labeled.intersect(exact).size.toDouble / exact.size
+    info(f"recall@5: trained=$rTrained%.3f label-routed=$rLabeled%.3f (n=${exact.size})")
+    // floor, not a supremacy claim: the trained quantizer must be a
+    // usable router on the contract corpus. Measured at sf0.001:
+    // trained 0.480 vs labeled 0.440 — nprobe=2 of 8 cells scans ~1/4
+    // of the corpus either way; Lloyd routes no worse than the labels
+    // here while needing none (labels are semantic classes, not
+    // geometric cells — the quality lever at scale is cells/nprobe,
+    // not supervision)
+    assert(rTrained >= 0.4, f"trained-IVF recall collapsed: $rTrained%.3f")
+    assert(rTrained >= rLabeled - 0.2,
+      f"trained routing far below label routing: $rTrained%.3f vs $rLabeled%.3f")
+  }
+}
