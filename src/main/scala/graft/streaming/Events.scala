@@ -96,9 +96,15 @@ object Events {
     * aggregate (the operator the lag-formulation in G2 hand-builds).
     * One shuffle on the session key; in Structured Streaming the same
     * expression maintains merging session state with watermark expiry.
-    * Semantics note: session_window is end-exclusive — an event exactly
-    * `gap` after the previous one starts a NEW session (G2's `lag` uses
-    * strict `>`); the oracle mirrors this with `>=` on microseconds.
+    * Semantics note (MEASURED, StreamingSpec's constructed boundary):
+    * session_window is boundary-INCLUSIVE — an event exactly `gap`
+    * after the previous one MERGES into its session (two 4-event
+    * bursts 30:00 apart form ONE session of 8). That is the same
+    * boundary G2's strict `>` lag test draws, so the twins agree
+    * everywhere; the oracle uses strict `>` on microseconds. (An
+    * earlier doc note claimed end-exclusive `>=` — refuted by the
+    * measurement; the `>=` oracle never fired only because no corpus
+    * has an adjacent pair at exactly 1800.000000 s.)
     */
   def streamSessionWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -191,29 +197,39 @@ object Events {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n_events, floor((sum(CAST(floor(value * 100000000 + 0.5) AS BIGINT)) / 100000000.0) * 10000 + 0.5) / 10000 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // micros-resolution gap-merge replay; ties in `us` can't straddle a
-    // session boundary (diff 0 < gap), so no tie-break column is needed,
-    // and per-user session starts are ≥30 min apart so the second-level
-    // session_start string is a total order
+    // micros-resolution gap-merge replay. Sessions are flagged over the
+    // DISTINCT (user, us) pairs — a VALUE property, like session_window
+    // itself — then events join back by (user, us). The earlier
+    // formulation flagged raw rows: with duplicate timestamps, `lag`
+    // pins new_session to ONE arbitrary row among the ties while the
+    // running-sum window may order the same ties differently, landing
+    // the session boundary mid-tie (the 4× rehearsal's exact-duplicate
+    // corpus measurably split a 4+4 boundary as 7+1 — 20 sessions off;
+    // tied events can never straddle a boundary semantically, so the
+    // distinct-collapse is lossless). Per-user session starts are ≥30
+    // min apart, so the second-level session_start string totally
+    // orders the output.
     "stream_session_window" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |d AS (SELECT DISTINCT user_id, us FROM e),
         |flagged AS (
-        | SELECT user_id, us, value,
-        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        | SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
         |       THEN 1 ELSE 0 END AS new_session
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        | FROM d WINDOW w AS (PARTITION BY user_id ORDER BY us)),
         |sessioned AS (
         | SELECT *, sum(new_session) OVER (
         |   PARTITION BY user_id ORDER BY us
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         | FROM flagged)
-        |SELECT user_id,
-        | strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |SELECT e.user_id,
+        | strftime(make_timestamp(min(e.us)), '%Y-%m-%d %H:%M:%S') AS session_start,
         | count(*) AS n_events,
-        | floor((sum(CAST(floor(value * 100000000 + 0.5) AS BIGINT)) / 100000000.0) * 10000 + 0.5) / 10000 AS sum_value
-        |FROM sessioned GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+        | floor((sum(CAST(floor(e.value * 100000000 + 0.5) AS BIGINT)) / 100000000.0) * 10000 + 0.5) / 10000 AS sum_value
+        |FROM e JOIN sessioned s ON s.user_id = e.user_id AND s.us = e.us
+        |GROUP BY e.user_id, s.sid
+        |ORDER BY 1, 2""".stripMargin,
     "stream_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,

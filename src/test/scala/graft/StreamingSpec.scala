@@ -41,6 +41,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(native == lagged)
   }
 
+  test("G2b: duplicate timestamps never split a session; the gap boundary is MEASURED inclusive") {
+    // the 4x rehearsal's find (round 11): with every event duplicated,
+    // the ORACLE's row-flagged running sum could land a session boundary
+    // mid-tie (4+4 replayed as 7+1) — session membership is a property
+    // of the timestamp VALUE. Pinned here on constructed boundaries:
+    //  - user 7: 4 events at t0, 4 at exactly t0+30:00 — session_window
+    //    MERGES the exact-gap event (boundary-inclusive): ONE session
+    //    of 8. This refuted the operator's original "end-exclusive"
+    //    doc note and the oracle's `>=` (latent: no corpus has an
+    //    adjacent pair at exactly 1800 s).
+    //  - user 8: 4 events at t0, 4 at t0+30:01 — over the gap: TWO
+    //    sessions of 4, never 7+1/1+7 however ties are ordered.
+    val dir = Scratch.dir("ssw-ties")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val atGap = java.sql.Timestamp.valueOf("2024-01-01 12:30:00")
+    val overGap = java.sql.Timestamp.valueOf("2024-01-01 12:30:01")
+    import scala.jdk.CollectionConverters._
+    val rows = (1 to 4).flatMap { i =>
+      Seq(org.apache.spark.sql.Row(i.toLong, t0, 7L, "click", 1.0, "{}"),
+        org.apache.spark.sql.Row(i.toLong + 4, atGap, 7L, "click", 1.0, "{}"),
+        org.apache.spark.sql.Row(i.toLong + 8, t0, 8L, "click", 1.0, "{}"),
+        org.apache.spark.sql.Row(i.toLong + 12, overGap, 8L, "click", 1.0, "{}"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sessions = Events.streamSessionWindow(spark, dir).collect()
+    val byUser = sessions.groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_events")).toSeq.sorted).toMap
+    assert(byUser(7L) == Seq(8L),
+      s"exact-gap event did not merge: ${sessions.mkString(", ")}")
+    assert(byUser(8L) == Seq(4L, 4L),
+      s"tied over-gap boundary split sessions: ${sessions.mkString(", ")}")
+    // the lag twin draws the SAME boundary (strict > on the gap)
+    val lagged = Events.streamSessionize(spark, dir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_events")).toSeq.sorted).toMap
+    assert(lagged == byUser)
+  }
+
   test("mm_binary_meta payload size matches n_chars for ascii text") {
     val df = Multimodal.mmBinaryMeta(spark, sf)
     val docs = graft.tables.Tables.documents(spark, sf)
