@@ -116,7 +116,7 @@ object BandTune {
     Map("dedup_band_tune" ->
       s"""WITH ${Dedup.shingleHashCtes},
          |pex AS (SELECT doc_id AS pid, unnest(shingles) AS shingle
-         |        FROM sh WHERE doc_id % 10 = 0),
+         |        FROM sh WHERE doc_id % ${Dedup.panelModSql} = 0),
          |tsz AS MATERIALIZED (SELECT doc_id, len(shingles) AS ns FROM sh),
          |tinter AS MATERIALIZED (
          | SELECT e.doc_id, px.pid, count(*) AS ni
@@ -130,9 +130,11 @@ object BandTune {
          | JOIN tsz sb ON sb.doc_id = i.pid
          | WHERE 3 * i.ni >= sa.ns + sb.ns),
          |${Dedup.bandCandCtes(32, 8, "d_")},
-         |d_pc AS MATERIALIZED (SELECT a, b FROM d_cand WHERE a % 10 = 0 OR b % 10 = 0),
+         |d_pc AS MATERIALIZED (SELECT a, b FROM d_cand
+         |  WHERE a % ${Dedup.panelModSql} = 0 OR b % ${Dedup.panelModSql} = 0),
          |${Dedup.bandCandCtes(tb * tr, tb, "t_")},
-         |t_pc AS MATERIALIZED (SELECT a, b FROM t_cand WHERE a % 10 = 0 OR b % 10 = 0)
+         |t_pc AS MATERIALIZED (SELECT a, b FROM t_cand
+         |  WHERE a % ${Dedup.panelModSql} = 0 OR b % ${Dedup.panelModSql} = 0)
          |SELECT * FROM (
          |  ${schemeArm("default", 8, 4, "d_")}
          |  UNION ALL

@@ -93,12 +93,13 @@ object BlockTune {
       col("grp").as("g_a"), col("doc_id").as("a"))
     val r = blocks.select(col("blk"), col("blk_val"), col("tmin"), col("tmax"),
       col("grp").as("g_b"), col("doc_id").as("b"))
+    val pm = Dedup.panelModOf(sigs)
     val cand = l.join(r, Seq("blk", "blk_val", "tmin", "tmax"))
       .filter(HotBucket.trianglePairFilter(col("g_a"), col("g_b")))
+      .filter(col("a") % pm === 0 || col("b") % pm === 0)
       .filter(col("a") < col("b"))
-      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
       .select("a", "b").distinct()
-    val panel = sigs.filter(col("doc_id") % 10 === 0)
+    val panel = sigs.filter(col("doc_id") % pm === 0)
       .select(col("doc_id").as("pid"), col("simhash").as("shp"))
     val truth = sigs.crossJoin(broadcast(panel))
       .filter(col("doc_id") =!= col("pid"))
@@ -160,7 +161,8 @@ object BlockTune {
        | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        | FROM ${p}bl l JOIN ${p}bl r
        |   ON l.blk = r.blk AND l.blk_val = r.blk_val AND l.doc_id < r.doc_id
-       | WHERE l.doc_id % 10 = 0 OR r.doc_id % 10 = 0)""".stripMargin
+       | WHERE l.doc_id % ${Dedup.panelModSql} = 0
+       |    OR r.doc_id % ${Dedup.panelModSql} = 0)""".stripMargin
   }
 
   private def schemeArm(name: String, k: Int, p: String): String =
@@ -178,7 +180,8 @@ object BlockTune {
     val tk = tune()
     Map("dedup_block_tune" ->
       s"""WITH ${Dedup.simhashSigCtes},
-         |p AS (SELECT doc_id AS pid, simhash AS shp FROM sigs WHERE doc_id % 10 = 0),
+         |p AS (SELECT doc_id AS pid, simhash AS shp FROM sigs
+         |      WHERE doc_id % ${Dedup.panelModSql} = 0),
          |truth AS MATERIALIZED (
          | SELECT DISTINCT least(s.doc_id, p.pid) AS a,
          |        greatest(s.doc_id, p.pid) AS b

@@ -150,14 +150,36 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** Probe-panel modulus for the recall audits — the 10× rehearsal's
+    * find (round 11): a fixed 10% panel FRACTION makes the audits'
+    * truth scan QUADRATIC (0.1·n² exact comparisons) — between sf0.1
+    * and the 10× corpus the panel cost grew 100× and the two audit
+    * queries alone dominated the rehearsal sweep's tail. The panel's
+    * statistical job (estimate recall) needs a fixed COUNT, not a
+    * fixed fraction: mod = max(10, n/500) is BIT-IDENTICAL to the
+    * historical 10% panel through 5,000 docs (every gate SF) and caps
+    * the panel at ~500 probes beyond, making truth cost linear in n.
+    * Both engines derive the modulus from the same corpus count
+    * ([[panelModSql]] is the oracle's scalar-subquery form), so the
+    * audit replays exactly at every size.
+    */
+  private[graft] def panelModOf(docs: DataFrame): Long =
+    math.max(10L, docs.count() / 500L)
+
+  /** [[panelModOf]] as oracle SQL over the `documents` table. */
+  private[graft] val panelModSql: String =
+    "(SELECT greatest(10, count(*) // 500) FROM documents)"
+
   /** D15's probe-panel recall audit over an arbitrary docs frame and an
     * arbitrary banding scheme: exact shingle-Jaccard truth (≥ 0.5) on
-    * the 10% panel scored against the scheme's candidate pairs.
+    * the fixed-count probe panel ([[panelModOf]]) scored against the
+    * scheme's candidate pairs.
     */
   private[graft] def recallAuditOf(docs: DataFrame, numPerm: Int, bands: Int,
                                    site: String): DataFrame = {
+    val pm = panelModOf(docs)
     val sh = shingled(docs)
-    val probes = sh.filter(col("doc_id") % 10 === 0)
+    val probes = sh.filter(col("doc_id") % pm === 0)
       .select(col("doc_id").as("p"), col("shingles").as("sh_p"))
     val truth = sh.crossJoin(broadcast(probes))
       .filter(col("doc_id") =!= col("p"))
@@ -167,7 +189,7 @@ object Dedup {
         greatest(col("doc_id"), col("p")).as("b"))
       .distinct()
     val cand = candidatePairsOfSigs(bandSignaturesOf(docs, numPerm, bands), site)
-      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      .filter(col("a") % pm === 0 || col("b") % pm === 0)
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(truth.join(cand, Seq("a", "b")).agg(count(lit(1)).as("n_hits")))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -176,8 +198,9 @@ object Dedup {
   }
 
   def dedupRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val pm = panelModOf(Tables.documents(spark, dir))
     val sh = shingled(Tables.documents(spark, dir))
-    val probes = sh.filter(col("doc_id") % 10 === 0)
+    val probes = sh.filter(col("doc_id") % pm === 0)
       .select(col("doc_id").as("p"), col("shingles").as("sh_p"))
     val truth = sh.crossJoin(broadcast(probes))
       .filter(col("doc_id") =!= col("p"))
@@ -187,7 +210,7 @@ object Dedup {
         greatest(col("doc_id"), col("p")).as("b"))
       .distinct()
     val cand = minhashCandidatePairs(spark, dir)
-      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      .filter(col("a") % pm === 0 || col("b") % pm === 0)
       .select("a", "b")
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(truth.join(cand, Seq("a", "b"))
@@ -748,11 +771,14 @@ object Dedup {
     // the double test both engines run (the nearest non-half rational
     // is ≥ 1/(2·|∪|) from 0.5, ~10 orders above double rounding).
     // Zero-overlap pairs can't pass the threshold, so the join's
-    // omission of them is lossless.
+    // omission of them is lossless. The panel modulus is the
+    // fixed-count rule (panelModSql — greatest(10, n/500)): identical
+    // to the historical 10% panel at every gate SF, linear-cost at
+    // rehearsal scale (the 10× find).
     "dedup_recall_eval" ->
       s"""WITH $minhashJacCtes,
          |pex AS (SELECT doc_id AS pid, unnest(shingles) AS shingle
-         |        FROM sh WHERE doc_id % 10 = 0),
+         |        FROM sh WHERE doc_id % $panelModSql = 0),
          |tsz AS MATERIALIZED (SELECT doc_id, len(shingles) AS ns FROM sh),
          |tinter AS MATERIALIZED (
          | SELECT e.doc_id, px.pid, count(*) AS ni
@@ -765,7 +791,8 @@ object Dedup {
          | JOIN tsz sa ON sa.doc_id = i.doc_id
          | JOIN tsz sb ON sb.doc_id = i.pid
          | WHERE 3 * i.ni >= sa.ns + sb.ns),
-         |pc AS (SELECT a, b FROM cand WHERE a % 10 = 0 OR b % 10 = 0),
+         |pc AS (SELECT a, b FROM cand
+         |       WHERE a % $panelModSql = 0 OR b % $panelModSql = 0),
          |h AS (SELECT count(*) AS n_hits FROM truth JOIN pc USING (a, b))
          |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
          |  CAST((SELECT count(*) FROM pc) AS BIGINT) AS n_candidates,
