@@ -35,9 +35,22 @@ def canon(df):
 # longest texts AND the slowest replays by orders of magnitude).
 names = sorted(oracle, key=lambda n: (len(oracle[n]), n))
 
+# Resume: SKIP_OK_LOG=<prior log> marks that run's OK queries as cached
+# instead of re-replaying them (used when a stale-oracle fix forces a
+# partial re-run — only sound because OK rows compared engine output
+# against an oracle text that has NOT changed since).
+skip_ok = set()
+if os.environ.get("SKIP_OK_LOG"):
+    import re
+    skip_ok = set(re.findall(r"^OK\s+(\S+)", open(os.environ["SKIP_OK_LOG"]).read(), re.M))
+
 t0 = time.time()
 report, n_ok, n_bad, n_skip = {}, 0, 0, 0
 for name in names:
+    if name in skip_ok:
+        report[name] = {"status": "OK_CACHED"}
+        n_ok += 1
+        continue
     if time.time() - t0 > budget_s:
         report[name] = {"status": "BUDGET_SKIPPED"}
         n_skip += 1
