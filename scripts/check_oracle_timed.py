@@ -91,9 +91,18 @@ for name in names:
         print(f"MISMATCH {name}: {diff.sum()}/{len(gs)} rows differ", flush=True)
         n_bad += 1
 
-summary = {"ok": n_ok, "bad": n_bad, "budget_skipped": n_skip,
+n_cached = sum(1 for v in report.values() if v.get("status") == "OK_CACHED")
+summary = {"ok": n_ok, "ok_replayed": n_ok - n_cached, "ok_cached": n_cached,
+           "bad": n_bad, "budget_skipped": n_skip,
            "total": len(names), "wall_s": round(time.time() - t0, 1)}
 with open(f"{outdir}/compare_report.json", "w") as f:
     json.dump({"summary": summary, "queries": report}, f, indent=1, default=str)
 print(json.dumps(summary), flush=True)
-sys.exit(1 if n_bad else 0)
+# Exit codes (r11 ADVICE: a budget-lapsed or cache-heavy run must not
+# read as fully green to scripted callers):
+#   0 = every query REPLAYED and OK this run
+#   1 = at least one MISMATCH/SCHEMA/SHAPE/ERROR/MISSING
+#   2 = no failures, but some queries were BUDGET_SKIPPED
+#   3 = no failures or skips, but some OKs were carried from a prior
+#       log (OK_CACHED) rather than replayed here
+sys.exit(1 if n_bad else (2 if n_skip else (3 if n_cached else 0)))

@@ -16,10 +16,18 @@ rehearsal should stress. Non-key columns are copied verbatim, so every
 document / vector / event payload becomes an exact factor-way duplicate:
 deliberate pressure on the dedup semantics and hot-bucket guards.
 
-OFFSET = 10,000,000 is divisible by every small modulus the engine
-keys behavior on (vec_id % 10 = 7 delta split, % 100 probe panels), so
-each replica lands in the same delta/probe class as its original and
-the gate decisions replay at scale instead of shifting.
+OFFSET = 10,000,000 is divisible by every FIXED small modulus the
+engine keys behavior on (vec_id % 10 = 7 delta split, % 100 probe
+panels), so each replica lands in the same delta/probe class as its
+original and the gate decisions replay at scale instead of shifting.
+CAVEAT (r11 ADVICE): the DYNAMIC panel modulus max(10, n/500) is NOT
+covered by this guarantee for arbitrary factors — e.g. factor 6 over a
+5,000-doc corpus gives pm = 60 and 10M % 60 = 40, so replicas land in
+a different probe class than their originals. Engine/oracle comparison
+stays exact regardless (both derive the same pm from the same count);
+only the replica-panel-alignment property weakens. It holds whenever
+(factor * n_docs / 500) divides 10M — true for the committed 4× and
+10× recipes over the sf0.1 corpus (pm 10 and 100).
 """
 import sys, os
 import duckdb

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.tables.Tables
+
 /** D17 — `dedup_block_tune`: D16's auto-tuning discipline generalized
   * to the SIMHASH family (round-9 stretch #9). D3's 4×16-bit block
   * index is a constant someone once picked; the quantity that decides
@@ -70,7 +72,13 @@ object BlockTune {
     * the same triangle-guarded block join as D3.
     */
   private def blockAudit(spark: SparkSession, dir: String, k: Int): DataFrame =
-    blockAuditOf(Dedup.simhashSigs(spark, dir), k, s"blocktune.$k:$dir")
+    // The panel modulus is derived from the DOCUMENTS count — the same
+    // table panelModSql counts — not from the signature frame: they are
+    // equal today (one sig row per doc), but a future doc yielding zero
+    // sig rows would silently give engine and oracle different moduli
+    // and a whole-audit hash mismatch (r11 ADVICE).
+    blockAuditOf(Dedup.simhashSigs(spark, dir), k, s"blocktune.$k:$dir",
+      Some(Dedup.panelModOf(Tables.documents(spark, dir))))
 
   /** The audit over an ARBITRARY signature frame — the spec drives a
     * constructed borderline corpus (pairs at hamming 4..7, where the
@@ -78,7 +86,8 @@ object BlockTune {
     * is pigeonhole-guaranteed) through the same machinery.
     */
   private[graft] def blockAuditOf(sigs: DataFrame, k: Int,
-                                  guardTag: String): DataFrame = {
+                                  guardTag: String,
+                                  panelMod: Option[Long] = None): DataFrame = {
     val m = 64 / k
     def blkVal(i: Int) =
       if (m == 64) col("simhash")
@@ -93,7 +102,7 @@ object BlockTune {
       col("grp").as("g_a"), col("doc_id").as("a"))
     val r = blocks.select(col("blk"), col("blk_val"), col("tmin"), col("tmax"),
       col("grp").as("g_b"), col("doc_id").as("b"))
-    val pm = Dedup.panelModOf(sigs)
+    val pm = panelMod.getOrElse(Dedup.panelModOf(sigs))
     val cand = l.join(r, Seq("blk", "blk_val", "tmin", "tmax"))
       .filter(HotBucket.trianglePairFilter(col("g_a"), col("g_b")))
       .filter(col("a") % pm === 0 || col("b") % pm === 0)
