@@ -512,7 +512,12 @@ object Corpus2 {
     */
   def dedupSemantic(spark: SparkSession, dir: String,
                     tau: Double = 0.30): DataFrame = {
-    val (assigned0, _) = Similarity.ivfAssignment(spark, dir)
+    // r12 (r11 verdict directive #4): the coarse cluster is now E20's
+    // LABEL-FREE trained quantizer (cell = seed vec_id) — SemDeDup's
+    // production setting is an unlabeled corpus, where the former
+    // label-derived assignment would throw on the missing column.
+    val (assigned0, _) = Similarity.ivfTrainedAssignment(spark, dir,
+      Similarity.ivfTrainedCells)
     val assigned = HotBucket.saltByCap(assigned0,
       Seq("cell"), col("vec_id"), s"d12.cells:$dir")
     val cands = assigned.select(col("cell"), col("salt"), col("vec_id").as("cand"),
@@ -807,10 +812,11 @@ object Corpus2 {
          | UNION ALL SELECT 3, 'quality', s2, s3 FROM a
          | UNION ALL SELECT 4, 'repetition', s3, s4 FROM a)
          |ORDER BY stage""".stripMargin,
-    // E3's cell assignment verbatim (shared CTE chain), then the
+    // E20's TRAINED cell assignment verbatim (shared CTE chain; r12 —
+    // label-free clustering, r11 verdict directive #4), then the
     // within-cell lower-id pairing and the (cos desc, id) keeper pick
     "dedup_semantic" ->
-      s"""WITH ${Similarity.ivfAsgCtes},
+      s"""WITH ${Similarity.ivfTrainedAsgCtes},
          |p AS (
          | SELECT b.vec_id AS vec_id, a.cell, a.vec_id AS cand,
          |   list_cosine_similarity(ae.embedding::DOUBLE[], be.embedding::DOUBLE[]) AS cos

@@ -828,16 +828,27 @@ object GraphAnn {
     "ann_graph_append" -> ((s, d) => annGraphAppend(s, d)),
     "ann_graph_layer" -> ((s, d) => annGraphLayer(s, d)))
 
-  /** Integer pairwise distance over a named pair CTE: joins the tick
-    * explode to both endpoints — exactly `IntSqDist` relationally.
+  /** Integer pairwise distance over a named pair CTE: joins the
+    * LIST-form tick vectors to both endpoints and computes the squared
+    * distance as one scalar lambda per pair — exactly `IntSqDist`
+    * relationally. This REPLACED the r11 explode-join form
+    * (`gex a JOIN gex b ON dim` + GROUP BY), which materialized
+    * |pairs| × dims intermediate rows into a |pairs|-group hash
+    * aggregate: at the 10× rehearsal (20k vectors, ~25M candidate
+    * pairs per descent round) that was ~1.6B rows of spill — the
+    * r11 verdict's `weak` (DuckDB OOM / temp-disk-full). The lambda
+    * form streams: one row per pair, no aggregate, bit-identical
+    * values (list_sum over BIGINT products = the same HUGEINT sum;
+    * equivalence measured 2500/2500 pairs, 0 diffs, at sf0.01).
     */
   private def distSql(pairsCte: String, out: String): String =
     s"""$out AS (
-       | SELECT p.src, p.dst, sum((a.q - bq.q) * (a.q - bq.q)) AS d2
+       | SELECT p.src, p.dst,
+       |   list_sum(list_transform(list_zip(a.q, bq.q),
+       |     z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
        | FROM $pairsCte p
-       | JOIN gex a ON a.vec_id = p.src
-       | JOIN gex bq ON bq.vec_id = p.dst AND bq.dim = a.dim
-       | GROUP BY 1, 2)""".stripMargin
+       | JOIN qv a ON a.vec_id = p.src
+       | JOIN qv bq ON bq.vec_id = p.dst)""".stripMargin
 
   // NOTE every dedup below is an explicit DISTINCT over UNION ALL, never
   // a bare top-level UNION: inside a WITH RECURSIVE block DuckDB parses a
@@ -917,15 +928,20 @@ object GraphAnn {
          | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
          | FROM embeddings),
+         |qv AS MATERIALIZED (
+         | SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+         | FROM embeddings),
          |gb AS (
          | SELECT vec_id, embedding::DOUBLE[] AS emb,
          |  ${Dedup.bucketSql(planes)} AS bucket
          | FROM embeddings),
          |qd AS MATERIALIZED (
          | SELECT pa.vec_id AS qid, pb.vec_id AS nid,
-         |        sum((pa.q - pb.q) * (pa.q - pb.q)) AS d2
-         | FROM gex pa JOIN gex pb ON pb.dim = pa.dim
-         | WHERE pa.vec_id % 100 = 0 GROUP BY 1, 2),
+         |        list_sum(list_transform(list_zip(pa.q, pb.q),
+         |          z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+         | FROM qv pa CROSS JOIN qv pb
+         | WHERE pa.vec_id % 100 = 0),
          |cent AS (
          | SELECT dim, (2 * sum(q) + count(*)) // (2 * count(*)) AS cq
          | FROM gex GROUP BY 1),
@@ -991,12 +1007,25 @@ object GraphAnn {
     */
   private def walkPoolSql(pfx: String, edges: String, dist: String,
                           ents: String): String =
-    s"""${pfx}bestn AS (
-       | SELECT qid, node, bn, bnd FROM (
-       |   SELECT q.qid, e.src AS node, e.dst AS bn, q.d2 AS bnd,
-       |     row_number() OVER (PARTITION BY q.qid, e.src ORDER BY q.d2, e.dst) AS rn
-       |   FROM $edges e JOIN $dist q ON q.nid = e.dst)
-       | WHERE rn = 1),
+    // bestn as a MATERIALIZED STREAMING HASH AGGREGATE (r12):
+    // min(d2 · 10¹⁰ + dst) is the lexicographic (d2, dst) argmin the
+    // former row_number window picked — dst < 10¹⁰ by construction
+    // (vec_ids stay under ~10⁹ even at the 10× rehearsal's id offset)
+    // and d2 ≤ 64·(2·10⁶)² = 2.56·10¹⁴ keeps the packed HUGEINT exact —
+    // but the window SORTED the full |edges| × |probes| join (~1B rows
+    // at 10× — the r11 temp-disk-full), while min() folds it
+    // group-at-a-time (measured 2.5× faster than the window and 24×
+    // faster than a min-over-STRUCT, whose generic comparator is the
+    // slow path). MATERIALIZED matters too: the recursive `walk`
+    // references bestn each round, and an un-materialized CTE
+    // re-evaluates there every time.
+    s"""${pfx}bestn AS MATERIALIZED (
+       | SELECT qid, node, CAST(m % 10000000000 AS BIGINT) AS bn,
+       |        m // 10000000000 AS bnd FROM (
+       |   SELECT q.qid, e.src AS node,
+       |     min(q.d2 * 10000000000 + e.dst) AS m
+       |   FROM $edges e JOIN $dist q ON q.nid = e.dst
+       |   GROUP BY 1, 2)),
        |${pfx}walk(qid, ent, cur, d) AS (
        | SELECT en.qid, en.ent, en.ent, q.d2
        | FROM $ents en JOIN $dist q ON q.qid = en.qid AND q.nid = en.ent
@@ -1029,9 +1058,10 @@ object GraphAnn {
          |${buildChainSql("gbb", "b")},
          |dq AS MATERIALIZED (
          | SELECT pa.vec_id AS qid, pb2.vec_id AS nid,
-         |        sum((pa.q - pb2.q) * (pa.q - pb2.q)) AS d2
-         | FROM gex pa JOIN gex pb2 ON pb2.dim = pa.dim
-         | WHERE pa.vec_id % 10 = 7 GROUP BY 1, 2),
+         |        list_sum(list_transform(list_zip(pa.q, pb2.q),
+         |          z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+         | FROM qv pa CROSS JOIN qv pb2
+         | WHERE pa.vec_id % 10 = 7),
          |gexb AS (SELECT * FROM gex WHERE vec_id % 10 <> 7),
          |bcent AS (
          | SELECT dim, (2 * sum(q) + count(*)) // (2 * count(*)) AS cq
@@ -1263,12 +1293,13 @@ object GraphAnn {
     },
     "ann_graph_search" -> {
       s"""$oraclePrefixSql,
-         |bestn AS (
-         | SELECT qid, node, bn, bnd FROM (
-         |   SELECT q.qid, e.src AS node, e.dst AS bn, q.d2 AS bnd,
-         |     row_number() OVER (PARTITION BY q.qid, e.src ORDER BY q.d2, e.dst) AS rn
-         |   FROM e2 e JOIN qd q ON q.nid = e.dst)
-         | WHERE rn = 1),
+         |bestn AS MATERIALIZED (
+         | SELECT qid, node, CAST(m % 10000000000 AS BIGINT) AS bn,
+         |        m // 10000000000 AS bnd FROM (
+         |   SELECT q.qid, e.src AS node,
+         |     min(q.d2 * 10000000000 + e.dst) AS m
+         |   FROM e2 e JOIN qd q ON q.nid = e.dst
+         |   GROUP BY 1, 2)),
          |walk(qid, ent, cur, d) AS (
          | SELECT en.qid, en.ent, en.ent, q.d2
          | FROM entries en JOIN qd q ON q.qid = en.qid AND q.nid = en.ent

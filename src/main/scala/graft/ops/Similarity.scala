@@ -194,8 +194,14 @@ object Similarity {
   private[graft] def ivfTrainedAssignment(spark: SparkSession, dir: String,
       cells: Int): (DataFrame, Column => Column) = {
     val cb = pqCodebook(spark, dir, 1, cells)
-    val cellsLit = array(cb.zipWithIndex.map { case ((_, slices), ord) =>
-      struct(lit(ord).as("cell"),
+    // Cell identity = the SEED vec_id (r12): seeds are the `cells`
+    // lowest vec_ids in ascending order, so (d2, seed) ordering is
+    // (d2, ordinal) ordering — E20's serve is bit-invariant to the
+    // rename — but D12 `dedup_semantic` OUTPUTS the cell, and the
+    // oracle's pqTrainCtes names cells by seed vec_id (`code`), so
+    // the seed id is the one name both engines can agree on.
+    val cellsLit = array(cb.map { case (seed, slices) =>
+      struct(lit(seed).as("cell"),
         array(slices(0).map(lit(_)): _*).as("cv"))
     }: _*)
     def cellDists(q: Column): Column = transform(cellsLit, c =>
@@ -208,8 +214,14 @@ object Similarity {
     (assigned, cellDists)
   }
 
+  /** The trained coarse quantizer's cell count — shared by E20, E10's
+    * routing, and D12's clustering so the three operators train the
+    * SAME codebook (one memo entry) and can never disagree on cells.
+    */
+  private[graft] val ivfTrainedCells = 8
+
   def annIvfTrained(spark: SparkSession, dir: String, k: Int = 5,
-                    nprobe: Int = 2, cells: Int = 8): DataFrame = {
+                    nprobe: Int = 2, cells: Int = ivfTrainedCells): DataFrame = {
     val (assigned, cellDists) = ivfTrainedAssignment(spark, dir, cells)
     val e = emb(spark, dir)
     val probeCells = probesOf(e).withColumn("_q", qticks(col("q_emb")))
@@ -731,9 +743,15 @@ object Similarity {
     * (compression, full scan).
     */
   def annIvfPq(spark: SparkSession, dir: String, subs: Int = 8, k: Int = 16,
-               nprobe: Int = 2, topK: Int = 5): DataFrame = {
+               nprobe: Int = 2, topK: Int = 5,
+               cells: Int = ivfTrainedCells): DataFrame = {
     val dimsPerSub = 64 / subs
-    val (assigned, cellDists) = ivfAssignment(spark, dir)
+    // r12 (r11 verdict directive #4): routing now rides E20's
+    // LABEL-FREE trained coarse quantizer — on a real unlabeled corpus
+    // the former label-derived ivfAssignment would throw (proven by
+    // Round11gSpec's deleted-column test, now extended to this path).
+    // E3 stays the label-derived contract twin.
+    val (assigned, cellDists) = ivfTrainedAssignment(spark, dir, cells)
     val cb = pqCodebook(spark, dir, subs, k)
     val best = (0 until subs).map { s =>
       pqNearest(slice(col("_q"), s * dimsPerSub + 1, dimsPerSub),
@@ -1009,6 +1027,31 @@ object Similarity {
       |   FROM d)
       | WHERE rn = 1)""".stripMargin
 
+  /** E20's TRAINED cell-assignment replay as a reusable CTE chain
+    * (`ex0` → `exiv` → iv-training → `d` → `asg`), shared verbatim by
+    * E20 `ann_ivf_trained`, E10 `ann_ivf_pq`, and D12 `dedup_semantic`
+    * (r12, r11 verdict directive #4) so the three label-free operators
+    * can never disagree about which trained cell a vector lives in.
+    * Cell identity = seed vec_id (= `code` in [[pqTrainCtes]]), the
+    * same name the engine's [[ivfTrainedAssignment]] now emits; seeds
+    * ascend, so (d2, cell) is the engine's lowest-ordinal tie-break.
+    */
+  private[ops] lazy val ivfTrainedAsgCtes: String =
+    s"""ex0 AS (
+       | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
+       | FROM embeddings),
+       |exiv AS (SELECT vec_id, 0 AS sub, dim - 1 AS dimin, q FROM ex0),
+       |${pqTrainCtes("iv", "exiv", "TRUE", ivfTrainedCells)},
+       |d AS (
+       | SELECT e.vec_id, c.code AS cell, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+       | FROM exiv e JOIN ivcb c USING (sub, dimin) GROUP BY 1, 2),
+       |asg AS (
+       | SELECT vec_id, cell FROM (
+       |   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |   FROM d)
+       | WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // integer-exact IVF replay: same 10^-6 tick quantization, same
     // round-half integer-division centroid ticks, same (d2, cell)
@@ -1039,29 +1082,16 @@ object Similarity {
     // vec_id = the engine's ordinal order, making (d2, code) the exact
     // lowest-ordinal tie-break the literal-array argmin applies)
     "ann_ivf_trained" ->
-      s"""WITH ex0 AS (
-         | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-         |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
-         | FROM embeddings),
-         |ex AS (SELECT vec_id, 0 AS sub, dim - 1 AS dimin, q FROM ex0),
-         |${pqTrainCtes("iv", "ex", "TRUE", 8)},
-         |ivd AS (
-         | SELECT e.vec_id, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
-         | FROM ex e JOIN ivcb c USING (sub, dimin) GROUP BY 1, 2),
-         |ivasg AS (
-         | SELECT vec_id, code AS cell FROM (
-         |   SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
-         |   FROM ivd)
-         | WHERE rn = 1),
-         |ivpc AS (
-         | SELECT vec_id AS qid, code AS cell FROM (
-         |   SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
-         |   FROM ivd WHERE vec_id % 100 = 0)
+      s"""WITH $ivfTrainedAsgCtes,
+         |pc AS (
+         | SELECT vec_id AS qid, cell FROM (
+         |   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |   FROM d WHERE vec_id % 100 = 0)
          | WHERE rn <= 2),
          |scored AS (
          | SELECT p.qid, a.vec_id AS nid,
          |        list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS cos_sim
-         | FROM ivasg a JOIN ivpc p USING (cell)
+         | FROM asg a JOIN pc p USING (cell)
          | JOIN embeddings qe ON qe.vec_id = p.qid
          | JOIN embeddings ne ON ne.vec_id = a.vec_id
          | WHERE a.vec_id <> p.qid)
@@ -1279,14 +1309,14 @@ object Similarity {
          |SELECT dims, hits, truth, hits * 100 // truth AS recall_pct
          |FROM res ORDER BY dims""".stripMargin
     },
-    // IVFADC replay: E3's assignment CTEs verbatim (cells), E5's PQ
-    // encode/table CTEs with a `p` prefix (the two chains both name an
-    // `ex`/`d`), joined through asg+pc so the ADC scan sees ONLY the
-    // probed cells' code lists
+    // IVFADC replay: E20's TRAINED assignment CTEs verbatim (r12 —
+    // label-free routing, r11 verdict directive #4), E5's PQ
+    // encode/table CTEs with a `p` prefix, joined through asg+pc so
+    // the ADC scan sees ONLY the probed cells' code lists
     "ann_ivf_pq" ->
-      s"""WITH $ivfAsgCtes,
+      s"""WITH $ivfTrainedAsgCtes,
          |pex AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
-         |        (dim - 1) % 8 AS dimin, q FROM ex),
+         |        (dim - 1) % 8 AS dimin, q FROM ex0),
          |${pqTrainCtes("p", "pex", "TRUE", 16)},
          |pd AS (SELECT e.vec_id, e.sub, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
          |       FROM pex e JOIN pcb c USING (sub, dimin) GROUP BY 1, 2, 3),
@@ -1394,11 +1424,15 @@ object Similarity {
        |        (dim - 1) % 8 AS dimin, q FROM ex0),
        |${genSearchCtes("g1", "e.vec_id % 10 <> 0")},
        |${genSearchCtes("g2", "TRUE")},
+       |xv AS MATERIALIZED (
+       | SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |   x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+       | FROM embeddings),
        |xq AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
-       |        sum((q.q - n.q) * (q.q - n.q)) AS xd2
-       |       FROM ex q JOIN ex n ON q.sub = n.sub AND q.dimin = n.dimin
-       |       WHERE q.vec_id % 100 = 0 AND n.vec_id <> q.vec_id
-       |       GROUP BY 1, 2),
+       |        list_sum(list_transform(list_zip(q.q, n.q),
+       |          z -> (z[1] - z[2]) * (z[1] - z[2]))) AS xd2
+       |       FROM xv q CROSS JOIN xv n
+       |       WHERE q.vec_id % 100 = 0 AND n.vec_id <> q.vec_id),
        |x5 AS (SELECT qid, nid FROM (
        |  SELECT qid, nid,
        |   row_number() OVER (PARTITION BY qid ORDER BY xd2, nid) AS rank FROM xq)

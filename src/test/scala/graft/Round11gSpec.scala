@@ -64,6 +64,17 @@ class Round11gSpec extends AnyFunSuite {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       Similarity.annCentroidIvf(spark, dir).collect()
     }
+    // r12 (r11 verdict directive #4): the two production consumers now
+    // ride the trained quantizer — prove the FULL semantic-dedup and
+    // IVF-PQ paths serve the unlabeled corpus bit-identically too
+    val semU = graft.ops.Corpus2.dedupSemantic(spark, dir).collect()
+    val semL = graft.ops.Corpus2.dedupSemantic(spark, TestSpark.sf).collect()
+    assert(semU.length == semL.length && semU.sameElements(semL),
+      "D12 dedup_semantic diverged on the label-stripped corpus")
+    val pqU = Similarity.annIvfPq(spark, dir).collect()
+    val pqL = Similarity.annIvfPq(spark, TestSpark.sf).collect()
+    assert(pqU.length == pqL.length && pqU.sameElements(pqL),
+      "E10 ann_ivf_pq diverged on the label-stripped corpus")
   }
 
   test("trained routing departs from the label partition but stays structural") {

@@ -83,16 +83,19 @@ class Round6bSpec extends AnyFunSuite {
     }
   }
 
-  test("dedup_semantic: drops pair with a LOWER-id same-cell keeper at cos ≥ τ, scoped to E3's cells") {
+  test("dedup_semantic: drops pair with a LOWER-id same-cell keeper at cos ≥ τ, scoped to E20's trained cells") {
     val rows = graft.ops.Corpus2.dedupSemantic(spark, sf).collect()
     assert(rows.nonEmpty)
-    val (assigned, _) = graft.ops.Similarity.ivfAssignment(spark, sf)
+    // r12: clustering rides E20's label-free trained quantizer (cell =
+    // seed vec_id), so the witness recomputes via the SAME assignment
+    val (assigned, _) = graft.ops.Similarity.ivfTrainedAssignment(spark, sf,
+      graft.ops.Similarity.ivfTrainedCells)
     val cellOf = assigned.select("vec_id", "cell").collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
     rows.foreach { r =>
       val (v, keeper) = (r.getAs[Long]("vec_id"), r.getAs[Long]("keeper"))
       assert(keeper < v, "keeper must be the lower id")
-      assert(r.getAs[Int]("cell") == cellOf(v), "reported cell is not the vector's")
+      assert(r.getAs[Long]("cell") == cellOf(v), "reported cell is not the vector's")
       assert(cellOf(keeper) == cellOf(v), "keeper crossed a cell boundary")
       assert(r.getAs[Double]("cos_sim") >= 0.3)
       assert(r.getAs[Long]("n_cands") >= 1)
@@ -106,11 +109,12 @@ class Round6bSpec extends AnyFunSuite {
     val rows = graft.ops.Similarity.annIvfPq(spark, sf).collect()
     assert(rows.nonEmpty)
     // routing contract: every returned neighbor lives in one of its
-    // probe's nprobe nearest cells (recomputed via the shared E3
-    // assignment + routing fold)
-    val (assigned, cellDists) = graft.ops.Similarity.ivfAssignment(spark, sf)
+    // probe's nprobe nearest cells (recomputed via the shared E20
+    // trained assignment + routing fold — r12 label-free routing)
+    val (assigned, cellDists) = graft.ops.Similarity.ivfTrainedAssignment(
+      spark, sf, graft.ops.Similarity.ivfTrainedCells)
     val cellOf = assigned.select("vec_id", "cell").collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
     val routed = assigned.filter(col("vec_id") % 100 === 0)
       .withColumn("_q", expr(
         "transform(emb, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"))
@@ -118,7 +122,7 @@ class Round6bSpec extends AnyFunSuite {
         slice(array_sort(cellDists(col("_q"))), 1, 2).as("near"))
       .select(col("vec_id"), expr("transform(near, p -> p.cell)").as("cells"))
       .collect()
-      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Int]]("cells").toSet).toMap
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Long]]("cells").toSet).toMap
     rows.foreach { r =>
       val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
       assert(routed(q).contains(cellOf(n)),

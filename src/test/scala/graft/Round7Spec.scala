@@ -134,8 +134,9 @@ class Round7Spec extends AnyFunSuite {
         .select(graft.functions.VectorOps.rollhash64(col("block")).as("h"))
       assert(HotBucket.hotBuckets(blocks, Seq("h"),
         HotBucket.defaultCap).isEmpty, s"D8 block-hash site is hot at $sfd")
-      // D12: SemDeDup cells (E3's assignment)
-      val (assigned, _) = graft.ops.Similarity.ivfAssignment(spark, sfd)
+      // D12: SemDeDup cells (E20's trained assignment since r12)
+      val (assigned, _) = graft.ops.Similarity.ivfTrainedAssignment(spark,
+        sfd, graft.ops.Similarity.ivfTrainedCells)
       assert(HotBucket.hotBuckets(assigned, Seq("cell"),
         HotBucket.defaultCap).isEmpty, s"D12 cell site is hot at $sfd")
       // H5: payload-chunk MinHash band signatures
