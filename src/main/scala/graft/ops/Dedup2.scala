@@ -200,6 +200,18 @@ object Dedup2 {
     // most its own salt group, so per-probe candidates are capped too
     val sigs = HotBucket.saltByCap(Dedup.bandSignatures(spark, dir),
       Seq("band", "sig"), col("doc_id"), s"d2.bandSigs:$dir:32:8")
+    admissionOver(spark, dir, sigs)
+  }
+
+  /** D13's delta-admission core over an ARBITRARY salted signature
+    * index: probe (doc_id % 10 = 0) × index candidates, exact-Jaccard
+    * verification, per-delta admit/reject verdict. Factored out (r12)
+    * so D18 `dedup_tombstone` runs the IDENTICAL admission over the
+    * tombstone-filtered index — the only thing a delete changes is
+    * which index rows exist.
+    */
+  private[graft] def admissionOver(spark: SparkSession, dir: String,
+                                   sigs: DataFrame): DataFrame = {
     val probe = sigs.filter(col("doc_id") % 10 === 0)
       .select(col("band"), col("sig"), col("salt"), col("doc_id").as("d"))
     val index = sigs.select(col("band"), col("sig"), col("salt"), col("doc_id").as("o"))
@@ -225,6 +237,59 @@ object Dedup2 {
         when(coalesce(col("n_near_dups"), lit(0L)) > 0, lit("reject"))
           .otherwise(lit("admit")).as("verdict"))
       .orderBy("doc_id")
+  }
+
+  /** Per-dir root of D18's persisted lifecycle artifact: the standing
+    * band-signature index (D2/D13's exact state) written to parquet
+    * ONCE, plus the takedown batch (doc_id % 10 = 3 — disjoint from
+    * D13's % 10 = 0 delta, so every delta doc survives) as a TOMBSTONE
+    * sidecar. The index files are never rewritten by a delete — the
+    * tombstone file is the delete, merge-on-read style (Delta/Iceberg's
+    * deletion-vector discipline): at 100 TB a takedown must not rewrite
+    * an O(corpus) index, and a crash between writes leaves either the
+    * old index (no sidecar yet → nothing deleted) or the full pair —
+    * never a half-deleted index.
+    */
+  private val tombstoneOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def bandTombstonePath(spark: SparkSession,
+                                       dir: String): String =
+    tombstoneOnce.computeIfAbsent(dir, _ => {
+      val root = graft.Scratch.dir("band_tombstone")
+      Dedup.bandSignatures(spark, dir)
+        .write.mode("overwrite").parquet(s"$root/index")
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 === 3)
+        .select("doc_id").write.mode("overwrite").parquet(s"$root/tombstones")
+      root
+    })
+
+  /** D18 — `dedup_tombstone` (r11 verdict directive #2): the DELETE
+    * analog of the reference's after-the-fact UPDATE lifecycle
+    * (`function.py:462-539` rewrites a stored row when late truth
+    * arrives; a takedown/right-to-be-forgotten request removes one).
+    * The standing band-signature index loses the tombstoned docs'
+    * rows (merge-on-read anti-join against the sidecar — the index
+    * parquet itself is untouched), and D13's delta admission then runs
+    * IDENTICALLY over the surviving index: a deleted doc can no longer
+    * generate candidates, so a delta doc whose only near-dup was
+    * tombstoned flips reject → admit (Round12Spec constructs exactly
+    * that flip, and proves re-appending the tombstoned rows restores
+    * D13's verdicts bit-for-bit — the re-add round-trip).
+    *
+    * Scale shape: the delete writes O(|tombstones|) sidecar rows and
+    * zero index bytes; the serve adds ONE broadcast-able anti-join on
+    * doc_id to D13's plan (the sidecar is takedown-sized, never
+    * corpus-sized); admission cost stays O(|delta|·bands).
+    */
+  def dedupTombstone(spark: SparkSession, dir: String): DataFrame = {
+    val root = bandTombstonePath(spark, dir)
+    val tomb = spark.read.parquet(s"$root/tombstones")
+    val surviving = spark.read.parquet(s"$root/index")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val sigs = HotBucket.saltByCap(surviving,
+      Seq("band", "sig"), col("doc_id"), s"d18.bandSigs:$dir")
+    admissionOver(spark, dir, sigs)
   }
 
   /** D14 — `dedup_passage_spans`: POSITIONAL substring dedup — the
@@ -333,7 +398,8 @@ object Dedup2 {
     "dedup_doc_chunk" -> (dedupDocChunk _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_pagerank_iter" -> (graphPagerankIter _),
-    "dedup_incremental" -> (dedupIncremental _))
+    "dedup_incremental" -> (dedupIncremental _),
+    "dedup_tombstone" -> (dedupTombstone _))
 
   /** D14's positional-hash replay as a shared CTE chain ending in
     * `sp(doc_id, s, e, n_windows)` — consumed by the D14 oracle and by
@@ -393,6 +459,34 @@ object Dedup2 {
          | SELECT DISTINCT r.doc_id AS d, l.doc_id AS o
          | FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
          |  AND r.doc_id % 10 = 0 AND l.doc_id <> r.doc_id),
+         |ijac AS (
+         | SELECT c.d,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |  len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         | FROM icand c JOIN sh sa ON sa.doc_id = c.d JOIN sh sb ON sb.doc_id = c.o),
+         |agg AS (
+         | SELECT d, count(*) AS n_candidates,
+         |   count(CASE WHEN jaccard >= 0.5 THEN 1 END) AS n_near_dups
+         | FROM ijac GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(coalesce(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(agg.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+         |  CASE WHEN coalesce(agg.n_near_dups, 0) > 0 THEN 'reject'
+         |       ELSE 'admit' END AS verdict
+         |FROM documents LEFT JOIN agg ON agg.d = doc_id
+         |WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+    // D13's admission verbatim with ONE added predicate: the index
+    // side excludes the tombstoned docs (doc_id % 10 = 3) — the
+    // relational image of the merge-on-read anti-join. The delta side
+    // (% 10 = 0) is untouched: deletes change what a probe can SEE,
+    // never who probes.
+    "dedup_tombstone" ->
+      s"""WITH ${Dedup.minhashJacCtes},
+         |icand AS (
+         | SELECT DISTINCT r.doc_id AS d, l.doc_id AS o
+         | FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig
+         |  AND r.doc_id % 10 = 0 AND l.doc_id <> r.doc_id
+         | WHERE l.doc_id % 10 <> 3),
          |ijac AS (
          | SELECT c.d,
          |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /

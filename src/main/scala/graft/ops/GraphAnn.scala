@@ -48,9 +48,9 @@ import graft.tables.Tables
   */
 object GraphAnn {
 
-  private val degree = 12
+  private[graft] val degree = 12
   private val descentRounds = 2
-  private val maxSteps = 64
+  private[graft] val maxSteps = 64
 
   /** Per-dir serve telemetry for the recall/scan audit (Round9dSpec):
     * (global walk steps until every walk stalled, touched-pool rows).
@@ -75,7 +75,7 @@ object GraphAnn {
   /** (vec_id, tv) — the integer-tick view of an embeddings-shaped
     * frame (vec_id, embedding).
     */
-  private def ticksOf(embs: DataFrame): DataFrame =
+  private[graft] def ticksOf(embs: DataFrame): DataFrame =
     embs.select(col("vec_id"), qticks(asDouble(col("embedding"))).as("tv"))
 
   /** (vec_id, tv) — the integer-tick corpus. */
@@ -623,6 +623,105 @@ object GraphAnn {
         .persist()
     }
 
+  // ---------------- E22: graph tombstone delete ----------------
+
+  /** Per-dir delete telemetry: (edges lost to the takedown, bridge
+    * candidates considered, repaired out-edges written).
+    */
+  private[graft] val deleteStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  /** The repaired surviving graph for an ARBITRARY delete predicate —
+    * split from the serve so Round12Spec can drive constructed delete
+    * sets through the same machinery and re-insert on top of it.
+    * Repair is the published bridge rule (FreshDiskANN's delete
+    * consolidation): a surviving node u that lost an out-neighbor v
+    * considers u → w for every surviving out-neighbor w of v (the
+    * bridge THROUGH the hole), then re-prunes kept ∪ bridges to the
+    * top-`degree` by exact (d2, dst). Nodes that lost nothing re-prune
+    * their own ≤ degree kept edges — an identity, so repair touches
+    * exactly the damage.
+    */
+  private[graft] def repairedEdges(edges: DataFrame, embs: DataFrame,
+                                   isDel: Column): (DataFrame, (Long, Long, Long)) = {
+    val del = embs.filter(isDel).select(col("vec_id"))
+    val delS = del.select(col("vec_id").as("src"))
+    val delD = del.select(col("vec_id").as("dst"))
+    // the tombstone set is takedown-sized — broadcast every anti-join
+    // the trailing select is LOAD-BEARING: a Seq("dst") join moves the
+    // key column first, and the positional union below would silently
+    // flip every kept edge (caught by the sf0.001 oracle diff)
+    val kept = edges.select("src", "dst")
+      .join(broadcast(delS), Seq("src"), "left_anti")
+      .join(broadcast(delD), Seq("dst"), "left_anti")
+      .select("src", "dst")
+    val uToDel = edges.select("src", "dst")
+      .join(broadcast(delS), Seq("src"), "left_anti")
+      .join(broadcast(delD), Seq("dst"), "left_semi")
+      .select(col("src").as("u"), col("dst").as("v"))
+    val delOut = edges.select("src", "dst")
+      .join(broadcast(delS), Seq("src"), "left_semi")
+      .join(broadcast(delD), Seq("dst"), "left_anti")
+      .select(col("src").as("v"), col("dst").as("w"))
+    // |bridges| ≤ |lost edges| · degree: v's out-list is ≤ degree and
+    // the deleted side of the join is broadcast — no pair blow-up
+    val bridges = uToDel.join(broadcast(delOut), Seq("v"))
+      .filter(col("u") =!= col("w"))
+      .select(col("u").as("src"), col("w").as("dst")).distinct()
+    val surv = embs.join(broadcast(del), Seq("vec_id"), "left_anti")
+    val repaired = topDeg(kept.union(bridges).distinct(), ticksOf(surv))
+      .localCheckpoint()
+    val stats = (uToDel.count(), bridges.count(), repaired.count())
+    (repaired, stats)
+  }
+
+  /** E22 — `ann_graph_delete` (r11 verdict directive #2): takedown of
+    * vectors from the PERSISTED graph artifact — the delete analog of
+    * the reference's after-the-fact UPDATE lifecycle
+    * (function.py:462-539), completing the index lifecycle story
+    * (E18 append, E13 retrain, THIS delete). The tombstoned vectors
+    * (vec_id % 10 = 3, disjoint from the % 100 = 0 probe panel) lose
+    * every in- and out-edge; surviving nodes that lost a neighbor are
+    * repaired by bridging through the hole (u → deleted v → w becomes
+    * a u → w candidate) and re-pruning to the exact top-`degree` —
+    * without the bridge, a node whose whole neighborhood was taken
+    * down goes dark and every walk through it dead-ends. The serve is
+    * E15's greedy walk verbatim over the repaired graph with entry
+    * medoids recomputed from the SURVIVING corpus (a deleted medoid
+    * must not route walks). A deleted vector can therefore never
+    * appear in any serve — the edges, entries, and pool are all
+    * surviving-only by construction (Round12Spec also proves the
+    * re-add round-trip: E18's insert machinery re-attaches the
+    * deleted set over the repaired graph and they serve again).
+    *
+    * Scale shape: the delete reads the takedown-sized tombstone set
+    * broadcast against the edge artifact (one scan); bridge repair is
+    * O(|lost edges| · degree) candidates — damage-proportional, never
+    * corpus-proportional; the re-prune touches only affected nodes'
+    * rows plus an identity pass over kept edges. The oracle replays
+    * build, delete, bridge, re-prune, surviving entries, and the walk.
+    */
+  def annGraphDelete(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    graft.QueryCaches.memo(
+      s"graphann.delete:$dir:$k:${spark.sparkContext.applicationId}") {
+      val embs = Tables.embeddings(spark, dir)
+      val isDel = col("vec_id") % 10 === 3
+      val (repaired, stats) =
+        repairedEdges(edgesArtifact(spark, dir), embs, isDel)
+      deleteStats.put(dir, stats)
+      val surv = embs.filter(!isDel)
+      val probes = surv.filter(col("vec_id") % 100 === 0)
+      val (pool, _) = greedyPoolFrom(repaired,
+        entriesFrom(surv, probes), ticksOf(surv), maxSteps)
+      val w = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
+      pool.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("nid").as("neighbor_id"), col("d").as("delete_dist"))
+        .orderBy("query_id", "rank")
+        .persist()
+    }
+
   // ---------------- G18: streaming vector admit (engine side) ----------------
 
   /** G18's standing base artifact: E18's base build (the %10≠7 subset),
@@ -826,7 +925,8 @@ object GraphAnn {
     "ann_graph_search" -> ((s, d) => annGraphSearch(s, d)),
     "ann_graph_beam" -> ((s, d) => annGraphBeam(s, d)),
     "ann_graph_append" -> ((s, d) => annGraphAppend(s, d)),
-    "ann_graph_layer" -> ((s, d) => annGraphLayer(s, d)))
+    "ann_graph_layer" -> ((s, d) => annGraphLayer(s, d)),
+    "ann_graph_delete" -> ((s, d) => annGraphDelete(s, d)))
 
   /** Integer pairwise distance over a named pair CTE: joins the
     * LIST-form tick vectors to both endpoints and computes the squared
@@ -1289,6 +1389,66 @@ object GraphAnn {
          |  CAST(d AS BIGINT) AS beam_dist
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
          |      FROM bpool)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    // E22: the full-corpus build chain (the standing artifact), the
+    // tombstone cut, the bridge repair (u → deleted v → w), the exact
+    // top-degree re-prune, entry medoids recomputed over the SURVIVING
+    // corpus, and E15's greedy walk over the repaired graph — the
+    // driver hash-proves the whole takedown, not just the served rows
+    "ann_graph_delete" -> {
+      s"""$oraclePrefixSql,
+         |kept AS (
+         | SELECT src, dst FROM e2 WHERE src % 10 <> 3 AND dst % 10 <> 3),
+         |bru AS (
+         | SELECT src AS u, dst AS v FROM e2 WHERE src % 10 <> 3 AND dst % 10 = 3),
+         |brw AS (
+         | SELECT src AS v, dst AS w FROM e2 WHERE src % 10 = 3 AND dst % 10 <> 3),
+         |brid AS (
+         | SELECT DISTINCT u AS src, w AS dst FROM bru JOIN brw USING (v)
+         | WHERE u <> w),
+         |rcand AS (
+         | SELECT DISTINCT src, dst FROM (
+         |   SELECT src, dst FROM kept
+         |   UNION ALL SELECT src, dst FROM brid) t),
+         |${distSql("rcand", "rdd")},
+         |dedg AS MATERIALIZED (
+         | SELECT src, dst, d2 FROM (
+         |   SELECT src, dst, d2,
+         |     row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+         |   FROM rdd)
+         | WHERE rn <= $degree),
+         |sgex AS (SELECT * FROM gex WHERE vec_id % 10 <> 3),
+         |scent AS (
+         | SELECT dim, (2 * sum(q) + count(*)) // (2 * count(*)) AS cq
+         | FROM sgex GROUP BY 1),
+         |sed AS (
+         | SELECT e.vec_id, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+         | FROM sgex e JOIN scent c USING (dim) GROUP BY 1),
+         |sgmed AS (
+         | SELECT vec_id FROM (
+         |   SELECT vec_id, row_number() OVER (ORDER BY d2, vec_id) AS rn FROM sed)
+         | WHERE rn = 1),
+         |sbmed AS (
+         | SELECT bucket, vec_id AS medoid FROM (
+         |   SELECT g.bucket, sed.vec_id,
+         |     row_number() OVER (PARTITION BY g.bucket ORDER BY sed.d2, sed.vec_id) AS rn
+         |   FROM sed JOIN gb g ON g.vec_id = sed.vec_id WHERE g.vec_id % 10 <> 3)
+         | WHERE rn = 1),
+         |sent AS (
+         | SELECT DISTINCT qid, ent FROM (
+         |   SELECT pb.qid, coalesce(bm.medoid, g.vec_id) AS ent
+         |   FROM pb
+         |   CROSS JOIN (VALUES ${entryMasks.map(m => s"($m)").mkString(", ")}) mm(m)
+         |   CROSS JOIN sgmed g
+         |   LEFT JOIN sbmed bm ON bm.bucket = xor(pb.bucket, mm.m)
+         |   UNION ALL
+         |   SELECT pb.qid, g.vec_id FROM pb CROSS JOIN sgmed g) t),
+         |${walkPoolSql("t", "dedg", "qd", "sent")}
+         |SELECT qid AS query_id, rank, nid AS neighbor_id,
+         |  CAST(d AS BIGINT) AS delete_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |      FROM tpool)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
     "ann_graph_search" -> {

@@ -494,6 +494,51 @@ object Similarity {
       pqDistTablesFor(spark, dir, subs, readCodebook(spark, base)), subs, topK)
   }
 
+  /** Per-dir tombstone sidecar for E21 — the takedown batch
+    * (vec_id % 10 = 3, disjoint from the % 100 = 0 probe panel) as its
+    * own parquet next to (never inside) E9's artifact.
+    */
+  private val pqDeleteOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def pqTombstonePath(spark: SparkSession, dir: String): String =
+    pqDeleteOnce.computeIfAbsent(dir, _ => {
+      val root = graft.Scratch.dir("pqdelete")
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 3)
+        .select("vec_id").write.mode("overwrite").parquet(s"$root/tombstones")
+      root
+    })
+
+  /** E21 — `ann_index_delete` (r11 verdict directive #2): takedown of
+    * vectors from the PERSISTED PQ index — the delete analog of the
+    * reference's after-the-fact UPDATE lifecycle (function.py:462-539).
+    * The code parquet E9 serves is NEVER rewritten: the delete is a
+    * tombstone sidecar, and serving anti-joins codes against it
+    * (merge-on-read — Delta/Iceberg's deletion-vector discipline),
+    * so a deleted vector can never appear in any serve while the
+    * artifact files stay byte-identical. The codebook stays FROZEN
+    * (E12's production contract — retraining on a delete would
+    * invalidate every surviving code), so re-adding a tombstoned
+    * vector is one frozen-codebook re-encode that round-trips to the
+    * original code row exactly (Round12Spec pins deletion, absence
+    * from serves, and the re-add round-trip).
+    *
+    * Scale shape: the delete writes O(|tombstones|) rows and zero
+    * index bytes; the serve adds one broadcast anti-join on vec_id to
+    * E9's scan (the sidecar is takedown-sized); compaction — rewriting
+    * the codes without the tombstoned rows — is I15's vacuum job, an
+    * optimization never required for correctness.
+    */
+  def annIndexDelete(spark: SparkSession, dir: String, subs: Int = 8,
+                     k: Int = 16, topK: Int = 5): DataFrame = {
+    val base = pqIndexPath(spark, dir, subs, k)
+    val tomb = spark.read.parquet(s"${pqTombstonePath(spark, dir)}/tombstones")
+    val codes = spark.read.parquet(s"$base/codes")
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    adcSearch(codes,
+      pqDistTablesFor(spark, dir, subs, readCodebook(spark, base)), subs, topK)
+  }
+
   /** E12 — `ann_index_append`: daily-delta maintenance of the persisted
     * PQ index. E9 proves the artifact round-trip; this proves the index
     * STAYS an artifact as the corpus grows — the day's new vectors
@@ -998,6 +1043,7 @@ object Similarity {
     "ann_rerank" -> ((s, d) => annRerank(s, d)),
     "ann_centroid_ivf" -> ((s, d) => annCentroidIvf(s, d)),
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
+    "ann_index_delete" -> ((s, d) => annIndexDelete(s, d)),
     "ann_pq" -> ((s, d) => annPq(s, d)),
     "ann_pq_search" -> ((s, d) => annPqSearch(s, d)),
     "ann_ivf_pq" -> ((s, d) => annIvfPq(s, d)),
@@ -1239,6 +1285,11 @@ object Similarity {
     // searches, the exact-L2 truth, the integer recall gate, and the
     // branch — the driver hash-proves the staleness decision itself
     "ann_index_refresh" -> refreshOracle,
+    // E21: E5/E9's oracle with ONE added predicate — the code side
+    // excludes the tombstoned vectors (the merge-on-read anti-join's
+    // relational image); training and probe tables verbatim, because
+    // the codebook is frozen across deletes
+    "ann_index_delete" -> pqSearchOracleFor(" AND vec_id % 10 <> 3"),
     // E1's exact CTEs (x-prefix) + E2's bucketed CTEs (l-prefix), then
     // the per-probe hit join — the same rank/tie rules both oracles
     // already hash-prove individually
@@ -1448,7 +1499,13 @@ object Similarity {
        |FROM g1r WHERE rank <= 5 AND NOT (SELECT stale FROM gate)
        |ORDER BY query_id, rank""".stripMargin
 
-  private lazy val pqSearchOracle: String =
+  /** E5's full search replay, parameterized by an extra predicate on
+    * the CODE side (spliced after `rn = 1`): "" reproduces the
+    * E5/E9/E12 oracle byte-for-byte; E21 passes the tombstone
+    * predicate — training, encode, and probe tables are IDENTICAL
+    * text, because a delete must not retrain or re-encode anything.
+    */
+  private def pqSearchOracleFor(codesAnd: String): String =
       s"""WITH ex0 AS (
          | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
@@ -1461,7 +1518,7 @@ object Similarity {
          |codes AS (SELECT vec_id, sub, code FROM (
          |  SELECT vec_id, sub, code,
          |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM d)
-         | WHERE rn = 1),
+         | WHERE rn = 1$codesAnd),
          |dt AS (SELECT p.vec_id AS qid, p.sub, c.code,
          |        sum((p.q - c.cq) * (p.q - c.cq)) AS dt
          |       FROM ex p JOIN cb c USING (sub, dimin)
@@ -1474,4 +1531,6 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |        ORDER BY adc_dist, nid) AS rank FROM adc)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val pqSearchOracle: String = pqSearchOracleFor("")
 }
