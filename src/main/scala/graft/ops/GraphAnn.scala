@@ -623,6 +623,162 @@ object GraphAnn {
         .persist()
     }
 
+  // ---------------- E23: ADC-assisted beam serve ----------------
+
+  /** E23's dedicated build: the (20, 3) point the E19 sweep MEASURED at
+    * 0.733 recall but rejected — its touched pool (11,495 rows at
+    * sf0.1) is 4.7× the LSH tier's scan when every touched vector
+    * costs a 256 B raw read. ADC re-prices exactly that term.
+    */
+  private[graft] val adcDegree = 20
+  private[graft] val adcBuildRounds = 3
+
+  /** How many ADC-ranked pool rows per probe get the exact integer
+    * re-rank — E8's shortlist discipline, widened 4× because the ADC
+    * ordering is the walk's ONLY ordering here (E8 reranks a full-scan
+    * shortlist; this reranks a walk-pool whose ADC-competitive junk
+    * crowds true neighbors below rank 50 — measured: rank-50 rerank
+    * caps recall at 0.517–0.550 across every frontier width, rank-100
+    * reaches 0.717, rank-200 recovers 0.733 = the (20,3) build's
+    * exact-walk ceiling). 200 raw reads/probe = 51 KB/probe, still
+    * ~20% of the per-probe LSH bucket scan.
+    */
+  private[graft] val adcRerankN = 200
+
+  /** The ADC walk's frontier width. WIDER than E17's exact-scored
+    * ef=16 on purpose: ADC misorders near-ties (8-lookup error), so
+    * the frontier must hold more candidates to keep the true near
+    * neighbors walking — and ADC re-priced the frontier's cost to
+    * 16 B/row, which is exactly what pays for the width. Measured at
+    * sf0.1 (rerank=200): ef=16 → 0.667, ef=24 → 0.733, and WIDER IS
+    * NOT MONOTONE at thin reranks (ef=48/rerank=100 → 0.667 vs
+    * ef=24's 0.717: a wider pool adds ADC-flattering junk that crowds
+    * the shortlist). 24 is the measured knee.
+    */
+  private[graft] val adcBeamEf = 24
+
+  /** Per-dir E23 telemetry: (beam rounds, pooled rows, code bytes
+    * touched, rerank bytes touched).
+    */
+  private[graft] val adcBeamStats =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long, Long, Long)]()
+
+  private def adcEdgesArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.QueryCaches.memo(
+      s"graphann.adcedges:$dir:${spark.sparkContext.applicationId}") {
+      val edges = buildEdgesFrom(Tables.embeddings(spark, dir),
+        s"graphann.adcbuckets:$dir", adcDegree, adcBuildRounds)
+      val path = graft.Scratch.dir("graphann_adc_edges")
+      edges.write.mode("overwrite").parquet(path)
+      ticks(spark, dir).unpersist()
+      spark.read.parquet(path)
+    }
+
+  /** [[beamPoolFrom]] with the SCORING swapped from exact 64-dim
+    * integer L2 to E5's 8-lookup ADC distance: probes carry their
+    * per-subspace distance tables (`dtm`), candidates join the 16 B
+    * code rows instead of the 256 B tick vectors. Same fixpoint
+    * argument — the ADC-scored frontier is monotone non-increasing
+    * under expansion in (ad, nid) order — so the fixed oracle unroll
+    * stays exact. Returns (touched pool (qid, nid, ad), rounds).
+    */
+  private[graft] def beamPoolAdcFrom(edges: DataFrame, probes: DataFrame,
+                                     codes: DataFrame, subs: Int, ef: Int,
+                                     roundCap: Int): (DataFrame, Int) = {
+    val w = Window.partitionBy("qid").orderBy(col("ad"), col("nid"))
+    val ad = Similarity.adcDist(subs).as("ad")
+    var frontier = probes
+      .join(codes.select(col("vec_id").as("ent"), col("ords")), Seq("ent"))
+      .select(col("qid"), col("dtm"), col("ent").as("nid"), ad)
+      .distinct()
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= ef)
+      .drop("_rn")
+      .localCheckpoint()
+    val pools = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("qid"), col("nid"), col("ad")))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < roundCap) {
+      val cand = edges.join(broadcast(frontier), edges("src") === frontier("nid"))
+        .join(codes.select(col("vec_id").as("dst"), col("ords")), Seq("dst"))
+        .select(col("qid"), col("dtm"), col("dst").as("nid"), ad)
+        .localCheckpoint()
+      pools += cand.select(col("qid"), col("nid"), col("ad"))
+      val next = frontier.union(cand).distinct()
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= ef)
+        .drop("_rn")
+        .localCheckpoint()
+      converged = next.select(col("qid"), col("nid"))
+        .exceptAll(frontier.select(col("qid"), col("nid"))).isEmpty
+      frontier = next
+      rounds += 1
+    }
+    require(converged,
+      s"ADC beam frontier still improving after $roundCap rounds — " +
+        "the fixed-unroll oracle would diverge; raise beamRounds")
+    val pool = pools.reduce(_.union(_)).distinct()
+      .filter(col("nid") =!= col("qid"))
+      .localCheckpoint()
+    (pool, rounds)
+  }
+
+  /** E23 — `ann_graph_beam_adc` (r11 verdict directive #3): E17's
+    * ef-bounded beam walked with E5's 8-lookup APPROXIMATE distances
+    * and an exact integer re-rank of the final shortlist — the
+    * standard way past E19's budget wall (cheaper distance per touched
+    * node buys the better build's recall back inside the byte budget).
+    * The walk reads the persisted 16 B/vector PQ codes (E9's artifact,
+    * SHARED — one encode serves E5/E9/E12/E21 and this walk) over the
+    * dedicated (20, 3) graph the E19 sweep measured at 0.733 recall
+    * but rejected at 4.7× the LSH tier's RAW-BYTE scan; at 16 B/row
+    * the same pool costs ~0.07× the LSH bytes, and the exact re-rank
+    * (top-[[adcRerankN]] per probe by ADC, then exact integer L2 over
+    * raw ticks) adds |probes|·50 raw reads. Round12bSpec pins
+    * recall@3 ≥ 0.70 with total touched bytes ≤ 4× the LSH tier's —
+    * the directive's done-bar — and strict dominance over E17/E19.
+    *
+    * Scale shape: per round the bounded frontier broadcasts against
+    * the edge artifact and the CODE table (16 B/vector — the 100 TB
+    * point: the walk never touches raw vectors until the final
+    * |probes|·[[adcRerankN]] re-rank); the codebook/table state is
+    * probe-local; the only shuffles are the bounded frontier re-sorts.
+    */
+  def annGraphBeamAdc(spark: SparkSession, dir: String, k: Int = 3,
+                      ef: Int = adcBeamEf,
+                      rerankN: Int = adcRerankN): DataFrame =
+    graft.QueryCaches.memo(
+      s"graphann.beamadc:$dir:$k:$ef:$rerankN:${spark.sparkContext.applicationId}") {
+      val subs = 8
+      val base = Similarity.pqIndexPath(spark, dir)
+      val codes = spark.read.parquet(s"$base/codes")
+      val dt = Similarity.pqDistTablesFor(spark, dir, subs,
+        Similarity.readCodebook(spark, base))
+      val probes = probeEntries(spark, dir)
+        .select("qid", "ent").distinct()
+        .join(dt.select(col("qid"), col("dtm")), Seq("qid"))
+      val (pool, rounds) = beamPoolAdcFrom(adcEdgesArtifact(spark, dir),
+        probes, codes, subs, ef, beamRounds)
+      val wa = Window.partitionBy("qid").orderBy(col("ad"), col("nid"))
+      val short = pool.withColumn("_rn", row_number().over(wa))
+        .filter(col("_rn") <= rerankN).select("qid", "nid")
+      val tk = ticks(spark, dir).persist()
+      val we = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+      val res = short
+        .join(tk.select(col("vec_id").as("qid"), col("tv").as("qv")), Seq("qid"))
+        .join(tk.select(col("vec_id").as("nid"), col("tv").as("nv")), Seq("nid"))
+        .select(col("qid"), col("nid"), intSqDist(col("qv"), col("nv")).as("d2"))
+        .withColumn("rank", row_number().over(we))
+        .filter(col("rank") <= k)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("nid").as("neighbor_id"), col("d2").as("adc_rerank_dist"))
+        .orderBy("query_id", "rank")
+        .persist()
+      val pooled = pool.count()
+      adcBeamStats.put(dir,
+        (rounds, pooled, pooled * 16L, short.count() * 256L))
+      res
+    }
+
   // ---------------- E22: graph tombstone delete ----------------
 
   /** Per-dir delete telemetry: (edges lost to the takedown, bridge
@@ -926,7 +1082,8 @@ object GraphAnn {
     "ann_graph_beam" -> ((s, d) => annGraphBeam(s, d)),
     "ann_graph_append" -> ((s, d) => annGraphAppend(s, d)),
     "ann_graph_layer" -> ((s, d) => annGraphLayer(s, d)),
-    "ann_graph_delete" -> ((s, d) => annGraphDelete(s, d)))
+    "ann_graph_delete" -> ((s, d) => annGraphDelete(s, d)),
+    "ann_graph_beam_adc" -> ((s, d) => annGraphBeamAdc(s, d)))
 
   /** Integer pairwise distance over a named pair CTE: joins the
     * LIST-form tick vectors to both endpoints and computes the squared
@@ -1389,6 +1546,71 @@ object GraphAnn {
          |  CAST(d AS BIGINT) AS beam_dist
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
          |      FROM bpool)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    // E23: the trained-PQ encode/table CTEs (E5's oracle machinery),
+    // the probes × corpus ADC distance relation, the dedicated (20,3)
+    // build chain, the ADC-scored beam unroll, and the exact-integer
+    // re-rank of the per-probe top-50 shortlist — the driver
+    // hash-proves the approximate walk AND the exact finish
+    "ann_graph_beam_adc" -> {
+      val rounds = (1 to beamRounds)
+        .map(i => beamRoundSql(i, "afr", "acnd", s"ze$adcBuildRounds", "adcq",
+          adcBeamEf))
+        .mkString(",\n")
+      val poolArms = (1 to beamRounds)
+        .map(i => s"SELECT qid, nid, d FROM acnd$i")
+        .mkString("\n   UNION ALL ")
+      s"""$corePrefixSql,
+         |pqex AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
+         |        (dim - 1) % 8 AS dimin, q FROM gex),
+         |${Similarity.pqTrainCtes("", "pqex", "TRUE", 16)},
+         |pqd AS (SELECT e.vec_id, e.sub, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+         |        FROM pqex e JOIN cb c USING (sub, dimin) GROUP BY 1, 2, 3),
+         |pqcodes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM pqd)
+         | WHERE rn = 1),
+         |pqdt AS (SELECT p.vec_id AS qid, p.sub, c.code,
+         |        sum((p.q - c.cq) * (p.q - c.cq)) AS dt
+         |       FROM pqex p JOIN cb c USING (sub, dimin)
+         |       WHERE p.vec_id % 100 = 0 GROUP BY 1, 2, 3),
+         |adcq AS MATERIALIZED (
+         | SELECT t.qid, k.vec_id AS nid, sum(t.dt) AS d2
+         | FROM pqcodes k JOIN pqdt t ON t.sub = k.sub AND t.code = k.code
+         | GROUP BY 1, 2),
+         |${buildChainSql("gb", "z", adcDegree, adcBuildRounds)},
+         |afr0 AS MATERIALIZED (
+         | SELECT qid, nid, d FROM (
+         |   SELECT qid, nid, d,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+         |   FROM (SELECT DISTINCT en.qid, en.ent AS nid, a.d2 AS d
+         |         FROM entries en
+         |         JOIN adcq a ON a.qid = en.qid AND a.nid = en.ent) t)
+         | WHERE rn <= $adcBeamEf),
+         |$rounds,
+         |adcpool AS (
+         | SELECT DISTINCT qid, nid, d FROM (
+         |   SELECT qid, nid, d FROM afr0
+         |   UNION ALL $poolArms) t
+         | WHERE nid <> qid),
+         |ashort AS (
+         | SELECT qid, nid FROM (
+         |   SELECT qid, nid,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+         |   FROM adcpool)
+         | WHERE rn <= $adcRerankN),
+         |aexact AS (
+         | SELECT s.qid, s.nid,
+         |   list_sum(list_transform(list_zip(a.q, b.q),
+         |     z -> (z[1] - z[2]) * (z[1] - z[2]))) AS xd
+         | FROM ashort s
+         | JOIN qv a ON a.vec_id = s.qid
+         | JOIN qv b ON b.vec_id = s.nid)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id,
+         |  CAST(xd AS BIGINT) AS adc_rerank_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY xd, nid) AS rank
+         |      FROM aexact)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
     // E22: the full-corpus build chain (the standing artifact), the

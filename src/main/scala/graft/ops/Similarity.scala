@@ -382,7 +382,7 @@ object Similarity {
   /** [[pqDistTables]] against an explicit codebook (the reloaded-index
     * path hands in the codebook read back from storage).
     */
-  private def pqDistTablesFor(spark: SparkSession, dir: String, subs: Int,
+  private[graft] def pqDistTablesFor(spark: SparkSession, dir: String, subs: Int,
                               cb: Array[(Long, Array[Array[Long]])]): DataFrame = {
     val dimsPerSub = 64 / subs
     Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
@@ -398,7 +398,7 @@ object Similarity {
     * higher-order functions interpret their lambda per element per row,
     * which dominates the scan×probes hot loop; ElementAt is codegen'd.
     */
-  private def adcDist(subs: Int): Column =
+  private[graft] def adcDist(subs: Int): Column =
     (0 until subs).map { s =>
       element_at(element_at(col("dtm"), s + 1), element_at(col("ords"), s + 1) + 1)
     }.reduce(_ + _)
@@ -1408,7 +1408,7 @@ object Similarity {
     * the training itself. Expects an ex-shaped CTE `$ex`
     * (vec_id, sub, dimin, q).
     */
-  private def pqTrainCtes(p: String, ex: String, trainWhere: String,
+  private[ops] def pqTrainCtes(p: String, ex: String, trainWhere: String,
                           k: Int): String = {
     def round(t: Int): String =
       s"""${p}td$t AS (
