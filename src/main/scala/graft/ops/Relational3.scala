@@ -219,9 +219,48 @@ object Relational3 {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_skew_salt_join" -> (qSkewSaltJoin _),
     "q_skew_join_aqe" -> (qSkewJoinAqe _),
+    "q_skew_salt_agg" -> ((s: SparkSession, d: String) => qSkewSaltAgg(s, d)),
     "q_lead_lag" -> (qLeadLag _),
     "q_date_spine" -> (qDateSpine _),
     "q_scd2" -> (qScd2 _))
+
+  /** A27c — `q_skew_salt_agg` (round-12 stretch #8, completing the
+    * skew playbook A27/A27b/A22 built for JOINS): the two-stage
+    * SALTED PARTIAL AGGREGATE for a hot-key groupBy. Why joins' tools
+    * don't transfer: AQE's skewedJoin rule only re-splits shuffle
+    * JOIN partitions (Round11fSpec pinned the boundary), and Spark's
+    * own map-side partial aggregation already neutralizes hot keys
+    * for ALGEBRAIC aggregates (sum/count collapse to one row per key
+    * per task) — the case that actually skews at 100 TB is the
+    * NON-COLLAPSIBLE aggregate, count(DISTINCT user) per hot key,
+    * where every task must ship its full per-key distinct set to one
+    * reducer. The rewrite: salt = user_id % S PARTITIONS THE DISTINCT
+    * DOMAIN (not the rows — a row-random salt would double-count),
+    * so stage 1's per-(key, salt) exact distinct counts are disjoint
+    * and stage 2's plain sum is exact. Result-invisible by
+    * construction; the oracle is the UNSALTED plain aggregate.
+    *
+    * Scale shape: stage 1 shuffles (key × S) groups — the hot key's
+    * distinct set fans out over S reducers instead of one; stage 2
+    * shuffles S rows per key. The algebraic companions (sum, count)
+    * ride the same two stages to show the rewrite carries a full
+    * aggregate list, not just the distinct.
+    */
+  def qSkewSaltAgg(spark: SparkSession, dir: String,
+                   salts: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 10000).cast("long").as("v"))
+    ev.groupBy(col("event_type"),
+        pmod(col("user_id"), lit(salts)).as("salt"))
+      .agg(countDistinct(col("user_id")).as("pd"),
+        sum(col("v")).as("pv"), count(lit(1)).as("pn"))
+      .groupBy("event_type")
+      .agg(sum("pd").as("n_users"),
+        (sum("pv") / 10000.0).as("total_value"),
+        sum("pn").as("n"))
+      .orderBy("event_type")
+  }
 
   private lazy val skewJoinOracle: String =
     """SELECT o_orderpriority,
@@ -267,6 +306,14 @@ object Relational3 {
     // A27b shares it VERBATIM: however AQE splits the skewed shuffle at
     // runtime, the result must be the plain join's
     "q_skew_join_aqe" -> skewJoinOracle,
+    // A27c: the plain UNSALTED aggregate — however the engine salts,
+    // the result must be the one-stage groupBy's
+    "q_skew_salt_agg" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS n_users,
+        | sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS total_value,
+        | count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lead_lag" ->
       """WITH g AS (
         | SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -357,8 +357,12 @@ object Sources {
     * lower one).
     */
   def commitStaged(logPath: String, stagedPath: String): Long =
+    // the claim floor keeps post-vacuum commits ABOVE the vacuumed
+    // history (see vacuumLog) — without it the next id would be derived
+    // from the surviving dir names alone and re-claim a vacuumed id
     commitStagedFrom(logPath, stagedPath,
-      committedIds(logPath).lastOption.getOrElse(0L) + 1)
+      math.max(committedIds(logPath).lastOption.getOrElse(0L),
+        claimFloor(logPath)) + 1)
 
   /** The claim loop from an explicit starting candidate — split out so
     * the contract query and specs can hand a writer a STALE candidate
@@ -613,6 +617,18 @@ object Sources {
     */
   def vacuumLog(spark: SparkSession, logPath: String, basePath: String): Int = {
     val wm = spark.read.parquet(s"$basePath/meta").head().getLong(0)
+    // CLAIM FLOOR, written BEFORE any directory is removed (r12 — found
+    // by the multi-day soak spec): id sequencing reads the log's
+    // surviving directory names, so once vacuum deletes
+    // _batch_id=1..wm a LATER commit would claim id 1 again — at or
+    // below the watermark — and readCompacted's strictly-above-wm
+    // delta filter would silently drop it: a committed batch invisible
+    // to every compacted read, data loss at read time. The floor file
+    // pins the sequencer above the vacuumed history forever;
+    // write-before-delete means a crash mid-vacuum can only leave the
+    // floor SET with some stale dirs remaining (ids stay correct, the
+    // stale dirs are ≤ wm and re-vacuumable), never the reverse.
+    writeClaimFloor(logPath, wm)
     val dirs = Option(new java.io.File(logPath).listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("_batch_id=") &&
         f.getName.stripPrefix("_batch_id=").toLong <= wm)
@@ -624,6 +640,29 @@ object Sources {
     }
     dirs.foreach(delete)
     dirs.length
+  }
+
+  /** The vacuumed-history high-water mark, as a dot-prefixed sidecar in
+    * the log dir itself (invisible to plain parquet readers — I21's
+    * manifest discipline): the id sequencer may never claim at or below
+    * it. Monotone — a floor only ever rises.
+    */
+  private def claimFloorFile(logPath: String) =
+    new java.io.File(logPath, ".claim_floor")
+
+  private[graft] def claimFloor(logPath: String): Long = {
+    val f = claimFloorFile(logPath)
+    if (f.isFile)
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  private[graft] def writeClaimFloor(logPath: String, wm: Long): Unit = {
+    val floor = math.max(claimFloor(logPath), wm)
+    java.nio.file.Files.write(claimFloorFile(logPath).toPath,
+      floor.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 }
 

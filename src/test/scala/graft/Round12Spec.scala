@@ -119,6 +119,32 @@ class Round12Spec extends AnyFunSuite {
       "re-encoded deleted rows diverged from the original code rows")
   }
 
+  // ---------------- A27c: salted hot-key aggregate ----------------
+
+  test("q_skew_salt_agg: the two-stage salted distinct is result-identical to the plain aggregate") {
+    val salted = graft.ops.Relational3.qSkewSaltAgg(spark, sf).collect()
+    val plain = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        (sum(round(col("value") * 10000).cast("long")) / 10000.0)
+          .as("total_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(salted.sameElements(plain),
+      "salting changed the aggregate — the domain partition is broken")
+    // the plan property the operator exists for: stage 1 groups on
+    // (event_type, salt), fanning the hot key's distinct set over S
+    // reducers instead of one
+    val qe = graft.ops.Relational3.qSkewSaltAgg(spark, sf).queryExecution
+    val aggKeys = qe.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.map(_.sql).mkString(",")
+    }
+    assert(aggKeys.exists(_.contains("salt")) ||
+      qe.optimizedPlan.toString.contains("pmod"),
+      s"no salted grouping in the optimized plan:\n${aggKeys.mkString("\n")}")
+  }
+
   // ---------------- E22: graph edge artifact ----------------
 
   test("ann_graph_delete: no deleted endpoint anywhere — edges, entries, or served rows") {
