@@ -1262,42 +1262,63 @@ object GraphAnn {
     * append gate serve (over the appended adjacency) and the append
     * stale-branch serve (over the rebuilt full graph).
     */
+  /** The greedy multi-entry walk + touched-pool CTE block: a FIXED
+    * [[maxSteps]]-round UNROLL of the engine's per-chain loop (r12 —
+    * the third and final form). History of this block, because each
+    * rewrite was a measured 10×-rehearsal fix: (r11) a per-(probe,
+    * node) `bestn` row_number window over the |edges| × |probes| join
+    * SORTED ~1B rows at 10× — temp-disk-full; (r12a) the same bestn as
+    * a packed-HUGEINT min aggregate stopped the sort but still
+    * MATERIALIZED a |probes| × |nodes| relation — ~36M groups fed by
+    * 500M join rows, 17+ GB of out-of-core aggregate spill measured on
+    * the truncated probe. The unroll computes best-neighbors ONLY for
+    * the frontier's ~|chains| current nodes per round (chains × degree
+    * scored rows ≈ 400k at 10×, × 64 rounds — linear, spill-free):
+    * per round, score the chains' out-neighbors (c$i), take each
+    * chain's packed-HUGEINT argmin (b$i — min(d2·10¹⁰ + dst) is the
+    * exact (d2, dst) tie-break; dst < 10¹⁰ by construction, d2 ≤
+    * 2.56·10¹⁴ keeps the pack exact), and move the chain iff strictly
+    * improving, else CARRY it unchanged — the carry makes the fixed
+    * unroll idempotent at each chain's fixpoint, exactly
+    * [[beamRoundSql]]'s argument, and [[maxSteps]] rounds match the
+    * engine walk's loud step cap. Pool = every round's scored
+    * candidates ∪ every round's chain positions, deduped.
+    */
   private def walkPoolSql(pfx: String, edges: String, dist: String,
-                          ents: String): String =
-    // bestn as a MATERIALIZED STREAMING HASH AGGREGATE (r12):
-    // min(d2 · 10¹⁰ + dst) is the lexicographic (d2, dst) argmin the
-    // former row_number window picked — dst < 10¹⁰ by construction
-    // (vec_ids stay under ~10⁹ even at the 10× rehearsal's id offset)
-    // and d2 ≤ 64·(2·10⁶)² = 2.56·10¹⁴ keeps the packed HUGEINT exact —
-    // but the window SORTED the full |edges| × |probes| join (~1B rows
-    // at 10× — the r11 temp-disk-full), while min() folds it
-    // group-at-a-time (measured 2.5× faster than the window and 24×
-    // faster than a min-over-STRUCT, whose generic comparator is the
-    // slow path). MATERIALIZED matters too: the recursive `walk`
-    // references bestn each round, and an un-materialized CTE
-    // re-evaluates there every time.
-    s"""${pfx}bestn AS MATERIALIZED (
-       | SELECT qid, node, CAST(m % 10000000000 AS BIGINT) AS bn,
-       |        m // 10000000000 AS bnd FROM (
-       |   SELECT q.qid, e.src AS node,
-       |     min(q.d2 * 10000000000 + e.dst) AS m
-       |   FROM $edges e JOIN $dist q ON q.nid = e.dst
-       |   GROUP BY 1, 2)),
-       |${pfx}walk(qid, ent, cur, d) AS (
-       | SELECT en.qid, en.ent, en.ent, q.d2
-       | FROM $ents en JOIN $dist q ON q.qid = en.qid AND q.nid = en.ent
-       | UNION ALL
-       | SELECT w.qid, w.ent, b.bn, b.bnd
-       | FROM ${pfx}walk w JOIN ${pfx}bestn b ON b.qid = w.qid AND b.node = w.cur
-       | WHERE b.bnd < w.d),
+                          ents: String): String = {
+    def round(i: Int): String =
+      s"""${pfx}c$i AS MATERIALIZED (
+         | SELECT w.qid, w.ent, e.dst, q.d2
+         | FROM ${pfx}w${i - 1} w JOIN $edges e ON e.src = w.cur
+         | JOIN $dist q ON q.qid = w.qid AND q.nid = e.dst),
+         |${pfx}b$i AS (
+         | SELECT qid, ent, min(d2 * 10000000000 + dst) AS m
+         | FROM ${pfx}c$i GROUP BY 1, 2),
+         |${pfx}w$i AS MATERIALIZED (
+         | SELECT w.qid, w.ent,
+         |   CASE WHEN b.m IS NOT NULL AND b.m // 10000000000 < w.d
+         |        THEN CAST(b.m % 10000000000 AS BIGINT) ELSE w.cur END AS cur,
+         |   CASE WHEN b.m IS NOT NULL AND b.m // 10000000000 < w.d
+         |        THEN b.m // 10000000000 ELSE w.d END AS d
+         | FROM ${pfx}w${i - 1} w
+         | LEFT JOIN ${pfx}b$i b ON b.qid = w.qid AND b.ent = w.ent)""".stripMargin
+    val rounds = (1 to maxSteps).map(round).mkString(",\n")
+    val candArms = (1 to maxSteps)
+      .map(i => s"SELECT qid, dst AS nid, d2 AS d FROM ${pfx}c$i")
+      .mkString("\n   UNION ALL ")
+    val curArms = (0 to maxSteps)
+      .map(i => s"SELECT qid, cur AS nid, d FROM ${pfx}w$i")
+      .mkString("\n   UNION ALL ")
+    s"""${pfx}w0 AS MATERIALIZED (
+       | SELECT en.qid, en.ent, en.ent AS cur, q.d2 AS d
+       | FROM $ents en JOIN $dist q ON q.qid = en.qid AND q.nid = en.ent),
+       |$rounds,
        |${pfx}pool AS (
        | SELECT DISTINCT qid, nid, d FROM (
-       |   SELECT w.qid, e.dst AS nid, q.d2 AS d
-       |   FROM ${pfx}walk w JOIN $edges e ON e.src = w.cur
-       |   JOIN $dist q ON q.qid = w.qid AND q.nid = e.dst
-       |   UNION ALL
-       |   SELECT qid, cur AS nid, d FROM ${pfx}walk) t
+       |   $candArms
+       |   UNION ALL $curArms) t
        | WHERE nid <> qid)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // E18: base build (prefixed chain over the base subset), insert
@@ -1675,32 +1696,11 @@ object GraphAnn {
     },
     "ann_graph_search" -> {
       s"""$oraclePrefixSql,
-         |bestn AS MATERIALIZED (
-         | SELECT qid, node, CAST(m % 10000000000 AS BIGINT) AS bn,
-         |        m // 10000000000 AS bnd FROM (
-         |   SELECT q.qid, e.src AS node,
-         |     min(q.d2 * 10000000000 + e.dst) AS m
-         |   FROM e2 e JOIN qd q ON q.nid = e.dst
-         |   GROUP BY 1, 2)),
-         |walk(qid, ent, cur, d) AS (
-         | SELECT en.qid, en.ent, en.ent, q.d2
-         | FROM entries en JOIN qd q ON q.qid = en.qid AND q.nid = en.ent
-         | UNION ALL
-         | SELECT w.qid, w.ent, b.bn, b.bnd
-         | FROM walk w JOIN bestn b ON b.qid = w.qid AND b.node = w.cur
-         | WHERE b.bnd < w.d),
-         |pool AS (
-         | SELECT DISTINCT qid, nid, d FROM (
-         |   SELECT w.qid, e.dst AS nid, q.d2 AS d
-         |   FROM walk w JOIN e2 e ON e.src = w.cur
-         |   JOIN qd q ON q.qid = w.qid AND q.nid = e.dst
-         |   UNION ALL
-         |   SELECT qid, cur AS nid, d FROM walk) t
-         | WHERE nid <> qid)
+         |${walkPoolSql("s", "e2", "qd", "entries")}
          |SELECT qid AS query_id, rank, nid AS neighbor_id,
          |  CAST(d AS BIGINT) AS graph_dist
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
-         |      FROM pool)
+         |      FROM spool)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     })
 }
