@@ -140,10 +140,6 @@ object GraphAnn {
       val edges = buildEdges(spark, dir)
       val path = graft.Scratch.dir("graphann_edges")
       edges.write.mode("overwrite").parquet(path)
-      // drop the build-scoped tick cache (unpersist matches by analyzed
-      // plan, so a plan-equal handle releases the entry persisted inside
-      // buildEdges)
-      ticks(spark, dir).unpersist()
       spark.read.parquet(path)
     }
 
@@ -161,7 +157,13 @@ object GraphAnn {
   private[graft] def buildEdgesFrom(embs: DataFrame, bucketTag: String,
                                     deg: Int = degree,
                                     rounds: Int = descentRounds): DataFrame = {
-      val tk = ticksOf(embs).persist()
+      // build-LOCAL tick materialization (localCheckpoint, not persist):
+      // persist registers by analyzed-plan equality, so a build-scoped
+      // persist+unpersist of the shared ticks plan would evict any
+      // serve's cache of the same frame mid-session (the r12 advisor's
+      // finding against adcEdgesArtifact) — the checkpointed copy has
+      // its own LogicalRDD plan and no CacheManager interaction
+      val tk = ticksOf(embs).localCheckpoint()
       val bucket = bucketCol
       val e = embs
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
@@ -507,7 +509,6 @@ object GraphAnn {
     val delta = embs.filter(isDelta)
     val tkAll = ticksOf(embs).localCheckpoint()
     val baseEdges = buildEdgesFrom(base, bucketTag).localCheckpoint()
-    ticksOf(base).unpersist()
     val dEdges = insertEdges(baseEdges, entriesFrom(base, delta), tkAll)
     appendTail(baseEdges, dEdges, embs, isDelta, tkAll)
   }
@@ -670,7 +671,6 @@ object GraphAnn {
         s"graphann.adcbuckets:$dir", adcDegree, adcBuildRounds)
       val path = graft.Scratch.dir("graphann_adc_edges")
       edges.write.mode("overwrite").parquet(path)
-      ticks(spark, dir).unpersist()
       spark.read.parquet(path)
     }
 
@@ -733,7 +733,7 @@ object GraphAnn {
     * but rejected at 4.7× the LSH tier's RAW-BYTE scan; at 16 B/row
     * the same pool costs ~0.07× the LSH bytes, and the exact re-rank
     * (top-[[adcRerankN]] per probe by ADC, then exact integer L2 over
-    * raw ticks) adds |probes|·50 raw reads. Round12bSpec pins
+    * raw ticks) adds |probes|·[[adcRerankN]] raw reads. Round12bSpec pins
     * recall@3 ≥ 0.70 with total touched bytes ≤ 4× the LSH tier's —
     * the directive's done-bar — and strict dominance over E17/E19.
     *
@@ -891,7 +891,6 @@ object GraphAnn {
       val edges = buildEdgesFrom(base, s"graphann.sbuckets:$dir")
       val path = graft.Scratch.dir("graphann_streambase")
       edges.write.mode("overwrite").parquet(path)
-      ticksOf(base).unpersist()
       spark.read.parquet(path)
     }
 
@@ -1025,14 +1024,12 @@ object GraphAnn {
       val upperEdges = buildEdgesFrom(upper, s"graphann.lbuckets:$dir:$deg:$rounds",
           deg, rounds)
         .localCheckpoint()
-      ticksOf(upper).unpersist()
       val baseEdges = graft.QueryCaches.memo(
         s"graphann.ledges:$dir:$deg:$rounds:${spark.sparkContext.applicationId}") {
         val e = buildEdgesFrom(embs, s"graphann.lbbuckets:$dir:$deg:$rounds",
           deg, rounds)
         val path = graft.Scratch.dir("graphann_layer_edges")
         e.write.mode("overwrite").parquet(path)
-        ticks(spark, dir).unpersist()
         spark.read.parquet(path)
       }
       val probes = embs.filter(col("vec_id") % 100 === 0)
@@ -1572,7 +1569,7 @@ object GraphAnn {
     // E23: the trained-PQ encode/table CTEs (E5's oracle machinery),
     // the probes × corpus ADC distance relation, the dedicated (20,3)
     // build chain, the ADC-scored beam unroll, and the exact-integer
-    // re-rank of the per-probe top-50 shortlist — the driver
+    // re-rank of the per-probe top-[adcRerankN=200] shortlist — the driver
     // hash-proves the approximate walk AND the exact finish
     "ann_graph_beam_adc" -> {
       val rounds = (1 to beamRounds)

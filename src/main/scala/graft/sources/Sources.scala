@@ -374,13 +374,20 @@ object Sources {
                                       fromId: Long,
                                       store: CommitStore = PosixRenameStore): Long = {
     store.prepare(logPath, stagedPath)
-    var id = fromId
-    while (id < fromId + 100000) {
+    // The claim floor binds HERE, not just in commitStaged's candidate
+    // derivation: a caller holding a stale candidate (the documented
+    // conflict-retry path) must still never claim at or below the
+    // vacuumed watermark — readCompacted's strictly-above-wm delta
+    // filter would silently drop that committed batch (r12's soak bug,
+    // re-found on this path by the r12 advisor).
+    val start = math.max(fromId, claimFloor(logPath) + 1)
+    var id = start
+    while (id < start + 100000) {
       if (store.tryClaim(logPath, stagedPath, id)) return id
       id += 1
     }
     throw new IllegalStateException(
-      s"commitStagedFrom: exhausted 100000 claim attempts from $fromId")
+      s"commitStagedFrom: exhausted 100000 claim attempts from $start")
   }
 
   /** Stage + claim in one call — what a daily job actually runs. */
@@ -652,16 +659,36 @@ object Sources {
 
   private[graft] def claimFloor(logPath: String): Long = {
     val f = claimFloorFile(logPath)
-    if (f.isFile)
-      new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    else 0L
+    if (f.isFile) {
+      val raw = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      // A floor file that exists but does not parse means the vacuumed
+      // watermark is UNKNOWN — committing anyway could reuse a vacuumed
+      // id, so fail loudly naming the file rather than default to 0
+      // (the atomic temp+rename write below should make this
+      // unreachable; it guards manual edits and torn non-POSIX writes).
+      try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"claim-floor sidecar $f is unreadable (contents: '$raw') — " +
+            "the vacuumed watermark is unknown; restore it from the " +
+            "compacted base's meta before committing")
+      }
+    } else 0L
   }
 
   private[graft] def writeClaimFloor(logPath: String, wm: Long): Unit = {
     val floor = math.max(claimFloor(logPath), wm)
-    java.nio.file.Files.write(claimFloorFile(logPath).toPath,
+    // Temp-file + atomic rename: a crash mid-write must never leave a
+    // partial .claim_floor (claimFloor would then refuse every later
+    // commit) — the same rename(2) atomicity the commit protocol itself
+    // rests on.
+    val tmp = java.nio.file.Files.createTempFile(
+      claimFloorFile(logPath).toPath.getParent, ".claim_floor_", ".tmp")
+    java.nio.file.Files.write(tmp,
       floor.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, claimFloorFile(logPath).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 }
