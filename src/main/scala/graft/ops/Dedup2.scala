@@ -282,10 +282,20 @@ object Dedup2 {
     * doc_id to D13's plan (the sidecar is takedown-sized, never
     * corpus-sized); admission cost stays O(|delta|·bands).
     */
-  def dedupTombstone(spark: SparkSession, dir: String): DataFrame = {
-    val root = bandTombstonePath(spark, dir)
-    val tomb = spark.read.parquet(s"$root/tombstones")
-    val surviving = spark.read.parquet(s"$root/index")
+  def dedupTombstone(spark: SparkSession, dir: String): DataFrame =
+    tombstoneServeFrom(spark, dir, bandTombstonePath(spark, dir))
+
+  /** The merge-on-read serve over ANY band-index artifact root —
+    * generation-resolved ([[ArtifactGen]]), so the un-vacuumed shared
+    * artifact (generation 0 = exactly the pre-r13 paths) and D19's
+    * vacuumed instance run the IDENTICAL plan: current-generation
+    * index ANTI-JOIN current-generation sidecar, then D13's admission.
+    */
+  private[graft] def tombstoneServeFrom(spark: SparkSession, dir: String,
+                                        root: String): DataFrame = {
+    val gd = ArtifactGen.dir(root, ArtifactGen.current(root))
+    val tomb = spark.read.parquet(s"$gd/tombstones")
+    val surviving = spark.read.parquet(s"$gd/index")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
     val sigs = HotBucket.saltByCap(surviving,
       Seq("band", "sig"), col("doc_id"), s"d18.bandSigs:$dir")

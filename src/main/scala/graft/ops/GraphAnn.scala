@@ -799,8 +799,16 @@ object GraphAnn {
     * exactly the damage.
     */
   private[graft] def repairedEdges(edges: DataFrame, embs: DataFrame,
-                                   isDel: Column): (DataFrame, (Long, Long, Long)) = {
-    val del = embs.filter(isDel).select(col("vec_id"))
+                                   isDel: Column): (DataFrame, (Long, Long, Long)) =
+    repairedEdgesFrom(edges, embs, embs.filter(isDel).select(col("vec_id")))
+
+  /** [[repairedEdges]] with the delete set as an explicit FRAME — the
+    * sidecar-driven form E25's vacuum serve and post-vacuum re-deletes
+    * use (a takedown arrives as keys, not as a predicate).
+    */
+  private[graft] def repairedEdgesFrom(edges: DataFrame, embs: DataFrame,
+                                       delKeys: DataFrame): (DataFrame, (Long, Long, Long)) = {
+    val del = delKeys.select(col("vec_id"))
     val delS = del.select(col("vec_id").as("src"))
     val delD = del.select(col("vec_id").as("dst"))
     // the tombstone set is takedown-sized — broadcast every anti-join
@@ -865,18 +873,66 @@ object GraphAnn {
       val (repaired, stats) =
         repairedEdges(edgesArtifact(spark, dir), embs, isDel)
       deleteStats.put(dir, stats)
-      val surv = embs.filter(!isDel)
-      val probes = surv.filter(col("vec_id") % 100 === 0)
-      val (pool, _) = greedyPoolFrom(repaired,
-        entriesFrom(surv, probes), ticksOf(surv), maxSteps)
-      val w = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
-      pool.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("qid").as("query_id"), col("rank"),
-          col("nid").as("neighbor_id"), col("d").as("delete_dist"))
-        .orderBy("query_id", "rank")
-        .persist()
+      greedyDeleteServe(spark, dir, repaired, embs.filter(!isDel), k)
     }
+
+  /** E22's serve tail — greedy walk over a repaired graph with entries
+    * from the surviving corpus — shared verbatim by the in-session
+    * delete (E22) and the vacuumed-artifact serve (E25), so the two
+    * can only ever differ in WHERE the edges came from.
+    */
+  private def greedyDeleteServe(spark: SparkSession, dir: String,
+                                repaired: DataFrame, surv: DataFrame,
+                                k: Int): DataFrame = {
+    val probes = surv.filter(col("vec_id") % 100 === 0)
+    val (pool, _) = greedyPoolFrom(repaired,
+      entriesFrom(surv, probes), ticksOf(surv), maxSteps)
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
+    pool.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("d").as("delete_dist"))
+      .orderBy("query_id", "rank")
+      .persist()
+  }
+
+  /** The generation-resolved serve over a VACUUMED graph-delete root
+    * (E25): edges read back from the persisted generation, the corpus
+    * masked by the root's cumulative `deleted` ledger, and any
+    * POST-vacuum tombstones repaired merge-on-read — the same
+    * [[repairedEdgesFrom]] rule that produced the artifact, so a
+    * re-delete after a vacuum behaves exactly like the original
+    * delete did at generation 0. An empty sidecar short-circuits to
+    * the persisted edges verbatim (re-pruning a top-degree graph is
+    * the identity).
+    */
+  private[graft] def graphDeleteServeFrom(spark: SparkSession, dir: String,
+                                          root: String, k: Int = 3): DataFrame = {
+    val gen = ArtifactGen.current(root)
+    // the sidecar's file count rides in the memo key so a POST-vacuum
+    // re-delete (an appended tombstone part-file) can never serve a
+    // stale cached frame — generations and sidecars only ever grow
+    val nTombFiles = Option(
+      new java.io.File(ArtifactGen.dir(root, gen), "tombstones").list())
+      .map(_.length).getOrElse(0)
+    graft.QueryCaches.memo(
+      s"graphann.delserve:$root:$k:$gen:$nTombFiles:${spark.sparkContext.applicationId}") {
+      val gd = ArtifactGen.dir(root, gen)
+      val edges = spark.read.parquet(s"$gd/edges")
+      val tomb = spark.read.parquet(s"$gd/tombstones")
+      val embs = Tables.embeddings(spark, dir)
+      val deleted =
+        if (new java.io.File(gd, "deleted").exists)
+          spark.read.parquet(s"$gd/deleted")
+        else tomb.limit(0)
+      val members = embs.join(broadcast(deleted), Seq("vec_id"), "left_anti")
+      val repaired =
+        if (tomb.isEmpty) edges
+        else repairedEdgesFrom(edges, members, tomb)._1
+      val surv = members.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      greedyDeleteServe(spark, dir, repaired, surv, k)
+    }
+  }
 
   // ---------------- G18: streaming vector admit (engine side) ----------------
 

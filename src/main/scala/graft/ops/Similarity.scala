@@ -530,10 +530,26 @@ object Similarity {
     * optimization never required for correctness.
     */
   def annIndexDelete(spark: SparkSession, dir: String, subs: Int = 8,
-                     k: Int = 16, topK: Int = 5): DataFrame = {
+                     k: Int = 16, topK: Int = 5): DataFrame =
+    pqDeleteServeFrom(spark, dir, pqTombstonePath(spark, dir), subs, k, topK)
+
+  /** The merge-on-read ADC serve over ANY PQ-delete artifact root —
+    * generation-resolved ([[ArtifactGen]]): at generation 0 the codes
+    * are E9's SHARED artifact (exactly the pre-r13 read) and the
+    * sidecar lives at the root; at generation g ≥ 1 both live under
+    * the root's `_gen=g` (E24's vacuumed instance). The codebook is
+    * frozen across deletes AND vacuums, so every generation serves
+    * against the same distance tables.
+    */
+  private[graft] def pqDeleteServeFrom(spark: SparkSession, dir: String,
+                                       root: String, subs: Int = 8,
+                                       k: Int = 16, topK: Int = 5): DataFrame = {
     val base = pqIndexPath(spark, dir, subs, k)
-    val tomb = spark.read.parquet(s"${pqTombstonePath(spark, dir)}/tombstones")
-    val codes = spark.read.parquet(s"$base/codes")
+    val g = ArtifactGen.current(root)
+    val gd = ArtifactGen.dir(root, g)
+    val codesPath = if (g == 0) s"$base/codes" else s"$gd/codes"
+    val tomb = spark.read.parquet(s"$gd/tombstones")
+    val codes = spark.read.parquet(codesPath)
       .join(broadcast(tomb), Seq("vec_id"), "left_anti")
     adcSearch(codes,
       pqDistTablesFor(spark, dir, subs, readCodebook(spark, base)), subs, topK)
