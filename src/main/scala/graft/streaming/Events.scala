@@ -148,7 +148,8 @@ object Events {
     "stream_corpus_admit" -> (CorpusAdmit.streamCorpusAdmit _),
     "stream_quality_admit" -> (QualityAdmit.streamQualityAdmit _),
     "stream_shard_route" -> (ShardRoute.streamShardRoute _),
-    "stream_vector_admit" -> (VectorAdmit.streamVectorAdmit _))
+    "stream_vector_admit" -> (VectorAdmit.streamVectorAdmit _),
+    "stream_tombstone_admit" -> (TombstoneAdmit.streamTombstoneAdmit _))
 
   /** G9 — windowed heavy hitters: top-3 event types per tumbling hour
     * (the live "what's trending this hour" report). The per-window rank
@@ -173,6 +174,10 @@ object Events {
     // D13's oracle VERBATIM: the streaming ingest gate and the batch
     // backfill must hash-agree verdict for verdict
     "stream_corpus_admit" -> graft.ops.Dedup2.oracles("dedup_incremental"),
+    // D18's oracle VERBATIM: a takedown delivered as a stream of
+    // events and a takedown applied as one batch sidecar write must
+    // hash-agree verdict for verdict (stream ≡ batch deletes)
+    "stream_tombstone_admit" -> graft.ops.Dedup2.oracles("dedup_tombstone"),
     // G16 scores the stream with F21's exact projections under the
     // frozen offline-trained model — the sink audit shares F21's
     // oracle verbatim, hash-proving stream ≡ batch verdicts
