@@ -242,7 +242,7 @@ object Corpus {
     * ⌈Σtokens/capacity⌉ from one bounded driver aggregate, bin =
     * (global rank − 1) mod bins via [[DistRank]].
     */
-  private[ops] def binAssigned(toks: DataFrame, capacity: Long,
+  private[graft] def binAssigned(toks: DataFrame, capacity: Long,
       sort: org.apache.spark.sql.Column*): DataFrame = {
     // ⌈Σtokens / capacity⌉ — one bounded driver aggregate (2 longs).
     // An empty (or all-null) token frame packs to an EMPTY result, not

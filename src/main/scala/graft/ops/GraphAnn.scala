@@ -49,7 +49,7 @@ import graft.tables.Tables
 object GraphAnn {
 
   private[graft] val degree = 12
-  private val descentRounds = 2
+  private[ops] val descentRounds = 2
   private[graft] val maxSteps = 64
 
   /** Per-dir serve telemetry for the recall/scan audit (Round9dSpec):
@@ -1151,7 +1151,7 @@ object GraphAnn {
     * values (list_sum over BIGINT products = the same HUGEINT sum;
     * equivalence measured 2500/2500 pairs, 0 diffs, at sf0.01).
     */
-  private def distSql(pairsCte: String, out: String): String =
+  private[ops] def distSql(pairsCte: String, out: String): String =
     s"""$out AS (
        | SELECT p.src, p.dst,
        |   list_sum(list_transform(list_zip(a.q, bq.q),
@@ -1197,7 +1197,7 @@ object GraphAnn {
     * CTE, name-prefixed so the full-corpus chain and the append
     * pipeline's BASE chain coexist in one oracle.
     */
-  private def buildChainSql(gbName: String, pfx: String,
+  private[ops] def buildChainSql(gbName: String, pfx: String,
                             deg: Int = degree,
                             rounds: Int = descentRounds): String =
     s"""${pfx}p0 AS (

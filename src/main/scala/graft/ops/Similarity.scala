@@ -432,7 +432,7 @@ object Similarity {
     * from the persisted index): broadcast the probe distance tables over
     * the code table, sum S lookups per pair, per-probe top-k.
     */
-  private def adcSearch(codes: DataFrame, distTables: DataFrame, subs: Int,
+  private[graft] def adcSearch(codes: DataFrame, distTables: DataFrame, subs: Int,
                         topK: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("adc_dist"), col("nid"))
     codes
@@ -1521,20 +1521,30 @@ object Similarity {
     * predicate — training, encode, and probe tables are IDENTICAL
     * text, because a delete must not retrain or re-encode anything.
     */
+  /** The full-corpus trained-PQ CODE-TABLE replay (ex0 → ex → train →
+    * d → codes), the E5/E9 encode chain as a reusable fragment —
+    * shared by the search oracles below and the takedown cascade's
+    * code-table audit so the two can never disagree about a vector's
+    * codes. `codesAnd` lands INSIDE the codes CTE (E21's tombstone
+    * predicate shape).
+    */
+  private[ops] def pqCodesCtesFor(codesAnd: String): String =
+    s"""ex0 AS (
+       | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+       |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
+       | FROM embeddings),
+       |ex AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
+       |        (dim - 1) % 8 AS dimin, q FROM ex0),
+       |${pqTrainCtes("", "ex", "TRUE", 16)},
+       |d AS (SELECT e.vec_id, e.sub, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+       |      FROM ex e JOIN cb c USING (sub, dimin) GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, code FROM (
+       |  SELECT vec_id, sub, code,
+       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM d)
+       | WHERE rn = 1$codesAnd)""".stripMargin
+
   private def pqSearchOracleFor(codesAnd: String): String =
-      s"""WITH ex0 AS (
-         | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-         |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
-         | FROM embeddings),
-         |ex AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
-         |        (dim - 1) % 8 AS dimin, q FROM ex0),
-         |${pqTrainCtes("", "ex", "TRUE", 16)},
-         |d AS (SELECT e.vec_id, e.sub, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
-         |      FROM ex e JOIN cb c USING (sub, dimin) GROUP BY 1, 2, 3),
-         |codes AS (SELECT vec_id, sub, code FROM (
-         |  SELECT vec_id, sub, code,
-         |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM d)
-         | WHERE rn = 1$codesAnd),
+      s"""WITH ${pqCodesCtesFor(codesAnd)},
          |dt AS (SELECT p.vec_id AS qid, p.sub, c.code,
          |        sum((p.q - c.cq) * (p.q - c.cq)) AS dt
          |       FROM ex p JOIN cb c USING (sub, dimin)
