@@ -220,6 +220,46 @@ object Similarity {
     */
   private[graft] val ivfTrainedCells = 8
 
+  /** E26 — `ann_cell_audit` (r12 verdict stretch #9): the IVF
+    * CELL-BALANCE audit. E10/E20 route by trained cells, and a HOT
+    * cell is IVF's skew failure at scale — every probe whose nprobe
+    * set includes it scans the whole cell, so one overfull cell
+    * dominates total scan cost exactly like a hot key dominates a
+    * shuffle (A27's failure mode, relocated into the index). The audit
+    * is D15's discipline applied to the quantizer: per trained cell,
+    * the corpus occupancy (`n_vecs`), how many panel probes route to
+    * it (`n_probe_hits` — the same nprobe-2 routing E20 serves with),
+    * and the SCAN MASS it therefore contributes (`n_vecs ·
+    * n_probe_hits` — the rows this cell adds to probe scans; the
+    * number an operator would alarm on). Exact-integer throughout, so
+    * the oracle replays the trained assignment AND the audit.
+    *
+    * Scale shape: one groupBy over the assignment (cells rows out),
+    * one groupBy over the probe routing (≤ cells rows), one
+    * broadcast-size join — the audit costs one corpus scan, same as
+    * any serve, and its output is bounded by the cell count.
+    */
+  def annCellAudit(spark: SparkSession, dir: String,
+                   nprobe: Int = 2, cells: Int = ivfTrainedCells): DataFrame = {
+    val (assigned, cellDists) = ivfTrainedAssignment(spark, dir, cells)
+    val hist = assigned.groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+    val e = emb(spark, dir)
+    val probeCells = probesOf(e).withColumn("_q", qticks(col("q_emb")))
+      .select(col("qid"),
+        explode(transform(
+          slice(array_sort(cellDists(col("_q"))), 1, nprobe),
+          p => p.getField("cell"))).as("cell"))
+    val hits = probeCells.groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("n_probe_hits"))
+    hist.join(hits, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_probe_hits"), lit(0L)).as("n_probe_hits"),
+        (col("n_vecs") * coalesce(col("n_probe_hits"), lit(0L)))
+          .as("scan_mass"))
+      .orderBy("cell")
+  }
+
   def annIvfTrained(spark: SparkSession, dir: String, k: Int = 5,
                     nprobe: Int = 2, cells: Int = ivfTrainedCells): DataFrame = {
     val (assigned, cellDists) = ivfTrainedAssignment(spark, dir, cells)
@@ -1059,6 +1099,7 @@ object Similarity {
     "ann_rerank" -> ((s, d) => annRerank(s, d)),
     "ann_centroid_ivf" -> ((s, d) => annCentroidIvf(s, d)),
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
+    "ann_cell_audit" -> ((s, d) => annCellAudit(s, d)),
     "ann_index_delete" -> ((s, d) => annIndexDelete(s, d)),
     "ann_pq" -> ((s, d) => annPq(s, d)),
     "ann_pq_search" -> ((s, d) => annPqSearch(s, d)),
@@ -1143,6 +1184,24 @@ object Similarity {
     // the unsupervised coarse training itself (cell identity = seed
     // vec_id = the engine's ordinal order, making (d2, code) the exact
     // lowest-ordinal tie-break the literal-array argmin applies)
+    // E26: the trained-assignment chain REUSED (cells can never
+    // disagree with E20/E10/D12), then the occupancy histogram, the
+    // nprobe-2 probe routing, and the per-cell scan mass — the skew
+    // audit itself is hash-proven, not just the serves it predicts
+    "ann_cell_audit" ->
+      s"""WITH $ivfTrainedAsgCtes,
+         |hist AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY 1),
+         |pc AS (
+         | SELECT vec_id AS qid, cell FROM (
+         |   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |   FROM d WHERE vec_id % 100 = 0)
+         | WHERE rn <= 2),
+         |hits AS (SELECT cell, count(*) AS n_probe_hits FROM pc GROUP BY 1)
+         |SELECT h.cell, CAST(h.n_vecs AS BIGINT) AS n_vecs,
+         | CAST(coalesce(t.n_probe_hits, 0) AS BIGINT) AS n_probe_hits,
+         | CAST(h.n_vecs * coalesce(t.n_probe_hits, 0) AS BIGINT) AS scan_mass
+         |FROM hist h LEFT JOIN hits t USING (cell)
+         |ORDER BY h.cell""".stripMargin,
     "ann_ivf_trained" ->
       s"""WITH $ivfTrainedAsgCtes,
          |pc AS (
