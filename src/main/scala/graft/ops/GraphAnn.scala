@@ -674,6 +674,54 @@ object GraphAnn {
       spark.read.parquet(path)
     }
 
+  /** E27's refined build: degree 40 (same 3 NN-descent rounds). The r13
+    * sweep over the EXACT truth panel at sf0.1, all serves at E23's
+    * (ef 24, rerank 200): deg 20 → 0.733 (E23's pinned ceiling),
+    * deg 32 → 0.917, deg 40 → 0.950 at 1,426,928 touched bytes = 2.28×
+    * the LSH tier's scan (bar: ≥ 0.85 inside ≤ 4×). Rerank depth
+    * remains the floor on the better graph too — rank-100 collapses to
+    * 0.750 even at deg 40 (the r12 finding transfers); extra descent
+    * rounds matter less than degree (deg 40 at TWO rounds → 0.883).
+    * Degree is the budget lever ADC pricing paid for: doubling it
+    * roughly doubles the 16 B/row code-read term (~250 KB → ~400 KB)
+    * while the raw-read rerank term (1,024 KB) is unchanged.
+    */
+  private[graft] val refineDegree = 40
+  private[graft] val refineBuildRounds = 3
+
+  private[graft] def refineEdgesArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.QueryCaches.memo(
+      s"graphann.refineedges:$dir:${spark.sparkContext.applicationId}") {
+      val edges = buildEdgesFrom(Tables.embeddings(spark, dir),
+        s"graphann.refinebuckets:$dir", refineDegree, refineBuildRounds)
+      val path = graft.Scratch.dir("graphann_refine_edges")
+      edges.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+  /** E27 — `ann_graph_refine` (r12 verdict directive #4): the recall
+    * frontier pushed past the (20,3) build's 0.733 exact-walk ceiling
+    * by building a BETTER GRAPH and serving it with E23's ADC walk
+    * verbatim ([[beamAdcServe]] — shared code, so the two rows can
+    * only differ in the edges). Measured at sf0.1: recall@3 = 0.950 at
+    * 2.28× the LSH byte budget (constants' scaladoc has the sweep;
+    * Round13fSpec pins the point, the budget, and dominance over E23).
+    *
+    * Scale shape: identical to E23's — the build is offline (one
+    * NN-descent at 2× the degree, still bounded composition under the
+    * reverse cap); the serve's per-round cost doubles with the degree
+    * but stays 16 B/touched-row, and the exact re-rank term is
+    * unchanged.
+    */
+  def annGraphRefine(spark: SparkSession, dir: String, k: Int = 3,
+                     ef: Int = adcBeamEf,
+                     rerankN: Int = adcRerankN): DataFrame =
+    graft.QueryCaches.memo(
+      s"graphann.refine:$dir:$k:$ef:$rerankN:${spark.sparkContext.applicationId}") {
+      beamAdcServe(spark, dir, refineEdgesArtifact(spark, dir), k, ef,
+        rerankN, s"refine:$dir")
+    }
+
   /** [[beamPoolFrom]] with the SCORING swapped from exact 64-dim
     * integer L2 to E5's 8-lookup ADC distance: probes carry their
     * per-subspace distance tables (`dtm`), candidates join the 16 B
@@ -748,6 +796,19 @@ object GraphAnn {
                       rerankN: Int = adcRerankN): DataFrame =
     graft.QueryCaches.memo(
       s"graphann.beamadc:$dir:$k:$ef:$rerankN:${spark.sparkContext.applicationId}") {
+      beamAdcServe(spark, dir, adcEdgesArtifact(spark, dir), k, ef, rerankN,
+        dir)
+    }
+
+  /** The ADC walk + exact re-rank over an ARBITRARY edge artifact —
+    * E23's serve parameterized by the graph, shared by E23 (the (20,3)
+    * build), E27's refined build, and the r13 build sweep, so a better
+    * graph changes only where the edges came from, never the serve's
+    * byte accounting.
+    */
+  private[graft] def beamAdcServe(spark: SparkSession, dir: String,
+                                  edges: DataFrame, k: Int, ef: Int,
+                                  rerankN: Int, statsKey: String): DataFrame = {
       val subs = 8
       val base = Similarity.pqIndexPath(spark, dir)
       val codes = spark.read.parquet(s"$base/codes")
@@ -756,7 +817,7 @@ object GraphAnn {
       val probes = probeEntries(spark, dir)
         .select("qid", "ent").distinct()
         .join(dt.select(col("qid"), col("dtm")), Seq("qid"))
-      val (pool, rounds) = beamPoolAdcFrom(adcEdgesArtifact(spark, dir),
+      val (pool, rounds) = beamPoolAdcFrom(edges,
         probes, codes, subs, ef, beamRounds)
       val wa = Window.partitionBy("qid").orderBy(col("ad"), col("nid"))
       val short = pool.withColumn("_rn", row_number().over(wa))
@@ -774,7 +835,7 @@ object GraphAnn {
         .orderBy("query_id", "rank")
         .persist()
       val pooled = pool.count()
-      adcBeamStats.put(dir,
+      adcBeamStats.put(statsKey,
         (rounds, pooled, pooled * 16L, short.count() * 256L))
       res
     }
@@ -1136,7 +1197,78 @@ object GraphAnn {
     "ann_graph_append" -> ((s, d) => annGraphAppend(s, d)),
     "ann_graph_layer" -> ((s, d) => annGraphLayer(s, d)),
     "ann_graph_delete" -> ((s, d) => annGraphDelete(s, d)),
-    "ann_graph_beam_adc" -> ((s, d) => annGraphBeamAdc(s, d)))
+    "ann_graph_beam_adc" -> ((s, d) => annGraphBeamAdc(s, d)),
+    "ann_graph_refine" -> ((s, d) => annGraphRefine(s, d)))
+
+  /** The full ADC-walk oracle — trained-PQ encode + distance tables,
+    * the deg/rounds build chain, the ef-bounded ADC beam unroll, and
+    * the exact top-`rerankN` re-rank — parameterized by the BUILD so
+    * E23 (the (20,3) graph) and E27 (the refined (40,3) graph) replay
+    * through one generator and can never drift in walk semantics.
+    * `p` prefixes the build chain and every walk CTE so two builds
+    * could coexist in one statement.
+    */
+  private def adcWalkOracleSql(deg: Int, buildRounds: Int, ef: Int,
+                               rerankN: Int, p: String): String = {
+      val rounds = (1 to beamRounds)
+        .map(i => beamRoundSql(i, s"${p}afr", s"${p}acnd",
+          s"${p}e$buildRounds", "adcq", ef))
+        .mkString(",\n")
+      val poolArms = (1 to beamRounds)
+        .map(i => s"SELECT qid, nid, d FROM ${p}acnd$i")
+        .mkString("\n   UNION ALL ")
+      s"""$corePrefixSql,
+         |pqex AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
+         |        (dim - 1) % 8 AS dimin, q FROM gex),
+         |${Similarity.pqTrainCtes("", "pqex", "TRUE", 16)},
+         |pqd AS (SELECT e.vec_id, e.sub, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+         |        FROM pqex e JOIN cb c USING (sub, dimin) GROUP BY 1, 2, 3),
+         |pqcodes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, code,
+         |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM pqd)
+         | WHERE rn = 1),
+         |pqdt AS (SELECT p.vec_id AS qid, p.sub, c.code,
+         |        sum((p.q - c.cq) * (p.q - c.cq)) AS dt
+         |       FROM pqex p JOIN cb c USING (sub, dimin)
+         |       WHERE p.vec_id % 100 = 0 GROUP BY 1, 2, 3),
+         |adcq AS MATERIALIZED (
+         | SELECT t.qid, k.vec_id AS nid, sum(t.dt) AS d2
+         | FROM pqcodes k JOIN pqdt t ON t.sub = k.sub AND t.code = k.code
+         | GROUP BY 1, 2),
+         |${buildChainSql("gb", p, deg, buildRounds)},
+         |${p}afr0 AS MATERIALIZED (
+         | SELECT qid, nid, d FROM (
+         |   SELECT qid, nid, d,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+         |   FROM (SELECT DISTINCT en.qid, en.ent AS nid, a.d2 AS d
+         |         FROM entries en
+         |         JOIN adcq a ON a.qid = en.qid AND a.nid = en.ent) t)
+         | WHERE rn <= $ef),
+         |$rounds,
+         |${p}adcpool AS (
+         | SELECT DISTINCT qid, nid, d FROM (
+         |   SELECT qid, nid, d FROM ${p}afr0
+         |   UNION ALL $poolArms) t
+         | WHERE nid <> qid),
+         |${p}ashort AS (
+         | SELECT qid, nid FROM (
+         |   SELECT qid, nid,
+         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+         |   FROM ${p}adcpool)
+         | WHERE rn <= $rerankN),
+         |${p}aexact AS (
+         | SELECT s.qid, s.nid,
+         |   list_sum(list_transform(list_zip(a.q, b.q),
+         |     z -> (z[1] - z[2]) * (z[1] - z[2]))) AS xd
+         | FROM ${p}ashort s
+         | JOIN qv a ON a.vec_id = s.qid
+         | JOIN qv b ON b.vec_id = s.nid)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id,
+         |  CAST(xd AS BIGINT) AS adc_rerank_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY xd, nid) AS rank
+         |      FROM ${p}aexact)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Integer pairwise distance over a named pair CTE: joins the
     * LIST-form tick vectors to both endpoints and computes the squared
@@ -1627,66 +1759,13 @@ object GraphAnn {
     // build chain, the ADC-scored beam unroll, and the exact-integer
     // re-rank of the per-probe top-[adcRerankN=200] shortlist — the driver
     // hash-proves the approximate walk AND the exact finish
-    "ann_graph_beam_adc" -> {
-      val rounds = (1 to beamRounds)
-        .map(i => beamRoundSql(i, "afr", "acnd", s"ze$adcBuildRounds", "adcq",
-          adcBeamEf))
-        .mkString(",\n")
-      val poolArms = (1 to beamRounds)
-        .map(i => s"SELECT qid, nid, d FROM acnd$i")
-        .mkString("\n   UNION ALL ")
-      s"""$corePrefixSql,
-         |pqex AS (SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
-         |        (dim - 1) % 8 AS dimin, q FROM gex),
-         |${Similarity.pqTrainCtes("", "pqex", "TRUE", 16)},
-         |pqd AS (SELECT e.vec_id, e.sub, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
-         |        FROM pqex e JOIN cb c USING (sub, dimin) GROUP BY 1, 2, 3),
-         |pqcodes AS (SELECT vec_id, sub, code FROM (
-         |  SELECT vec_id, sub, code,
-         |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM pqd)
-         | WHERE rn = 1),
-         |pqdt AS (SELECT p.vec_id AS qid, p.sub, c.code,
-         |        sum((p.q - c.cq) * (p.q - c.cq)) AS dt
-         |       FROM pqex p JOIN cb c USING (sub, dimin)
-         |       WHERE p.vec_id % 100 = 0 GROUP BY 1, 2, 3),
-         |adcq AS MATERIALIZED (
-         | SELECT t.qid, k.vec_id AS nid, sum(t.dt) AS d2
-         | FROM pqcodes k JOIN pqdt t ON t.sub = k.sub AND t.code = k.code
-         | GROUP BY 1, 2),
-         |${buildChainSql("gb", "z", adcDegree, adcBuildRounds)},
-         |afr0 AS MATERIALIZED (
-         | SELECT qid, nid, d FROM (
-         |   SELECT qid, nid, d,
-         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
-         |   FROM (SELECT DISTINCT en.qid, en.ent AS nid, a.d2 AS d
-         |         FROM entries en
-         |         JOIN adcq a ON a.qid = en.qid AND a.nid = en.ent) t)
-         | WHERE rn <= $adcBeamEf),
-         |$rounds,
-         |adcpool AS (
-         | SELECT DISTINCT qid, nid, d FROM (
-         |   SELECT qid, nid, d FROM afr0
-         |   UNION ALL $poolArms) t
-         | WHERE nid <> qid),
-         |ashort AS (
-         | SELECT qid, nid FROM (
-         |   SELECT qid, nid,
-         |     row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
-         |   FROM adcpool)
-         | WHERE rn <= $adcRerankN),
-         |aexact AS (
-         | SELECT s.qid, s.nid,
-         |   list_sum(list_transform(list_zip(a.q, b.q),
-         |     z -> (z[1] - z[2]) * (z[1] - z[2]))) AS xd
-         | FROM ashort s
-         | JOIN qv a ON a.vec_id = s.qid
-         | JOIN qv b ON b.vec_id = s.nid)
-         |SELECT qid AS query_id, rank, nid AS neighbor_id,
-         |  CAST(xd AS BIGINT) AS adc_rerank_dist
-         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY xd, nid) AS rank
-         |      FROM aexact)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    },
+    "ann_graph_beam_adc" ->
+      adcWalkOracleSql(adcDegree, adcBuildRounds, adcBeamEf, adcRerankN, "z"),
+    // E27: the SAME ADC walk + exact re-rank replay over the REFINED
+    // (40, 3) build — only the build chain's degree changes
+    "ann_graph_refine" ->
+      adcWalkOracleSql(refineDegree, refineBuildRounds, adcBeamEf,
+        adcRerankN, "y"),
     // E22: the full-corpus build chain (the standing artifact), the
     // tombstone cut, the bridge repair (u → deleted v → w), the exact
     // top-degree re-prune, entry medoids recomputed over the SURVIVING
