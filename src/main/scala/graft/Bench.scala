@@ -64,7 +64,13 @@ object Bench {
     // min-label twin (dedup_cluster) — the diameter-robustness story
     // with a wall-clock number — and the layered graph serve next to
     // the flat beam
-    "dedup_cluster_logn", "ann_graph_layer")
+    "dedup_cluster_logn", "ann_graph_layer",
+    // round 13 (the r12 verdict's re-pin): the ADC walk serve, the
+    // tombstoned index probe (broadcast anti-join on D13's plan), the
+    // bridge-repaired delete serve, and the refined deg-40 ADC walk —
+    // BASELINE_BENCH re-pinned to this 57-row set at the r13 close
+    "ann_graph_beam_adc", "dedup_tombstone", "ann_graph_delete",
+    "ann_graph_refine")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -139,7 +139,15 @@ object ShuffleBudget {
     "src_bucketed_corpus" -> 710000L,
     "q_incremental_distinct" -> 30000L,
     "ann_index_refresh" -> 2500L,
-    "corpus_quality_gate" -> 1300L)
+    "corpus_quality_gate" -> 1300L,
+    // round-13 re-pin additions: the ADC walk serves read memoized,
+    // checkpointed artifacts (probed 0 B; floor pinned like the other
+    // graph serves); the tombstone probe is D13's plan + one broadcast
+    // anti-join (probed 2,141 B)
+    "ann_graph_beam_adc" -> 1000L,
+    "ann_graph_refine" -> 1000L,
+    "ann_graph_delete" -> 1000L,
+    "dedup_tombstone" -> 4300L)
   val atSf01: Map[String, Long] = Map(
     "q_agg_pricing" -> 2900L,
     "q_join_shuffle" -> 5200000L,
@@ -193,7 +201,12 @@ object ShuffleBudget {
     "src_bucketed_corpus" -> 6900000L,
     "q_incremental_distinct" -> 980000L,
     "ann_index_refresh" -> 13000L,
-    "corpus_quality_gate" -> 1700L)
+    "corpus_quality_gate" -> 1700L,
+    // round-13 re-pin additions (sf0.1 probes: 0 / 0 / 0 / 17,707 B)
+    "ann_graph_beam_adc" -> 1000L,
+    "ann_graph_refine" -> 1000L,
+    "ann_graph_delete" -> 1000L,
+    "dedup_tombstone" -> 36000L)
 
   /** Round-6 sweep closure: every NON-headline query whose sf0.1 probe
     * shuffled >1 MB, pinned at 2× measured like the headline tables — a
