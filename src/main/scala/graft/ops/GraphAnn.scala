@@ -970,14 +970,15 @@ object GraphAnn {
   private[graft] def graphDeleteServeFrom(spark: SparkSession, dir: String,
                                           root: String, k: Int = 3): DataFrame = {
     val gen = ArtifactGen.current(root)
-    // the sidecar's file count rides in the memo key so a POST-vacuum
-    // re-delete (an appended tombstone part-file) can never serve a
-    // stale cached frame — generations and sidecars only ever grow
-    val nTombFiles = Option(
-      new java.io.File(ArtifactGen.dir(root, gen), "tombstones").list())
-      .map(_.length).getOrElse(0)
+    // a digest of the sidecar's (name, size, mtime) listing rides in
+    // the memo key so ANY tombstone write — an appended part-file, an
+    // overwritten/redelivered batch partition (TombstoneAdmit's own
+    // idempotence pattern), a compacted sidecar — busts the cache. A
+    // raw file COUNT (r13 advisor) misses same-count content swaps.
+    val tombDigest = ArtifactGen.dirDigest(
+      new java.io.File(ArtifactGen.dir(root, gen), "tombstones"))
     graft.QueryCaches.memo(
-      s"graphann.delserve:$root:$k:$gen:$nTombFiles:${spark.sparkContext.applicationId}") {
+      s"graphann.delserve:$root:$k:$gen:$tombDigest:${spark.sparkContext.applicationId}") {
       val gd = ArtifactGen.dir(root, gen)
       val edges = spark.read.parquet(s"$gd/edges")
       val tomb = spark.read.parquet(s"$gd/tombstones")

@@ -260,6 +260,174 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** E28's deterministically SKEWED corpus: vectors with
+    * `vec_id % 3 = 0` (except the `cells` seed ids, which stay put so
+    * the dense mass has no dedicated seed) scaled by 0.001 — a dense
+    * near-origin cluster holding ~a third of the corpus. The real
+    * testdata embeddings are near-uniform across trained cells (max
+    * 1.14× mean at sf0.01), so the contract row derives the skew it
+    * mitigates; the derivation is pure IEEE double arithmetic, so the
+    * oracle replays it bit-for-bit (`x * 0.001` on both engines).
+    */
+  private[graft] def skewedEmbeddings(spark: SparkSession, dir: String,
+                                      cells: Int): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(asDouble(col("embedding")),
+        x => x * when(col("vec_id") % 3 === 0 && col("vec_id") >= cells,
+          lit(0.001)).otherwise(lit(1.0))).as("embedding"))
+
+  /** E20's trained assignment over an ARBITRARY embeddings frame —
+    * the [[ivfTrainedAssignment]] core with the codebook trained on
+    * the passed frame (memoized under `tag`). Returns the assignment,
+    * the literal-codebook distance fold, and the trained codebook
+    * itself (cell seed id → full-dim tick centroid).
+    */
+  private[graft] def ivfTrainedAssignmentOf(spark: SparkSession,
+      embs: DataFrame, cells: Int, tag: String)
+      : (DataFrame, Column => Column, Array[(Long, Array[Long])]) = {
+    val cb = graft.QueryCaches.memo(
+      s"sim.ivfCbOf:$tag:$cells:${spark.sparkContext.applicationId}") {
+      trainCodebookOf(embs, 1, cells, pqTrainRounds)
+    }.map { case (seed, slices) => (seed, slices(0)) }
+    val fold = cellFoldOf(cb)
+    val assigned = embs.withColumn("_q", qticks(asDouble(col("embedding"))))
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"),
+        array_min(fold(col("_q"))).getField("cell").as("cell"))
+    (assigned, fold, cb)
+  }
+
+  /** The literal-codebook (d2, cell) struct fold shared by every
+    * trained-cell consumer: lexicographic struct ordering makes
+    * `array_min`/`array_sort` the argmin with the lowest-cell
+    * tie-break built in.
+    */
+  private def cellFoldOf(cb: Array[(Long, Array[Long])]): Column => Column = {
+    val cellsLit = array(cb.map { case (id, cv) =>
+      struct(lit(id).as("cell"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    q => transform(cellsLit, c =>
+      struct(intSqDist(q, c.getField("cv")).as("d2"),
+        c.getField("cell").as("cell")))
+  }
+
+  /** Subcell ids live far above any vec_id so a split can never
+    * collide with a surviving cell's seed id.
+    */
+  private[graft] val cellSplitOffset = 1000000000000L
+
+  /** Lloyd rounds for the per-hot-cell SUB-training — deeper than
+    * [[pqTrainRounds]] because the split's whole job is BALANCE: on a
+    * near-uniform dense cluster, 2 rounds leave centroidal-Voronoi
+    * volumes ~1.8× apart (scan-mass imbalance ~3×, still over the 2×
+    * alarm line); 6 rounds converge them enough that the dominating
+    * post-split scan mass sits under 2× the mean (Round14bSpec). The
+    * cost is bounded by the HOT cells' members only, and the oracle
+    * unrolls the same count.
+    */
+  private[graft] val cellSplitTrainRounds = 6
+
+  /** E28 — `ann_cell_split` (r13 verdict directive #4): the HOT-CELL
+    * MITIGATION that consumes E26's audit. E26 surfaces a dominating
+    * IVF cell; this operator FIXES it: every cell whose occupancy
+    * exceeds 2× the mean is split into `ceil(2 · occupancy / mean)`
+    * subcells — a per-cell Lloyd re-train over ONLY that cell's
+    * members ([[trainCodebookOf]] verbatim: seeds = the k lowest
+    * member ids, [[pqTrainRounds]] exact integer-tick rounds) — so
+    * each subcell lands near half the mean occupancy in one pass. Survivor
+    * cells, their members, and their centroids are untouched
+    * (damage-proportional, A27's salt discipline applied to the
+    * quantizer), and probes route over the union of survivor
+    * centroids and subcell centroids. The result is the E26 audit
+    * run over BOTH quantizers — `phase='pre'` (the skewed corpus's
+    * dominating cell) and `phase='post'` (the mitigated cell set) —
+    * so the row itself demonstrates the scan-mass drop and the
+    * oracle replays skew derivation, training, split training,
+    * re-assignment, routing, and both audits end to end.
+    *
+    * Scale shape: occupancy collect is ≤ cells rows; each hot cell's
+    * re-train scans only its own members (Σ hot-cell members ≤ n);
+    * the mitigated routing fold is still one literal array (≤
+    * cells + Σ k_hc entries); assignment and audits are the same
+    * zero-shuffle projections + bounded groupBys as E26.
+    */
+  def annCellSplit(spark: SparkSession, dir: String,
+                   nprobe: Int = 2, cells: Int = ivfTrainedCells): DataFrame =
+    graft.QueryCaches.memo(
+      s"sim.cellSplit:$dir:$cells:${spark.sparkContext.applicationId}") {
+      cellSplitAuditOf(spark, skewedEmbeddings(spark, dir, cells),
+        s"cellsplit:$dir", nprobe, cells)
+    }
+
+  /** The split-and-re-audit core over an arbitrary embeddings frame —
+    * E28's body, also driven directly by the constructed-hot-cluster
+    * spec (Round14bSpec) so the mitigation bar (dominating scan mass
+    * ≤ 2× mean post-split) is pinned on the corpus shape E26's spec
+    * alarms on.
+    */
+  private[graft] def cellSplitAuditOf(spark: SparkSession, skew: DataFrame,
+      tag: String, nprobe: Int, cells: Int,
+      probeMod: Long = 100L): DataFrame = {
+      val (assigned, preFold, cb) =
+        ivfTrainedAssignmentOf(spark, skew, cells, tag)
+      val asgCached = assigned.persist()
+      // bounded driver state: per-cell occupancy, ≤ cells rows
+      val histRows = asgCached.groupBy("cell")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val total = histRows.map(_._2).sum
+      val hot = histRows.filter { case (_, n) => n * cells > 2L * total }
+      val hotSet = hot.map(_._1).toSet
+      // per hot cell: k_hc = ceil(2·occupancy/mean) subcells, trained
+      // on the cell's members only — each subcell aims at HALF the
+      // mean occupancy (A27's over-salting discipline: splitting only
+      // to the mean leaves the dense region's scan mass right at the
+      // alarm line; the 2× headroom puts the post-split dominating
+      // mass safely under 2× the mean)
+      val subCbs: Seq[(Long, Array[(Long, Array[Long])])] = hot.toSeq.map {
+        case (hc, n) =>
+          val kHc = ((2L * n * cells + total - 1) / total).toInt
+          val members = asgCached.filter(col("cell") === hc)
+            .select(col("vec_id"), col("emb").as("embedding"))
+          hc -> trainCodebookOf(members, 1, kHc, cellSplitTrainRounds)
+            .map { case (id, slices) => (id, slices(0)) }
+      }
+      // mitigated assignment: hot members re-assigned to their
+      // subcell by the same (d2, id) argmin; survivors untouched
+      val reassigned = subCbs.foldLeft(col("cell")) { case (acc, (hc, scb)) =>
+        val fold = cellFoldOf(scb.map { case (sid, cv) =>
+          (sid + cellSplitOffset, cv) })
+        when(col("cell") === hc,
+          array_min(fold(col("_q"))).getField("cell")).otherwise(acc)
+      }
+      val mitigated = asgCached.withColumn("_q", qticks(col("emb")))
+        .select(col("vec_id"), reassigned.as("cell"))
+      // routing centroids: survivors + subcells
+      val routeCb = cb.filterNot { case (id, _) => hotSet.contains(id) } ++
+        subCbs.flatMap { case (_, scb) =>
+          scb.map { case (sid, cv) => (sid + cellSplitOffset, cv) } }
+      val postFold = cellFoldOf(routeCb)
+      def audit(phase: String, asg: DataFrame,
+                fold: Column => Column): DataFrame = {
+        val hist = asg.groupBy("cell")
+          .agg(count(lit(1)).cast("long").as("n_vecs"))
+        val probeCells = skew.filter(col("vec_id") % probeMod === 0)
+          .withColumn("_q", qticks(asDouble(col("embedding"))))
+          .select(col("vec_id").as("qid"),
+            explode(transform(slice(array_sort(fold(col("_q"))), 1, nprobe),
+              p => p.getField("cell"))).as("cell"))
+        val hits = probeCells.groupBy("cell")
+          .agg(count(lit(1)).cast("long").as("n_probe_hits"))
+        hist.join(hits, Seq("cell"), "left")
+          .select(lit(phase).as("phase"), col("cell"), col("n_vecs"),
+            coalesce(col("n_probe_hits"), lit(0L)).as("n_probe_hits"),
+            (col("n_vecs") * coalesce(col("n_probe_hits"), lit(0L)))
+              .as("scan_mass"))
+      }
+      audit("pre", asgCached.select("vec_id", "cell"), preFold)
+        .unionByName(audit("post", mitigated, postFold))
+        .orderBy("phase", "cell")
+  }
+
   def annIvfTrained(spark: SparkSession, dir: String, k: Int = 5,
                     nprobe: Int = 2, cells: Int = ivfTrainedCells): DataFrame = {
     val (assigned, cellDists) = ivfTrainedAssignment(spark, dir, cells)
@@ -1100,6 +1268,7 @@ object Similarity {
     "ann_centroid_ivf" -> ((s, d) => annCentroidIvf(s, d)),
     "ann_ivf_trained" -> ((s, d) => annIvfTrained(s, d)),
     "ann_cell_audit" -> ((s, d) => annCellAudit(s, d)),
+    "ann_cell_split" -> ((s, d) => annCellSplit(s, d)),
     "ann_index_delete" -> ((s, d) => annIndexDelete(s, d)),
     "ann_pq" -> ((s, d) => annPq(s, d)),
     "ann_pq_search" -> ((s, d) => annPqSearch(s, d)),
@@ -1139,11 +1308,11 @@ object Similarity {
     * same name the engine's [[ivfTrainedAssignment]] now emits; seeds
     * ascend, so (d2, cell) is the engine's lowest-ordinal tie-break.
     */
-  private[ops] lazy val ivfTrainedAsgCtes: String =
+  private[ops] def ivfTrainedAsgCtesFrom(src: String): String =
     s"""ex0 AS (
        | SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
        |        CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS q
-       | FROM embeddings),
+       | FROM $src),
        |exiv AS (SELECT vec_id, 0 AS sub, dim - 1 AS dimin, q FROM ex0),
        |${pqTrainCtes("iv", "exiv", "TRUE", ivfTrainedCells)},
        |d AS (
@@ -1155,7 +1324,109 @@ object Similarity {
        |   FROM d)
        | WHERE rn = 1)""".stripMargin
 
+  private[ops] lazy val ivfTrainedAsgCtes: String =
+    ivfTrainedAsgCtesFrom("embeddings")
+
+  /** E28's oracle: the skew derivation (pure IEEE double multiply),
+    * the trained assignment over the skewed corpus
+    * ([[ivfTrainedAsgCtesFrom]] verbatim), the hot-cell rule
+    * (occupancy·cells > 2·total), the PER-HOT-CELL Lloyd sub-training
+    * (pqTrainCtes's round structure with the hot-cell id playing the
+    * subspace key and PER-CELL k_hc = ceil(occupancy/mean) seeds),
+    * the subcell re-assignment, the mitigated routing, and both
+    * audits — the mitigation itself is hash-proven end to end.
+    */
+  private lazy val cellSplitOracle: String = {
+    def splitRound(t: Int): String =
+      s"""sptd$t AS (
+         | SELECT e.vec_id, e.spl, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+         | FROM exsp e JOIN spcb${t - 1} c ON c.spl = e.spl AND c.dimin = e.dimin
+         | GROUP BY 1, 2, 3),
+         |spta$t AS (SELECT vec_id, spl, code FROM (
+         |  SELECT vec_id, spl, code,
+         |   row_number() OVER (PARTITION BY vec_id, spl ORDER BY d2, code) AS rn
+         |  FROM sptd$t) WHERE rn = 1),
+         |sptu$t AS (
+         | SELECT a.spl, a.code, x.dimin,
+         |  CAST((2 * sum(x.q) + count(*)) // (2 * count(*)) AS BIGINT) AS cq
+         | FROM spta$t a JOIN exsp x ON x.vec_id = a.vec_id AND x.spl = a.spl
+         | GROUP BY 1, 2, 3),
+         |spcb$t AS MATERIALIZED (
+         | SELECT pc.spl, pc.dimin, pc.code, COALESCE(u.cq, pc.cq) AS cq
+         | FROM spcb${t - 1} pc LEFT JOIN sptu$t u
+         |  ON u.spl = pc.spl AND u.code = pc.code AND u.dimin = pc.dimin)""".stripMargin
+    val rounds = (1 to cellSplitTrainRounds).map(splitRound).mkString(",\n")
+    val c = ivfTrainedCells
+    s"""WITH skew AS MATERIALIZED (
+       | SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |   x -> x * (CASE WHEN vec_id % 3 = 0 AND vec_id >= $c
+       |             THEN CAST(0.001 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END)) AS embedding
+       | FROM embeddings),
+       |${ivfTrainedAsgCtesFrom("skew")},
+       |asgm AS MATERIALIZED (SELECT * FROM asg),
+       |ivcbm AS MATERIALIZED (SELECT * FROM ivcb),
+       |tot AS MATERIALIZED (SELECT count(*) AS n FROM asgm),
+       |hist AS MATERIALIZED (SELECT cell, count(*) AS n_vecs FROM asgm GROUP BY 1),
+       |hot AS MATERIALIZED (SELECT h.cell FROM hist h CROSS JOIN tot t
+       |        WHERE h.n_vecs * $c > 2 * t.n),
+       |exsp AS MATERIALIZED (
+       | SELECT e.vec_id, a.cell AS spl, e.dimin, e.q
+       | FROM exiv e JOIN asgm a USING (vec_id)
+       | WHERE a.cell IN (SELECT cell FROM hot)),
+       |sps AS (SELECT vec_id, spl FROM (
+       |  SELECT m.vec_id, m.spl,
+       |   row_number() OVER (PARTITION BY m.spl ORDER BY m.vec_id) AS rn,
+       |   (2 * h.n_vecs * $c + t.n - 1) // t.n AS khc
+       |  FROM (SELECT DISTINCT vec_id, spl FROM exsp) m
+       |  JOIN hist h ON h.cell = m.spl CROSS JOIN tot t)
+       | WHERE rn <= khc),
+       |spcb0 AS MATERIALIZED (SELECT e.spl, e.dimin, e.vec_id AS code, e.q AS cq
+       |          FROM exsp e JOIN sps s ON s.vec_id = e.vec_id AND s.spl = e.spl),
+       |$rounds,
+       |spd AS (SELECT e.vec_id, c.code, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+       |        FROM exsp e JOIN spcb$cellSplitTrainRounds c
+       |         ON c.spl = e.spl AND c.dimin = e.dimin
+       |        GROUP BY 1, 2),
+       |spasg AS (SELECT vec_id, code FROM (
+       |  SELECT vec_id, code,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+       |  FROM spd) WHERE rn = 1),
+       |masg AS (
+       | SELECT vec_id, cell FROM asgm WHERE cell NOT IN (SELECT cell FROM hot)
+       | UNION ALL
+       | SELECT vec_id, $cellSplitOffset + code AS cell FROM spasg),
+       |mcb AS (
+       | SELECT code AS cell, dimin, cq FROM ivcbm
+       | WHERE code NOT IN (SELECT cell FROM hot)
+       | UNION ALL
+       | SELECT $cellSplitOffset + code AS cell, dimin, cq FROM spcb$cellSplitTrainRounds),
+       |pd AS (SELECT e.vec_id AS qid, m.cell, sum((e.q - m.cq) * (e.q - m.cq)) AS d2
+       |       FROM exiv e JOIN mcb m ON m.dimin = e.dimin
+       |       WHERE e.vec_id % 100 = 0 GROUP BY 1, 2),
+       |ppc AS (SELECT qid, cell FROM (
+       |  SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d2, cell) AS rn
+       |  FROM pd) WHERE rn <= 2),
+       |phits AS (SELECT cell, count(*) AS n_probe_hits FROM ppc GROUP BY 1),
+       |mhist AS (SELECT cell, count(*) AS n_vecs FROM masg GROUP BY 1),
+       |prepc AS (SELECT vec_id AS qid, cell FROM (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |  FROM d WHERE vec_id % 100 = 0) WHERE rn <= 2),
+       |prehits AS (SELECT cell, count(*) AS n_probe_hits FROM prepc GROUP BY 1)
+       |SELECT * FROM (
+       | SELECT 'pre' AS phase, h.cell, CAST(h.n_vecs AS BIGINT) AS n_vecs,
+       |   CAST(coalesce(t.n_probe_hits, 0) AS BIGINT) AS n_probe_hits,
+       |   CAST(h.n_vecs * coalesce(t.n_probe_hits, 0) AS BIGINT) AS scan_mass
+       | FROM hist h LEFT JOIN prehits t USING (cell)
+       | UNION ALL
+       | SELECT 'post', m.cell, CAST(m.n_vecs AS BIGINT),
+       |   CAST(coalesce(t.n_probe_hits, 0) AS BIGINT),
+       |   CAST(m.n_vecs * coalesce(t.n_probe_hits, 0) AS BIGINT)
+       | FROM mhist m LEFT JOIN phits t USING (cell))
+       |ORDER BY phase, cell""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_cell_split" -> cellSplitOracle,
     // integer-exact IVF replay: same 10^-6 tick quantization, same
     // round-half integer-division centroid ticks, same (d2, cell)
     // assignment tie-break; candidate scoring shares E1's cosine shape

@@ -94,24 +94,33 @@ object Takedown {
       repaired.write.mode("overwrite").parquet(s"$root/graph_edges")
 
       // 4. training shards: build the I16 layout, then rewrite ONLY
-      //    the shards a takedown doc lands in (dynamic partition
-      //    overwrite — the damage-proportional path)
+      //    the shards a takedown doc lands in — published as a NEW
+      //    PartGen generation layer (write-before-flip; r13 ADVICE:
+      //    the previous in-place dynamic partition overwrite read and
+      //    rewrote the same path in one job and flipped the
+      //    session-global overwrite mode — a crash mid-write left a
+      //    torn layout with no recovery pointer, and the conf flip
+      //    raced concurrent writers. A crash anywhere here leaves
+      //    generation 0 serving, complete and unpurged.)
       val shardPath = s"$root/shard_layout"
       docs.select(graft.sources.SourceQueries.shardRouteCols(8): _*)
         .write.mode("overwrite").partitionBy("shard").parquet(shardPath)
       val layout = spark.read.parquet(shardPath)
       val affected = layout.join(broadcast(req), Seq("doc_id"), "left_semi")
         .select("shard").distinct()
-      val nAffected = affected.count()
-      val prevMode = spark.conf.getOption(
-        "spark.sql.sources.partitionOverwriteMode").getOrElse("static")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        layout.join(broadcast(affected), Seq("shard"), "left_semi")
-          .join(broadcast(req), Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").partitionBy("shard").parquet(shardPath)
-      } finally
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      // bounded collect: ≤ the shard count (8 here; the layout's
+      // design bound at scale), never the corpus
+      val affectedVals = affected.collect().map(_.get(0).toString).sorted
+      val nAffected = affectedVals.length.toLong
+      if (affectedVals.nonEmpty) {
+        PartGen.overrideLayer(shardPath, "shard",
+          layout.join(broadcast(affected), Seq("shard"), "left_semi")
+            .join(broadcast(req), Seq("doc_id"), "left_anti"))
+        // the shadowed gen-0 shards are dead weight — reclaim them
+        // (lease/retention-gated; this private root serves no pre-flip
+        // readers and holds no leases)
+        PartGen.reclaimShadowed(shardPath, "shard")
+      }
 
       // 5. packed-sequence assignment (F12's LPT over the FULL corpus
       //    — that is what the artifact persisted), docs dropped from
@@ -181,7 +190,7 @@ object Takedown {
         col("takedown_rows"), col("key_sum"), col("content_sum"))
 
     val shard = auditRow("shard_layout",
-      spark.read.parquet(s"$root/shard_layout"), req, "doc_id",
+      PartGen.read(spark, s"$root/shard_layout", "shard"), req, "doc_id",
       sum(col("doc_id")),
       sum(col("shard").cast("long") * 131L + col("n_tokens")))
 

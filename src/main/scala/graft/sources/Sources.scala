@@ -303,6 +303,22 @@ object Sources {
     def prepare(logPath: String, stagedPath: String): Unit
     /** One atomic claim attempt; see the trait contract. */
     def tryClaim(logPath: String, stagedPath: String, id: Long): Boolean
+    /** Reverse a claim this writer just won — move the batch back to
+      * the staging path so the loop can retry above a concurrently
+      * raised claim floor (r13 advisor: a vacuum racing the claim loop
+      * can outrun a mid-loop claim; a batch published at or below the
+      * floor reads as vacuumed history and is silently dropped). The
+      * id is OURS — no other writer can hold it — and until the move
+      * completes the batch reads as history, never as data, so there
+      * is no torn intermediate. Realizations without a safe reversal
+      * keep this default: failing LOUDLY beats silently losing the
+      * write.
+      */
+    def unclaim(logPath: String, stagedPath: String, id: Long): Unit =
+      throw new IllegalStateException(
+        s"claimed batch id $id is at or below a concurrently raised " +
+          s"claim floor and this CommitStore cannot reverse a claim — " +
+          "the batch would read as vacuumed history; re-stage and retry")
   }
 
   /** The local-filesystem realization: POSIX rename(2) is atomic and
@@ -349,6 +365,15 @@ object Sources {
           false
       }
     }
+    override def unclaim(logPath: String, stagedPath: String, id: Long): Unit = {
+      // the exact reverse of tryClaim's publish — atomic, and the only
+      // mover is this writer (the id was just won here)
+      java.nio.file.Files.move(
+        new java.io.File(logPath, s"_batch_id=$id").toPath,
+        new java.io.File(stagedPath).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
   }
 
   /** Claim the next free batch id for a staged batch and publish it.
@@ -382,9 +407,28 @@ object Sources {
     // re-found on this path by the r12 advisor).
     val start = math.max(fromId, claimFloor(logPath) + 1)
     var id = start
-    while (id < start + 100000) {
-      if (store.tryClaim(logPath, stagedPath, id)) return id
-      id += 1
+    var attempts = 0
+    while (attempts < 100000) {
+      if (store.tryClaim(logPath, stagedPath, id)) {
+        // r13 advisor: the floor was read once at loop entry, so a
+        // concurrent vacuumLog raising it mid-loop could be outrun by
+        // a claim at or below the NEW floor — readCompacted's
+        // strictly-above-watermark delta filter would then silently
+        // drop this committed batch. Re-check now that the id is ours;
+        // if the floor moved past it, reverse the claim (atomic, and
+        // until then the id reads as vacuumed history, never as data)
+        // and keep climbing from above the new floor.
+        val floorNow = claimFloor(logPath)
+        if (id > floorNow) return id
+        store.unclaim(logPath, stagedPath, id)
+        id = floorNow + 1
+      } else {
+        // conflict retry: re-derive from the CURRENT floor, not just
+        // id+1, so a mid-loop vacuum can never be outrun by a long
+        // dense-conflict run either
+        id = math.max(id + 1, claimFloor(logPath) + 1)
+      }
+      attempts += 1
     }
     throw new IllegalStateException(
       s"commitStagedFrom: exhausted 100000 claim attempts from $start")

@@ -24,12 +24,17 @@ class Round13dSpec extends AnyFunSuite {
 
   test("the takedown keys are absent from every purged artifact") {
     assert(req.count() > 0, "empty request set — vacuous cascade")
-    val byDoc = Seq("band_index", "shard_layout", "packed_bins")
+    // shard_layout is partition-layered (PartGen, r13 ADVICE) — the
+    // rewritten shards live in a generation layer a plain read skips
+    val byDoc = Seq("band_index", "packed_bins")
     byDoc.foreach { a =>
       val hits = spark.read.parquet(s"$root/$a")
         .join(req, Seq("doc_id"), "left_semi").count()
       assert(hits == 0, s"$a still holds $hits takedown rows")
     }
+    val shardHits = graft.ops.PartGen.read(spark, s"$root/shard_layout", "shard")
+      .join(req, Seq("doc_id"), "left_semi").count()
+    assert(shardHits == 0, s"shard_layout still holds $shardHits takedown rows")
     val reqV = req.select(col("doc_id").as("vec_id"))
     val pqHits = spark.read.parquet(s"$root/pq_codes")
       .join(reqV, Seq("vec_id"), "left_semi").count()
@@ -96,7 +101,7 @@ class Round13dSpec extends AnyFunSuite {
       "pq code re-add diverged from the original")
     // shards: the hash draw is per-doc deterministic — re-routing the
     // taken-down docs restores the layout rows exactly
-    val shardReadd = spark.read.parquet(s"$root/shard_layout")
+    val shardReadd = graft.ops.PartGen.read(spark, s"$root/shard_layout", "shard")
       .select("doc_id", "lang", "n_tokens", "shard")
       .unionByName(tdDocs
         .select(graft.sources.SourceQueries.shardRouteCols(8): _*))
@@ -130,7 +135,7 @@ class Round13dSpec extends AnyFunSuite {
     assert(lost > 0, "the takedown touched no graph edges — vacuous")
     // every shard WITHOUT a takedown doc survived untouched: its rows
     // are byte-identical to the deterministic route projection
-    val layout = spark.read.parquet(s"$root/shard_layout")
+    val layout = graft.ops.PartGen.read(spark, s"$root/shard_layout", "shard")
     val docs = Tables.documents(spark, sf)
     val affected = docs.join(req, Seq("doc_id"), "left_semi")
       .select(graft.sources.SourceQueries.shardRouteCols(8): _*)
