@@ -203,8 +203,140 @@ object Takedown {
       .unionByName(packed).orderBy("artifact")
   }
 
+  // ---------------- D21: damage-proportional bin TOP-UP ----------------
+
+  private[graft] val topupHoldoutRems = Seq(23L, 31L)
+  private[graft] val topupCapacity = 2048L
+
+  private val topupOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** D21's packing instance (r13 verdict directive #5): D20 leaves
+    * taken-down bins UNDERFULL by design (a global repack is an
+    * O(corpus) rewrite) — this is the production middle path: refill
+    * ONLY the damaged bins from a holdout pool, touching nothing
+    * else. The instance packs the non-holdout corpus (holdout =
+    * `doc_id % 50 ∈ {23, 31}` — two classes so the pool covers the
+    * single takedown class with headroom), takes down `% 50 = 7` BY
+    * KEY, and tops up damaged bins with a RUN-LENGTH assignment:
+    * damaged bins in bin order carry cumulative-deficit spans
+    * [lo, hi) (deficit = tokens each bin lost); holdout docs in
+    * (n_tokens desc, doc_id) order carry an EXCLUSIVE running token
+    * sum (DistRank — no single-partition window); doc → the span
+    * containing its running sum. Each covered bin receives at least
+    * its deficit minus one predecessor-overshoot doc; holdout beyond
+    * the last span stays in the pool. The refilled partitions publish
+    * as a PartGen layer over the bin-partitioned artifact
+    * (write-before-flip; untouched bins' FILES are never opened, let
+    * alone rewritten — byte-identity by construction, pinned by
+    * Round14cSpec), and the shadowed originals reclaim through the
+    * lease/retention-gated path.
+    *
+    * Scale shape: deficits scan only the takedown rows' bins; the
+    * damaged-bin collect is bounded by the damage; the holdout layout
+    * is one DistRank pass over the pool; the rewrite is O(damaged
+    * partitions + topup docs). Nothing is corpus-proportional except
+    * the one-time initial pack.
+    */
+  private[graft] def topupRoot(spark: SparkSession, dir: String): String =
+    topupOnce.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val root = graft.Scratch.dir("takedown_topup")
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+          .cast("long").as("n_tokens"))
+      val holdRem = (col("doc_id") % takedownMod).isin(topupHoldoutRems: _*)
+      val holdout = toks.filter(holdRem)
+      Corpus.binAssigned(toks.filter(!holdRem), topupCapacity,
+          col("n_tokens").desc, col("doc_id"))
+        .write.mode("overwrite").partitionBy("bin").parquet(s"$root/packed")
+      docs.filter(col("doc_id") % takedownMod === takedownRem)
+        .select("doc_id").write.mode("overwrite").parquet(s"$root/requests")
+      val req = spark.read.parquet(s"$root/requests")
+      val layout = spark.read.parquet(s"$root/packed")
+      // deficits: one semi-join scan of the takedown rows, grouped by
+      // bin; the collect is bounded by the DAMAGED bin count
+      val dmg = layout.join(broadcast(req), Seq("doc_id"), "left_semi")
+        .groupBy("bin").agg(sum("n_tokens").as("deficit"))
+        .collect()
+        .map(r => (r.getAs[Number]("bin").longValue(), r.getLong(1)))
+        .sortBy(_._1)
+      if (dmg.nonEmpty) {
+        // cumulative-deficit spans in bin order
+        val spans = dmg.scanLeft((0L, 0L, 0L)) {
+          case ((_, _, hi), (b, d)) => (b, hi, hi + d)
+        }.drop(1)
+        val spansDf = spans.toSeq.toDF("bin", "lo", "hi")
+        val laid = DistRank.withRunningSums(holdout,
+            Seq((col("n_tokens"), "cum")),
+            col("n_tokens").desc, col("doc_id"))
+          .withColumn("cum0", col("cum") - col("n_tokens"))
+        val topup = laid.join(broadcast(spansDf),
+            col("cum0") >= col("lo") && col("cum0") < col("hi"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("bin").cast("long").as("bin"))
+        val damagedVals = dmg.map(_._1)
+        val survivors = layout
+          .filter(col("bin").isin(damagedVals: _*))
+          .join(broadcast(req), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_tokens"),
+            col("bin").cast("long").as("bin"))
+        PartGen.overrideLayer(s"$root/packed", "bin",
+          survivors.unionByName(topup))
+        PartGen.reclaimShadowed(s"$root/packed", "bin")
+      }
+      root
+    })
+
+  /** D21 — `takedown_bin_topup`: the per-bin audit of the topped-up
+    * pack — doc/token counts, the top-up contribution, the takedown
+    * absence proof (0, in the hashed result), and a content checksum
+    * per bin, plus a `bin = -1` row accounting for the unassigned
+    * holdout remainder (conservation: every holdout doc is either a
+    * top-up or in the remainder). The oracle replays the pack, the
+    * purge, the deficit spans, the run-length assignment, and the
+    * audit from first principles.
+    */
+  def takedownBinTopup(spark: SparkSession, dir: String): DataFrame = {
+    val root = topupRoot(spark, dir)
+    val packed = PartGen.read(spark, s"$root/packed", "bin")
+    val isHold = (col("doc_id") % takedownMod).isin(topupHoldoutRems: _*)
+    val perBin = packed.groupBy(col("bin").cast("long").as("bin")).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum("n_tokens").cast("long").as("n_tokens"),
+      count(when(isHold, 1)).cast("long").as("topup_docs"),
+      coalesce(sum(when(isHold, col("n_tokens"))), lit(0L))
+        .cast("long").as("topup_tokens"),
+      count(when(col("doc_id") % takedownMod === takedownRem, 1))
+        .cast("long").as("takedown_rows"),
+      sum(col("doc_id") * 1000003L + col("n_tokens"))
+        .cast("long").as("content_sum"))
+    val docs = Tables.documents(spark, dir)
+    val holdout = docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+          .cast("long").as("n_tokens"))
+      .filter(isHold)
+    val leftover = holdout
+      .join(packed.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("topup_docs"),
+        coalesce(sum("n_tokens"), lit(0L)).cast("long").as("topup_tokens"),
+        lit(0L).as("takedown_rows"),
+        coalesce(sum(col("doc_id") * 1000003L + col("n_tokens")), lit(0L))
+          .cast("long").as("content_sum"))
+      .select(lit(-1L).as("bin"), col("n_docs"), col("n_tokens"),
+        col("topup_docs"), col("topup_tokens"), col("takedown_rows"),
+        col("content_sum"))
+    perBin.unionByName(leftover).orderBy("bin")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "takedown_cascade" -> (takedownCascade _))
+    "takedown_cascade" -> (takedownCascade _),
+    "takedown_bin_topup" -> (takedownBinTopup _))
 
   /** The oracle replays EVERY purged artifact from first principles —
     * the minhash signature chain, the trained-PQ encode, the full
@@ -213,7 +345,73 @@ object Takedown {
     * One hash mismatch in any artifact's surviving content fails the
     * row.
     */
+  /** D21's oracle: pack replay (round-robin by global (n_tokens desc,
+    * doc_id) rank — corpus_pack's proven formula), the key purge, the
+    * cumulative-deficit spans, the run-length holdout assignment
+    * (exclusive running sum → containing span), and the per-bin audit
+    * with the conservation row. Pure relational — no recursion, no
+    * training — so the replay stays cheap at every rehearsal scale.
+    */
+  private lazy val binTopupOracle: String = {
+    val ws = "'[ \\t\\n\\x0B\\f\\r]+'"
+    val hold = s"doc_id % $takedownMod IN (${topupHoldoutRems.mkString(", ")})"
+    s"""WITH tk AS (
+       | SELECT doc_id,
+       |   CAST(len(string_split_regex(trim(text), $ws)) AS BIGINT) AS n_tokens
+       | FROM documents),
+       |pk AS (SELECT doc_id, n_tokens FROM tk WHERE NOT ($hold)),
+       |nb AS (SELECT greatest(CAST((sum(n_tokens) + ${topupCapacity - 1}) // $topupCapacity AS BIGINT), 1) AS nbins FROM pk),
+       |asg AS (
+       | SELECT doc_id, n_tokens,
+       |   (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % nb.nbins AS bin
+       | FROM pk CROSS JOIN nb),
+       |dmg AS (SELECT bin, sum(n_tokens) AS deficit FROM asg
+       |        WHERE doc_id % $takedownMod = $takedownRem GROUP BY 1),
+       |spans AS (
+       | SELECT bin,
+       |  coalesce(sum(deficit) OVER (ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+       |  sum(deficit) OVER (ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+       | FROM dmg),
+       |hold AS (SELECT doc_id, n_tokens FROM tk WHERE $hold),
+       |laid AS (
+       | SELECT doc_id, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+       | FROM hold),
+       |topup AS (
+       | SELECT l.doc_id, l.n_tokens, s.bin FROM laid l JOIN spans s
+       | ON l.cum0 >= s.lo AND l.cum0 < s.hi),
+       |final AS (
+       | SELECT doc_id, n_tokens, bin FROM asg
+       | WHERE doc_id % $takedownMod <> $takedownRem
+       | UNION ALL SELECT doc_id, n_tokens, bin FROM topup),
+       |leftover AS (
+       | SELECT l.doc_id, l.n_tokens FROM laid l
+       | LEFT JOIN topup t USING (doc_id) WHERE t.doc_id IS NULL)
+       |SELECT * FROM (
+       | SELECT CAST(bin AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(count(CASE WHEN $hold THEN 1 END) AS BIGINT) AS topup_docs,
+       |  CAST(coalesce(sum(CASE WHEN $hold THEN n_tokens END), 0) AS BIGINT) AS topup_tokens,
+       |  CAST(count(CASE WHEN doc_id % $takedownMod = $takedownRem THEN 1 END) AS BIGINT) AS takedown_rows,
+       |  CAST(sum(doc_id * 1000003 + n_tokens) AS BIGINT) AS content_sum
+       | FROM final GROUP BY 1
+       | UNION ALL
+       | SELECT -1, CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+       |  CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+       |  CAST(0 AS BIGINT),
+       |  CAST(coalesce(sum(doc_id * 1000003 + n_tokens), 0) AS BIGINT)
+       | FROM leftover)
+       |ORDER BY bin""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "takedown_bin_topup" -> binTopupOracle,
     "takedown_cascade" -> {
       val planes = Dedup.hyperplanes(4, 64)
       val shardH = Dedup.wrapSql(Dedup.rollSql("s"))
