@@ -70,7 +70,14 @@ object Bench {
     // bridge-repaired delete serve, and the refined deg-40 ADC walk —
     // BASELINE_BENCH re-pinned to this 57-row set at the r13 close
     "ann_graph_beam_adc", "dedup_tombstone", "ann_graph_delete",
-    "ann_graph_refine")
+    "ann_graph_refine",
+    // round 14 (the r13 verdict's directive #6 + the round's two new
+    // operators): the generation-pointer vacuum serve, the five-
+    // artifact takedown cascade, the streamed tombstone admit, the
+    // cell-balance audit, the hot-cell split, and the bin top-up —
+    // BASELINE_BENCH re-pinned to this 63-row set at the r14 close
+    "dedup_tombstone_vacuum", "takedown_cascade", "stream_tombstone_admit",
+    "ann_cell_audit", "ann_cell_split", "takedown_bin_topup")
 
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -99,7 +106,13 @@ object Bench {
 
   def finalLine(total: Double, results: Seq[(String, Double)],
       shuffleOk: Boolean, gate: String, sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
+    // per-query seconds render capped at 999.999: the line's length
+    // budget is a hard driver contract (see maxFinalLineChars) and a
+    // four-integer-digit query is a failed round regardless of its
+    // exact number — the cap buys one character per query of
+    // worst-case headroom, which is what let the 63-query r14 set fit
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + sec3(math.min(v, 999.999)) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"shuffle_ok":$shuffleOk,"budget_gate":"$gate","sf":"$sfDir"}"""
   }

@@ -147,7 +147,18 @@ object ShuffleBudget {
     "ann_graph_beam_adc" -> 1000L,
     "ann_graph_refine" -> 1000L,
     "ann_graph_delete" -> 1000L,
-    "dedup_tombstone" -> 4300L)
+    "dedup_tombstone" -> 4300L,
+    // round-14 re-pin additions (BudgetProbe, 4 partitions): the
+    // vacuum serve is D18's probe over the generation-1 files (2,141
+    // B — the tombstoned twin's exact cost, vacuum adds nothing);
+    // the cascade and audits are bounded-aggregate plans; the top-up
+    // audit's shuffle is the per-bin groupBy (2,182 B)
+    "dedup_tombstone_vacuum" -> 4300L,
+    "takedown_cascade" -> 2200L,
+    "stream_tombstone_admit" -> 4300L,
+    "ann_cell_audit" -> 1700L,
+    "ann_cell_split" -> 3400L,
+    "takedown_bin_topup" -> 4400L)
   val atSf01: Map[String, Long] = Map(
     "q_agg_pricing" -> 2900L,
     "q_join_shuffle" -> 5200000L,
@@ -206,7 +217,14 @@ object ShuffleBudget {
     "ann_graph_beam_adc" -> 1000L,
     "ann_graph_refine" -> 1000L,
     "ann_graph_delete" -> 1000L,
-    "dedup_tombstone" -> 36000L)
+    "dedup_tombstone" -> 36000L,
+    // round-14 re-pin additions (BudgetProbe, 32 partitions)
+    "dedup_tombstone_vacuum" -> 36000L,
+    "takedown_cascade" -> 6400L,
+    "stream_tombstone_admit" -> 36000L,
+    "ann_cell_audit" -> 3000L,
+    "ann_cell_split" -> 8300L,
+    "takedown_bin_topup" -> 38000L)
 
   /** Round-6 sweep closure: every NON-headline query whose sf0.1 probe
     * shuffled >1 MB, pinned at 2× measured like the headline tables — a
