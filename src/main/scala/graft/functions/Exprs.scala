@@ -260,6 +260,128 @@ case class RollHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** All sliding-window [[RollHash64]] values over a token array in ONE
+  * O(total-bytes) pass — the Rabin-Karp prefix-product identity applied
+  * to the positional-dedup hot path (guide §1.2 "per-task work" after
+  * the distributed shape is right).
+  *
+  * Element i of the result is VALUE-IDENTICAL to
+  * `RollHash64(concat_ws(' ', slice(toks, i+1, win)))` for every
+  * i ∈ [0, n−win]: with S the seed and pre(k) the seedless base-31 fold
+  * of the first k bytes of the space-joined token stream,
+  * H(a,e) = pre(e) + (S − pre(a))·31^(e−a) (mod 2⁶⁴) — all wrapping
+  * Java long arithmetic, so the identity is exact, not approximate.
+  * The composed formulation materializes every window STRING
+  * (O(bytes × win) character copies + hashing); this expression hashes
+  * each byte once and reads each window off the prefix table.
+  * RollWindowHash64Spec pins the per-element equality against the
+  * composed form, so the D14/F17 oracles are untouched by construction.
+  */
+case class RollWindowHash64(child: Expression, win: Int)
+  extends UnaryExpression {
+
+  require(win >= 1, s"graft_rollwindow64 window must be >= 1, got $win")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_rollwindow64 expects an array<string> argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rollwindow64"
+
+  override def nullSafeEval(input: Any): Any =
+    RollWindowHash64.hashes(input.asInstanceOf[ArrayData], win)
+
+  // one static call — the loops live in a real JVM method (JIT-compiled,
+  // immune to the 8 KB generated-method cliff a fully inlined table
+  // build would risk), and the expression still fuses into whole-stage
+  // codegen like the other natives
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollWindowHash64.hashes($c, $win);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollWindowHash64 =
+    copy(child = newChild)
+}
+
+object RollWindowHash64 {
+  private val Seed = 1125899906842597L
+
+  /** All window hashes over `toks` joined by single spaces (exactly the
+    * byte stream `concat_ws(' ', ...)` produces — split-derived tokens
+    * are never null, and empty tokens join like any other). Returns an
+    * empty array when fewer than `win` tokens (callers filter first).
+    */
+  def hashes(toks: ArrayData, win: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < win)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val tb = new Array[Array[Byte]](n)
+    var l = n - 1 // the n−1 single-space separators
+    var t = 0
+    while (t < n) {
+      tb(t) = toks.getUTF8String(t).getBytes
+      l += tb(t).length
+      t += 1
+    }
+    // byte offset of each token in the joined stream + the longest
+    // window's byte length (powers are only needed up to that)
+    val off = new Array[Int](n + 1)
+    var k = 0
+    t = 0
+    while (t < n) {
+      off(t) = k
+      k += tb(t).length + 1 // +1 for the following space (or 1 past end)
+      t += 1
+    }
+    off(n) = l + 1
+    var maxM = 0
+    var i = 0
+    while (i <= n - win) {
+      val m = (if (i + win < n) off(i + win) - 1 else l) - off(i)
+      if (m > maxM) maxM = m
+      i += 1
+    }
+    // prefix fold pre(k) over the joined bytes and 31^m table
+    val pre = new Array[Long](l + 1)
+    var h = 0L
+    k = 0
+    t = 0
+    while (t < n) {
+      val b = tb(t)
+      var j = 0
+      while (j < b.length) {
+        h = 31L * h + (b(j) & 0xff)
+        k += 1
+        pre(k) = h
+        j += 1
+      }
+      if (t < n - 1) {
+        h = 31L * h + 0x20L
+        k += 1
+        pre(k) = h
+      }
+      t += 1
+    }
+    val pow = new Array[Long](maxM + 1)
+    pow(0) = 1L
+    i = 1
+    while (i <= maxM) { pow(i) = 31L * pow(i - 1); i += 1 }
+    val out = new Array[Long](n - win + 1)
+    i = 0
+    while (i <= n - win) {
+      val a = off(i)
+      val e = if (i + win < n) off(i + win) - 1 else l
+      out(i) = pre(e) + (Seed - pre(a)) * pow(e - a)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 /** Wrapping 64-bit affine mix `h → a·h + b` (mod 2⁶⁴) — the universal-hash
   * "permutation" family MinHash needs. A native expression because plain
   * Column arithmetic throws on long overflow under ANSI mode, while Java

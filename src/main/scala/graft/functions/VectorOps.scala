@@ -69,6 +69,14 @@ object VectorOps {
   def rollhash64(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(RollHash64(expression(c)))
 
+  /** All sliding-window [[rollhash64]] values over an array<string>
+    * column in one O(bytes) pass — element i equals
+    * `rollhash64(concat_ws(' ', slice(c, i+1, win)))` exactly.
+    */
+  def rollWindowHash64(c: Column, win: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      RollWindowHash64(expression(c), win))
+
   /** Wrapping affine mix a·h + b (mod 2⁶⁴) over a bigint column. */
   def mix64(c: Column, a: Long, b: Long): Column =
     org.apache.spark.sql.GraftColumnBridge.column(Mix64(expression(c), a, b))

@@ -108,8 +108,11 @@ object Ml5 {
 
     // one scan: the per-(feature, bin) weighted class histogram — bins
     // computed per feature BEFORE the melt (literal min/max), collected
-    // (≤ |features|·10 cells)
-    def hist(w: Column): Array[(String, Int, Long, Long)] = {
+    // (≤ |features|·10 cells). r14: the cells also carry the UNWEIGHTED
+    // (n, pos) pair — two extra agg buffers on the same scan — so the
+    // per-round error aggregates are read off these cells instead of a
+    // second full pass (see [[errTotal]]/[[errCnt]]).
+    def hist(w: Column): Array[(String, Int, Long, Long, Long, Long)] = {
       val binCols = features.map { case (f, _) => binOf(f).as(s"_b_$f") }
       val stackExpr = s"stack(${features.size}, " +
         features.map { case (f, _) => s"'$f', _b_$f" }.mkString(", ") + ")"
@@ -117,9 +120,47 @@ object Ml5 {
         .select(col("y") +: col("_w") +: binCols: _*)
         .select(expr(stackExpr).as(Seq("feature", "bin")), col("y"), col("_w"))
         .groupBy("feature", "bin")
-        .agg(sum("_w").as("wn"), sum(col("_w") * col("y")).as("wpos"))
+        .agg(sum("_w").as("wn"), sum(col("_w") * col("y")).as("wpos"),
+          count(lit(1)).as("cn"), sum("y").cast("long").as("cpos"))
         .collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+    }
+
+    // exact weighted (error, total) of a stump read off the SAME
+    // collected cells the argmin consumed — every row of a cell shares
+    // the stump's predicted label (prediction is a function of the
+    // cell's bin), so the misclassified weight per cell is wpos or
+    // wn−wpos and the driver Long sums equal the full-scan aggregate
+    // it replaces (sums of the same longs, regrouped). Guide §1.2:
+    // one scan per boosting round instead of two.
+    def errTotal(s: Stump,
+                 cells: Array[(String, Int, Long, Long, Long, Long)]): (Long, Long) = {
+      val (f, bin, _, nl, pl, nr, pr) = s
+      val leftLab = if (2 * pl > nl) 1 else 0
+      val rightLab = if (2 * pr > nr) 1 else 0
+      var err = 0L; var tot = 0L
+      cells.iterator.filter(_._1 == f).foreach { case (_, b, wn, wpos, _, _) =>
+        val lab = if (b <= bin) leftLab else rightLab
+        err += (if (lab == 1) wn - wpos else wpos)
+        tot += wn
+      }
+      (err, tot)
+    }
+
+    // the UNWEIGHTED misclassification count of a stump, same identity
+    // over the cells' (n, pos) pair
+    def errCnt(s: Stump,
+               cells: Array[(String, Int, Long, Long, Long, Long)]): Long = {
+      val (f, bin, _, nl, pl, nr, pr) = s
+      val leftLab = if (2 * pl > nl) 1 else 0
+      val rightLab = if (2 * pr > nr) 1 else 0
+      var err = 0L
+      cells.iterator.filter(_._1 == f).foreach { case (_, b, _, _, cn, cpos) =>
+        val lab = if (b <= bin) leftLab else rightLab
+        err += (if (lab == 1) cn - cpos else cpos)
+      }
+      err
     }
 
     // candidate-split argmin over the collected histogram cells — driver
@@ -131,7 +172,7 @@ object Ml5 {
       val q = p.toDouble / nn
       1.0 - q * q - (1.0 - q) * (1.0 - q)
     }
-    def argminStump(cells: Array[(String, Int, Long, Long)]): Stump = {
+    def argminStump(cells: Array[(String, Int, Long, Long, Long, Long)]): Stump = {
       val cands = for {
         (f, _) <- features
         fc = cells.filter(_._1 == f)
@@ -174,12 +215,13 @@ object Ml5 {
     // stump 1 = C22's argmin on the UNIT-weight histogram (the shared
     // oracle recomputes it through the candw CTE, so the hash match
     // proves this driver path equals the C22 formulation)
-    val s1: Stump = argminStump(hist(lit(1L)))
+    val cells1 = hist(lit(1L))
+    val s1: Stump = argminStump(cells1)
 
-    // round-1 error count: one scan, h1 evaluated from literals
-    val e1 = base.agg(
-      sum((predict(s1) =!= col("y")).cast("long")), count(lit(1))).head()
-    val (err1, n) = (e1.getLong(0), e1.getLong(1))
+    // round-1 error count read off the SAME unit-weight cells (w = 1 ⇒
+    // weighted error IS the count) — was a second full scan (r14,
+    // guide §1.2: 5 scans → 3 across the two rounds)
+    val (err1, n) = kit.errTotal(s1, cells1)
     requireWeakLearner(1, err1, n)
     // AdaBoost reweighting in integer ticks: misclassified rows split
     // W/2 = 5·10¹¹ equally, the rest split the other half (truncating
@@ -188,14 +230,12 @@ object Ml5 {
     val wCol = when(predict(s1) =!= col("y"), lit(wErr)).otherwise(lit(wCorr))
 
     // stump 2 on the reweighted histogram (one more scan)
-    val s2: Stump = argminStump(hist(wCol))
+    val cells2 = hist(wCol)
+    val s2: Stump = argminStump(cells2)
 
-    // round-2 weighted error: one scan, h2 and w both literal projections
-    val e2 = base.agg(
-      sum(when(predict(s2) =!= col("y"), wCol).otherwise(lit(0L))),
-      sum(wCol),
-      sum((predict(s2) =!= col("y")).cast("long"))).head()
-    val (err2w, totalW, err2cnt) = (e2.getLong(0), e2.getLong(1), e2.getLong(2))
+    // round-2 weighted error + unweighted count, both off cells2
+    val (err2w, totalW) = kit.errTotal(s2, cells2)
+    val err2cnt = kit.errCnt(s2, cells2)
 
     // two-voter decision: agree → that label; disagree → the stump with
     // the smaller weighted error, compared exactly as integer
@@ -286,11 +326,11 @@ object Ml5 {
     var stumps: Seq[Stump] = Nil
     val trained = (1 to rounds).map { t =>
       val w = weightCol(classW, stumps)
-      val s = kit.argminStump(kit.hist(w))
-      val e = base.agg(
-        sum(when(kit.predict(s) =!= col("y"), w).otherwise(lit(0L))).cast("long"),
-        sum(w).cast("long")).head()
-      val (errW, totalW) = (e.getLong(0), e.getLong(1))
+      val cells = kit.hist(w)
+      val s = kit.argminStump(cells)
+      // weighted error/total read off the SAME collected cells — was a
+      // second full scan per round (r14, guide §1.2: 2 scans/round → 1)
+      val (errW, totalW) = kit.errTotal(s, cells)
       requireWeakLearner(t, errW, totalW)
       // pattern p under t stumps extends pattern p mod 2^(t-1) with the
       // new stump's wrong-bit; a non-empty wrong class always has

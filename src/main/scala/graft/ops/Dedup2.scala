@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorOps.rollhash64
+import graft.functions.VectorOps.{rollWindowHash64, rollhash64}
 import graft.tables.Tables
 
 /** Dedup extensions (round 3, wave 9) — SURVEY.md §2.D8.
@@ -340,15 +340,18 @@ object Dedup2 {
     */
   private[graft] def spansOf(docs: DataFrame, win: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r14 optimization (guide §1.2 per-task work): the composed
+    // windows — transform + slice + concat_ws + rollhash64 per position
+    // — copied and hashed every byte `win` times. rollWindowHash64 is
+    // the Rabin-Karp one-pass form, per-element VALUE-IDENTICAL
+    // (RollWindowHash64Spec pins the equality), so rows, hashes and the
+    // D14/F17 oracles are bit-for-bit unchanged.
     val wins = docs
       .select(col("doc_id"), split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+").as("toks"))
       .filter(size(col("toks")) >= win)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, size(toks) - $win),
-           |  i -> named_struct('i', i, 'w', concat_ws(' ', slice(toks, i + 1, $win))))"""
-          .stripMargin)).as("x"))
-      .select(col("doc_id"), col("x.i").cast("long").as("i"),
-        rollhash64(col("x.w")).as("h"))
+      .select(col("doc_id"),
+        posexplode(rollWindowHash64(col("toks"), win)).as(Seq("p", "h")))
+      .select(col("doc_id"), col("p").cast("long").as("i"), col("h"))
     val freq = wins.groupBy("h").agg(count(lit(1)).as("c"))
     val rep = wins.join(freq, "h").filter(col("c") >= 2)
       .select("doc_id", "i")

@@ -41,6 +41,47 @@ class ExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("RollWindowHash64 equals the composed slice+concat_ws+rollhash64 per element") {
+    // the composed form spansOf used before r14 — per window position, a
+    // materialized string hashed from scratch; the fused expression must
+    // match it VALUE-FOR-VALUE so the D14/F17 oracle hashes cannot move
+    def composed(win: Int) = expr(
+      s"""transform(sequence(0, size(toks) - $win),
+         |  i -> graft_rollhash64(concat_ws(' ', slice(toks, i + 1, $win))))"""
+        .stripMargin)
+    graft.GraftFunctions.register(spark)
+    // real corpus tokens at the test SF plus adversarial shapes: multi-
+    // byte UTF-8, empty strings, single-char tokens, exactly-win tokens
+    val real = graft.tables.Tables.documents(spark, sf)
+      .select(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+").as("toks"))
+    val edge = spark.createDataFrame(Seq(
+      Tuple1(Seq("héllo", "wörld", "日本語のトークン", "a", "б", "🎉emoji", "x", "y", "z", "w", "v")),
+      Tuple1(Seq("", "", "a", "", "b", "", "", "c", "", "")),
+      Tuple1(Seq.fill(10)("same")),
+      Tuple1((1 to 10).map(_.toString)),
+      Tuple1(Seq("exactly", "ten", "tokens", "in", "this", "row", "here", "now", "ok", "end"))
+    )).toDF("toks")
+    for (win <- Seq(1, 2, 10)) {
+      Seq(real, edge).foreach { df =>
+        val rows = df.filter(size(col("toks")) >= win)
+          .select(graft.functions.VectorOps.rollWindowHash64(col("toks"), win).as("fused"),
+            composed(win).as("comp"))
+          .collect()
+        assert(rows.nonEmpty)
+        rows.foreach { r =>
+          val f = r.getSeq[Long](0)
+          val c = r.getSeq[Long](1)
+          assert(f == c, s"win=$win fused $f != composed $c")
+        }
+      }
+    }
+    // short input yields an empty array (callers filter size >= win first)
+    val short = edge.select(
+      graft.functions.VectorOps.rollWindowHash64(col("toks"), 99).as("h"))
+      .collect()
+    short.foreach(r => assert(r.getSeq[Long](0).isEmpty))
+  }
+
   test("IntSqDist (codegen) equals the zip_with integer fold exactly") {
     val q = graft.tables.Tables.embeddings(spark, sf)
       .select(expr(
