@@ -585,9 +585,17 @@ object Sources {
   def compactLog(spark: SparkSession, logPath: String, keyCols: Seq[String],
                  basePath: String): Unit = {
     val log = spark.read.parquet(logPath)
-    val wmRow = log.agg(max(col("_batch_id")).cast("long")).head()
-    require(!wmRow.isNullAt(0), s"compactLog: no batches under $logPath")
-    val wm = wmRow.getLong(0)
+    // the high-water batch id comes from the PARTITION DIRECTORY NAMES
+    // ([[committedIds]]) — on the upsertBatch/commitStaged layout (the
+    // only log layout compactLog is defined over; readCompacted's
+    // pruning already depends on it) `max(_batch_id)` over the data is
+    // by construction the max committed partition value, and the
+    // listing costs O(batches) driver work instead of a full-log scan
+    // job per compaction (r14, guide §2.4: at 100 TB the old watermark
+    // scan read every historical byte to learn a directory name)
+    val ids = committedIds(logPath)
+    require(ids.nonEmpty, s"compactLog: no batches under $logPath")
+    val wm = ids.last
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_batch_id").desc)
     log.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
