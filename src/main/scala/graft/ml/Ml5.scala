@@ -450,21 +450,31 @@ object Ml5 {
         .withColumn("_a", col("_m").getField("cid"))
       // moved vs the PREVIOUS round's assignment — also a pure literal
       // projection, so both assignments ride the same scan
-      val movedAgg = prevCents match {
-        case None => count(lit(1)).cast("long")
-        case Some(pcs) =>
-          sum((col("_a") =!= asgOf(pcs).getField("cid")).cast("long"))
+      val movedFlag: Column = prevCents match {
+        case None => lit(1L)
+        case Some(pcs) => (col("_a") =!= asgOf(pcs).getField("cid")).cast("long")
       }
-      val row = withD.agg(sum(col("_min")).as("inertia"), movedAgg.as("moved"))
-        .collect().head
-      val (inertia, moved) = (row.getLong(0), row.getLong(1))
+      // r14 (guide §1.2): the round's TWO jobs — the inertia/moved
+      // aggregate and the posexplode centroid update — fuse into ONE
+      // pass. Every vector has dim > 0 elements, so each row appears in
+      // exactly one pos = 0 group; summing _min/_mv there and folding
+      // the pos = 0 partials on the driver reproduces the full-table
+      // aggregate exactly (same longs, regrouped). Collect stays
+      // bounded at k·dim rows.
+      val roundRows = withD
+        .select(col("_a"), col("_min"), movedFlag.as("_mv"),
+          posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("_a", "pos")
+        .agg(sum("x").as("sq"), count(lit(1)).as("cnt"),
+          sum("_min").as("smin"), sum("_mv").as("smv"))
+        .collect()
+      val pos0 = roundRows.filter(_.getInt(1) == 0)
+      val inertia = pos0.map(_.getLong(4)).sum
+      val moved = pos0.map(_.getLong(5)).sum
       // Lloyd update: exact integer sums per (cluster, dim), round-half
       // division in driver Long math (truncation toward zero — identical
       // to SQL div on both engines)
-      val upd = withD.select(col("_a"), posexplode(col("q")).as(Seq("pos", "x")))
-        .groupBy("_a", "pos")
-        .agg(sum("x").as("sq"), count(lit(1)).as("cnt"))
-        .collect()
+      val upd = roundRows
         .map(r => ((r.getInt(0), r.getInt(1)),
           (2 * r.getLong(2) + r.getLong(3)) / (2 * r.getLong(3))))
         .toMap

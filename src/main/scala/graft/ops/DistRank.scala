@@ -94,9 +94,22 @@ object DistRank {
     val slices = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val keyed = df.withColumn("_k", monotoneImage(sortCols.head))
     val probs = (1 until slices).map(_.toDouble / slices).toArray
-    val raw =
+    // r14: the boundary sketch is an EAGER scan per invocation — memoize
+    // it per (input plan, sort, slices) within the JVM like the other
+    // construction-state collects (codebooks, hot-bucket caps). Safety
+    // does not rest on the key: boundary VALUES only steer balance —
+    // slice assignment stays monotone in the sort key and local rank +
+    // offset is the exact global rank wherever the cuts land (see the
+    // class doc), so even a semanticHash collision serving another
+    // frame's bounds could only skew slice sizes, never a rank.
+    val raw = graft.QueryCaches.memo(
+      "distrank.bounds:" +
+        s"${df.queryExecution.analyzed.canonicalized.semanticHash()}:" +
+        s"${sortCols.mkString(",")}:$slices:" +
+        spark.sparkContext.applicationId) {
       if (probs.isEmpty) Array.empty[Double]
       else keyed.stat.approxQuantile("_k", probs, 0.01)
+    }
     val bounds = raw.distinct.sorted
     // HOT-SLICE SPLIT (round-9 stretch): a leading-key value holding
     // ≥ 2/slices of the mass collapses quantile bounds onto itself and

@@ -75,11 +75,22 @@ object Relational {
   def qJoinShuffle(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    // r14 (guide §2.3 aggregate-before-shuffle): revenue ticks pre-sum
+    // per order BEFORE the join, so the one data exchange carries a
+    // (orderkey, long) row per order instead of every joined line
+    // feeding a two-phase countDistinct. With exactly one row per
+    // matched order after the pre-aggregate, n_orders = count(*) ≡
+    // countDistinct(o_orderkey) (o_orderkey is the orders key), and the
+    // long tick total regroups the same addends — values unchanged,
+    // oracle SQL unchanged, one whole aggregate phase dropped.
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+        .cast("long")).as("_rev"))
+    perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        countDistinct("o_orderkey").as("n_orders"),
-        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")) / 10000.0).as("revenue"))
+        count(lit(1)).as("n_orders"),
+        (sum(col("_rev")) / 10000.0).as("revenue"))
       .orderBy("o_orderpriority")
   }
 

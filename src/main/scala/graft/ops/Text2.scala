@@ -34,7 +34,11 @@ object Text2 {
     val toks = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // r14 (guide §2.4): df = distinct docs per term ≡ row count per term
+    // over tf, whose (doc_id, term) grouping is already distinct — the
+    // second explode scan and the countDistinct's two-phase aggregate
+    // collapse onto tf's exchange (ReusedExchange in the plan)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val tot = docs.agg(count(lit(1)).as("n_total"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(tot))
       .withColumn("tfidf_q", expr("(tf * 1000000 * n_total) div df"))
