@@ -51,13 +51,27 @@ object Ml5 {
   private def lossBound(eps: Column): Column =
     lit(2.0) * sqrt(eps * (lit(1.0) - eps))
 
-  def mlGbtStep2(spark: SparkSession, dir: String): DataFrame =
-    boostTwoStumps(
-      Tables.lineitem(spark, dir).select(
-        col("l_discount"), col("l_extendedprice"), col("l_quantity"),
-        (col("l_returnflag") === "R").cast("int").as("y")),
-      Seq("disc" -> "l_discount", "price" -> "l_extendedprice",
-        "qty" -> "l_quantity"))
+  /** The C30/C32 contract base + features over lineitem, with the
+    * binning min/max literals memoized per sf dir (shared by both
+    * queries — the input projection is identical).
+    */
+  private def gbtContract(spark: SparkSession, dir: String):
+      (DataFrame, Seq[(String, String)], Map[String, (Double, Double)]) = {
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_discount"), col("l_extendedprice"), col("l_quantity"),
+      (col("l_returnflag") === "R").cast("int").as("y"))
+    val feats = Seq("disc" -> "l_discount", "price" -> "l_extendedprice",
+      "qty" -> "l_quantity")
+    val mm = graft.QueryCaches.memo(s"ml5.stumpMm:$dir") {
+      stumpMmOf(base, feats)
+    }
+    (base, feats, mm)
+  }
+
+  def mlGbtStep2(spark: SparkSession, dir: String): DataFrame = {
+    val (base, feats, mm) = gbtContract(spark, dir)
+    boostTwoStumps(base, feats, Some(mm))
+  }
 
   /** The data-generic two-round core behind `ml_gbt_step2`: `base` holds
     * the numeric feature columns named by `features` (display-name →
@@ -79,15 +93,26 @@ object Ml5 {
     * arithmetic repeats the exact same IEEE operations as the SQL
     * oracles, so nothing drifts.
     */
-  private final class StumpKit(base: DataFrame, features: Seq[(String, String)]) {
-    // per-feature min/max (same values as stumpCandidates' melted
-    // groupBy — min/max commute with the melt); one columnar scan
-    private val mmRow = base.agg(
+  /** The per-feature min/max literals a StumpKit bins with — one
+    * columnar scan (min/max commute with the melt). Factored out so the
+    * contract callers can memoize it per sf dir (r14: it is bounded
+    * construction state exactly like the codebook collects); synthetic
+    * spec frames skip the memo and compute fresh.
+    */
+  private def stumpMmOf(base: DataFrame,
+                        features: Seq[(String, String)]): Map[String, (Double, Double)] = {
+    val mmRow = base.agg(
       features.flatMap { case (_, c) => Seq(min(c), max(c)) }.head,
       features.flatMap { case (_, c) => Seq(min(c), max(c)) }.tail: _*).head()
-    val mm: Map[String, (Double, Double)] = features.zipWithIndex.map {
+    features.zipWithIndex.map {
       case ((f, _), i) => f -> (mmRow.getDouble(2 * i), mmRow.getDouble(2 * i + 1))
     }.toMap
+  }
+
+  private final class StumpKit(base: DataFrame, features: Seq[(String, String)],
+                               mmPre: Option[Map[String, (Double, Double)]] = None) {
+    val mm: Map[String, (Double, Double)] =
+      mmPre.getOrElse(stumpMmOf(base, features))
     private val featCol = features.toMap
 
     // identical binning expression to the histogram construction, so a
@@ -207,9 +232,10 @@ object Ml5 {
         "0 < error < total")
 
   private[graft] def boostTwoStumps(base: DataFrame,
-                                 features: Seq[(String, String)]): DataFrame = {
+                                 features: Seq[(String, String)],
+                                 mmPre: Option[Map[String, (Double, Double)]] = None): DataFrame = {
     val spark = base.sparkSession
-    val kit = new StumpKit(base, features)
+    val kit = new StumpKit(base, features, mmPre)
     import kit.{argminStump, hist, predict}
 
     // stump 1 = C22's argmin on the UNIT-weight histogram (the shared
@@ -285,14 +311,10 @@ object Ml5 {
     * committee that scales past two voters (the reference benches ~100
     * HistGradientBoosting rounds, modeling.ipynb cells 45-48).
     */
-  def mlGbtStep3(spark: SparkSession, dir: String): DataFrame =
-    boostStumps(
-      Tables.lineitem(spark, dir).select(
-        col("l_discount"), col("l_extendedprice"), col("l_quantity"),
-        (col("l_returnflag") === "R").cast("int").as("y")),
-      Seq("disc" -> "l_discount", "price" -> "l_extendedprice",
-        "qty" -> "l_quantity"),
-      rounds = 3)
+  def mlGbtStep3(spark: SparkSession, dir: String): DataFrame = {
+    val (base, feats, mm) = gbtContract(spark, dir)
+    boostStumps(base, feats, rounds = 3, mmPre = Some(mm))
+  }
 
   /** The data-generic N-round core behind `ml_gbt_step3` (generic so the
     * round-3 dynamics are testable on synthetic data where each round
@@ -300,9 +322,10 @@ object Ml5 {
     */
   private[graft] def boostStumps(base: DataFrame,
                                  features: Seq[(String, String)],
-                                 rounds: Int): DataFrame = {
+                                 rounds: Int,
+                                 mmPre: Option[Map[String, (Double, Double)]] = None): DataFrame = {
     val spark = base.sparkSession
-    val kit = new StumpKit(base, features)
+    val kit = new StumpKit(base, features, mmPre)
     val HALF = BigInt(500000000000L)
     val W = 1000000000000L
 
@@ -450,31 +473,27 @@ object Ml5 {
         .withColumn("_a", col("_m").getField("cid"))
       // moved vs the PREVIOUS round's assignment — also a pure literal
       // projection, so both assignments ride the same scan
-      val movedFlag: Column = prevCents match {
-        case None => lit(1L)
-        case Some(pcs) => (col("_a") =!= asgOf(pcs).getField("cid")).cast("long")
+      // r14 note: fusing this aggregate into the posexplode update job
+      // (one job per round) was tried and REVERTED — the combined stage
+      // inlines BOTH rounds' 8×64-long literal codebook folds plus the
+      // generator into one generated method, the exact 8 KB JIT-cliff
+      // shape SURVEY §5 documents, and the bench measured it ~60%
+      // SLOWER (1.21 s → 1.99 s). Two narrow jobs it stays.
+      val movedAgg = prevCents match {
+        case None => count(lit(1)).cast("long")
+        case Some(pcs) =>
+          sum((col("_a") =!= asgOf(pcs).getField("cid")).cast("long"))
       }
-      // r14 (guide §1.2): the round's TWO jobs — the inertia/moved
-      // aggregate and the posexplode centroid update — fuse into ONE
-      // pass. Every vector has dim > 0 elements, so each row appears in
-      // exactly one pos = 0 group; summing _min/_mv there and folding
-      // the pos = 0 partials on the driver reproduces the full-table
-      // aggregate exactly (same longs, regrouped). Collect stays
-      // bounded at k·dim rows.
-      val roundRows = withD
-        .select(col("_a"), col("_min"), movedFlag.as("_mv"),
-          posexplode(col("q")).as(Seq("pos", "x")))
-        .groupBy("_a", "pos")
-        .agg(sum("x").as("sq"), count(lit(1)).as("cnt"),
-          sum("_min").as("smin"), sum("_mv").as("smv"))
-        .collect()
-      val pos0 = roundRows.filter(_.getInt(1) == 0)
-      val inertia = pos0.map(_.getLong(4)).sum
-      val moved = pos0.map(_.getLong(5)).sum
+      val row = withD.agg(sum(col("_min")).as("inertia"), movedAgg.as("moved"))
+        .collect().head
+      val (inertia, moved) = (row.getLong(0), row.getLong(1))
       // Lloyd update: exact integer sums per (cluster, dim), round-half
       // division in driver Long math (truncation toward zero — identical
       // to SQL div on both engines)
-      val upd = roundRows
+      val upd = withD.select(col("_a"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("_a", "pos")
+        .agg(sum("x").as("sq"), count(lit(1)).as("cnt"))
+        .collect()
         .map(r => ((r.getInt(0), r.getInt(1)),
           (2 * r.getLong(2) + r.getLong(3)) / (2 * r.getLong(3))))
         .toMap
