@@ -322,6 +322,13 @@ object RollWindowHash64 {
     var l = n - 1 // the n−1 single-space separators
     var t = 0
     while (t < n) {
+      // r15 (advisor): getUTF8String on a null slot reads garbage bytes
+      // from UnsafeArrayData — no caller produces null tokens (split()
+      // output), so fail LOUDLY instead of hashing undefined memory
+      if (toks.isNullAt(t))
+        throw new IllegalArgumentException(
+          "graft_rollwindow64 does not support null array elements " +
+            s"(null at index $t)")
       tb(t) = toks.getUTF8String(t).getBytes
       l += tb(t).length
       t += 1
@@ -681,4 +688,186 @@ case class PqDists(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): PqDists =
     copy(left = newLeft, right = newRight)
+}
+
+/** Fused distinct-set Jaccard over two array<string> columns — VALUE-
+  * IDENTICAL to `size(array_intersect(a, b)).cast("double") /
+  * size(array_union(a, b))` (r15, r14 verdict directive #7; guide §1.2
+  * per-task work): both operands of the division are the same exact
+  * integers, so the double quotient is bit-equal. (Sole divergence: on
+  * TWO EMPTY arrays — union size 0, unreachable for every caller, since
+  * shingled()/grams emit ≥1 element — the composed divide raises
+  * DIVIDE_BY_ZERO under ANSI while this returns NaN; error-vs-NaN on an
+  * impossible input, never a value difference.) The composed form
+  * builds three hash
+  * sets and MATERIALIZES two intermediate arrays (full element copies)
+  * per pair just to take their sizes; this expression computes both
+  * cardinalities in one pass over each array with one hash set and two
+  * counters — no intermediate arrays, no copies. Null ELEMENTS follow
+  * array_intersect/array_union semantics exactly: null counts as one
+  * distinct value, in the intersection iff present on both sides.
+  * JaccardSimSpec pins the per-pair equality against the composed form.
+  */
+case class JaccardSim(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_jaccard expects two array<string> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSim.of(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // one static call — the loop lives in a real JVM method (the
+  // RollWindowHash64 discipline: JIT-compiled, immune to the 8 KB
+  // generated-method cliff), still fused into whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardSim.of($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSim {
+  /** |distinct(a) ∩ distinct(b)| / |distinct(a) ∪ distinct(b)| as the
+    * exact double quotient of the two int cardinalities.
+    */
+  def of(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val setA = new java.util.HashSet[UTF8String](Math.max(4, na * 2))
+    var aNull = false
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) aNull = true
+      else setA.add(a.getUTF8String(i))
+      i += 1
+    }
+    // one pass over b: seenB dedupes b's own repeats; an element of b is
+    // an intersection hit iff it is in setA (counted once), else a
+    // union-only extra (counted once)
+    val seenB = new java.util.HashSet[UTF8String](Math.max(4, nb * 2))
+    var bNull = false
+    var inter = 0
+    var extra = 0
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bNull = true
+      else {
+        val e = b.getUTF8String(i)
+        if (seenB.add(e)) { if (setA.contains(e)) inter += 1 else extra += 1 }
+      }
+      i += 1
+    }
+    val interN = inter + (if (aNull && bNull) 1 else 0)
+    val unionN = setA.size + extra +
+      (if (aNull || bNull) 1 else 0)
+    interN.toDouble / unionN
+  }
+}
+
+/** The full PII cascade — email → phone → id — fused into ONE expression
+  * (r15, r14 verdict directive #6; guide §1.2 per-task work): returns
+  * struct(n_email, n_phone, n_id, redacted). VALUE-IDENTICAL to the
+  * composed `size(regexp_extract_all(...))` + `regexp_replace(...)`
+  * chain: each class's count and replacement come from the SAME
+  * java.util.regex Matcher walk Spark's own RegExpReplace /
+  * RegExpExtractAll run, in the same class order on the same
+  * intermediate strings — the count of find()s IS the number of
+  * replacements. The composed form pays SIX regex passes per row (one
+  * extract_all + one replace per class) and materializes a matched-
+  * substrings array per class just to take its size; the fused form
+  * pays three and allocates nothing but the rewritten strings.
+  * RedactCascadeSpec pins per-row equality against the composed chain.
+  *
+  * The pattern/replacement triples are compiled ONCE per JVM (static
+  * finals) from [[RedactCascade.patterns]] — the single definition of
+  * the cascade, re-exported by ops.Redact so the contract query, the
+  * oracle SQL and this expression can never disagree.
+  */
+case class RedactCascade(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_redact_cascade expects a string argument, got ${t.simpleString}")
+  }
+  override def dataType: DataType = RedactCascade.outType
+  override def prettyName: String = "graft_redact_cascade"
+
+  override def nullSafeEval(input: Any): Any =
+    RedactCascade.redact(input.asInstanceOf[UTF8String])
+
+  // one static call — the matcher loops live in a real JVM method (the
+  // RollWindowHash64 discipline), still fused into whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RedactCascade.redact($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RedactCascade =
+    copy(child = newChild)
+}
+
+object RedactCascade {
+  /** The cascade, in application order — THE definition (ops.Redact
+    * re-exports it). RE2-compatible, and the phone separator class
+    * spells out its whitespace explicitly (Java \s includes \x0B,
+    * RE2's does not) — see ops.Redact for the full rationale.
+    */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9][0-9() \\t\\n\\r\\f.-]{6,}[0-9]", "<PHONE>"),
+    ("id", "[0-9]{9,}", "<ID>"))
+
+  val outType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      patterns.map { case (name, _, _) =>
+        org.apache.spark.sql.types.StructField(
+          s"n_$name", org.apache.spark.sql.types.IntegerType, nullable = false)
+      } :+ org.apache.spark.sql.types.StructField(
+        "redacted", StringType, nullable = false))
+
+  private val compiled: Array[(java.util.regex.Pattern, String)] =
+    patterns.map { case (_, p, r) =>
+      (java.util.regex.Pattern.compile(p), r)
+    }.toArray
+
+  /** Count-and-replace each class in declared order on the text as
+    * already redacted by the earlier classes — exactly the composed
+    * chain's sequential semantics.
+    */
+  def redact(input: UTF8String): InternalRow = {
+    var t = input.toString
+    val counts = new Array[Any](compiled.length + 1)
+    var ci = 0
+    while (ci < compiled.length) {
+      val (p, rep) = compiled(ci)
+      val m = p.matcher(t)
+      var n = 0
+      if (m.find()) {
+        val sb = new java.lang.StringBuffer(t.length)
+        do {
+          n += 1
+          m.appendReplacement(sb, rep)
+        } while (m.find())
+        m.appendTail(sb)
+        t = sb.toString
+      }
+      counts(ci) = n
+      ci += 1
+    }
+    counts(compiled.length) = UTF8String.fromString(t)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(counts)
+  }
 }

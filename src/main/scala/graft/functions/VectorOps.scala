@@ -35,6 +35,15 @@ object VectorOps {
     org.apache.spark.sql.GraftColumnBridge.column(
       IntSqDist(expression(a), expression(b)))
 
+  /** Distinct-set Jaccard over two array<string> columns — fused native
+    * [[JaccardSim]], bit-identical to
+    * `size(array_intersect(a, b)).cast("double") / size(array_union(a, b))`
+    * without materializing either intermediate array.
+    */
+  def jaccardSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      JaccardSim(expression(a), expression(b)))
+
   /** Σ (aᵢ−bᵢ)² — squared Euclidean distance. Monotonic with L2, so rank
     * and top-k logic can skip the sqrt.
     */

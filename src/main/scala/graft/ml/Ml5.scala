@@ -62,6 +62,12 @@ object Ml5 {
       (col("l_returnflag") === "R").cast("int").as("y"))
     val feats = Seq("disc" -> "l_discount", "price" -> "l_extendedprice",
       "qty" -> "l_quantity")
+    // IMMUTABILITY ASSUMPTION (r15, advisor): unlike the DistRank bounds
+    // memo (balance-only), stale min/max here would change binning
+    // thresholds and thus RESULTS — the memo is sound only because sf
+    // dirs are immutable test fixtures for the JVM's lifetime (the same
+    // contract every codebook/salt-table memo in QueryCaches rests on).
+    // Rewriting data under `dir` in a live JVM requires a new dir name.
     val mm = graft.QueryCaches.memo(s"ml5.stumpMm:$dir") {
       stumpMmOf(base, feats)
     }

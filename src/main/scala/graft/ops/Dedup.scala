@@ -109,8 +109,10 @@ object Dedup {
       .join(shingled(Tables.documents(spark, dir))
         .select(col("doc_id").as("b"), col("shingles").as("sh_b")), "b")
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        // r15 (r14 verdict directive #7): fused native Jaccard — same
+        // exact int cardinalities, same double quotient, no intersect/
+        // union array materialization per pair (JaccardSimSpec pins it)
+        jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   /** D15 — `dedup_recall_eval`: the banding scheme's RECALL audit —
@@ -183,8 +185,7 @@ object Dedup {
       .select(col("doc_id").as("p"), col("shingles").as("sh_p"))
     val truth = sh.crossJoin(broadcast(probes))
       .filter(col("doc_id") =!= col("p"))
-      .filter((size(array_intersect(col("shingles"), col("sh_p"))).cast("double") /
-        size(array_union(col("shingles"), col("sh_p")))) >= 0.5)
+      .filter(jaccardSim(col("shingles"), col("sh_p")) >= 0.5)
       .select(least(col("doc_id"), col("p")).as("a"),
         greatest(col("doc_id"), col("p")).as("b"))
       .distinct()
@@ -204,8 +205,7 @@ object Dedup {
       .select(col("doc_id").as("p"), col("shingles").as("sh_p"))
     val truth = sh.crossJoin(broadcast(probes))
       .filter(col("doc_id") =!= col("p"))
-      .filter((size(array_intersect(col("shingles"), col("sh_p"))).cast("double") /
-        size(array_union(col("shingles"), col("sh_p")))) >= 0.5)
+      .filter(jaccardSim(col("shingles"), col("sh_p")) >= 0.5)
       .select(least(col("doc_id"), col("p")).as("a"),
         greatest(col("doc_id"), col("p")).as("b"))
       .distinct()
@@ -347,8 +347,7 @@ object Dedup {
       .filter(HotBucket.trianglePairFilter(col("gr_a"), col("gr_b")))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        OracleRound.r4b(size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+        OracleRound.r4b(jaccardSim(col("g_a"), col("g_b"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
       .limit(20)
   }

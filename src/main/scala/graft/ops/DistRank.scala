@@ -92,7 +92,16 @@ object DistRank {
   private def sliceByKey(df: DataFrame, sortCols: Seq[Column]): (DataFrame, Int) = {
     val spark = df.sparkSession
     val slices = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val keyed = df.withColumn("_k", monotoneImage(sortCols.head))
+    // r15 (r14 verdict directive #2 — guide §2.3 shuffle fewer bytes):
+    // `keyed` exists ONLY for the eager boundary sketches below. The
+    // RETURNED frame no longer materializes `_k`: the monotone image is
+    // a pure function of the sort key the exchange already carries, so
+    // shipping both duplicated 8 bytes/row through the rank window's
+    // shuffle. The image expression is inlined into the `_slice`
+    // projection instead (whole-stage codegen CSE evaluates it once per
+    // row), and `_slice` — a 4-byte int — is all the exchange gains.
+    val kExpr = monotoneImage(sortCols.head)
+    val keyed = df.withColumn("_k", kExpr)
     val probs = (1 until slices).map(_.toDouble / slices).toArray
     // r14: the boundary sketch is an EAGER scan per invocation — memoize
     // it per (input plan, sort, slices) within the JVM like the other
@@ -100,11 +109,17 @@ object DistRank {
     // does not rest on the key: boundary VALUES only steer balance —
     // slice assignment stays monotone in the sort key and local rank +
     // offset is the exact global rank wherever the cuts land (see the
-    // class doc), so even a semanticHash collision serving another
-    // frame's bounds could only skew slice sizes, never a rank.
+    // class doc), so even a full key collision serving another frame's
+    // bounds could only skew slice sizes, never a rank. r15 (advisor):
+    // the 32-bit semanticHash alone leaves a perf-cliff-on-collision
+    // risk (degenerate bounds funnel rows into one slice), so the key
+    // now also carries a murmur hash of the full canonicalized plan
+    // string — two plans must collide on BOTH to share bounds.
+    val canon = df.queryExecution.analyzed.canonicalized
     val raw = graft.QueryCaches.memo(
       "distrank.bounds:" +
-        s"${df.queryExecution.analyzed.canonicalized.semanticHash()}:" +
+        s"${canon.semanticHash()}:" +
+        s"${scala.util.hashing.MurmurHash3.stringHash(canon.toString)}:" +
         s"${sortCols.mkString(",")}:$slices:" +
         spark.sparkContext.applicationId) {
       if (probs.isEmpty) Array.empty[Double]
@@ -128,7 +143,7 @@ object DistRank {
     // slice, exactly today's behavior.
     val mult = raw.groupBy(identity).view.mapValues(_.length).toMap
     val hot = bounds.filter(v => mult.getOrElse(v, 0) >= 2)
-    val base = bucketTree(col("_k"), bounds)
+    val base = bucketTree(kExpr, bounds)
     // split only on a genuinely NUMERIC second key: a double image of a
     // string key would mis-order ("10" < "9" lexicographically but not
     // numerically) — and under ANSI the cast itself throws. A non-
@@ -141,7 +156,7 @@ object DistRank {
         .isInstanceOf[org.apache.spark.sql.types.NumericType]
     }
     if (hot.isEmpty || !secondNumeric)
-      (keyed.withColumn("_slice", base), bounds.length + 1)
+      (df.withColumn("_slice", base), bounds.length + 1)
     else {
       val k2 = monotoneImage(sortCols(1))
       val keyed2 = keyed.withColumn("_k2", k2)
@@ -154,10 +169,10 @@ object DistRank {
           if (subProbs.isEmpty) Array.empty[Double]
           else keyed2.filter(col("_k") === v)
             .stat.approxQuantile("_k2", subProbs, 0.01).distinct.sorted
-        when(col("_k") === v, lit(1) + bucketTree(col("_k2"), subBounds))
+        when(kExpr === v, lit(1) + bucketTree(k2, subBounds))
           .otherwise(acc)
       }
-      (keyed2.withColumn("_slice", base * lit(kFactor) + subCol).drop("_k2"),
+      (df.withColumn("_slice", base * lit(kFactor) + subCol),
         (bounds.length + 1) * kFactor)
     }
   }

@@ -54,10 +54,8 @@ object Redact {
     *    fragments) — runs after phone so a '+…' number is never
     *    double-counted
     */
-  val patterns: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", "\\+[0-9][0-9() \\t\\n\\r\\f.-]{6,}[0-9]", "<PHONE>"),
-    ("id", "[0-9]{9,}", "<ID>"))
+  val patterns: Seq[(String, String, String)] =
+    graft.functions.RedactCascade.patterns
 
   /** Deterministic PII injection for the contract round trip: one
     * instance of class (doc_id % 4) appended; % 4 == 3 stays clean.
@@ -80,6 +78,23 @@ object Redact {
     * contract query's injection harness.
     */
   private[graft] def redactCols(text: Column): (Seq[(String, Column)], Column) = {
+    // r15 (r14 verdict directive #6, guide §1.2): the whole cascade is
+    // ONE fused native expression — three matcher walks instead of six
+    // regex passes, no matched-substrings arrays. Whole-stage codegen
+    // CSE evaluates the struct once per row; the getField projections
+    // below are free. Counts and redacted text are value-identical to
+    // the composed chain (RedactCascadeSpec pins it per row).
+    val s = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.RedactCascade(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+    (patterns.map { case (name, _, _) => name -> s.getField(s"n_$name") },
+      s.getField("redacted"))
+  }
+
+  /** The composed-builtins cascade (six regex passes) — kept for the
+    * spec's fused-vs-composed equality pin, the cosineComposed pattern.
+    */
+  private[graft] def redactColsComposed(text: Column): (Seq[(String, Column)], Column) = {
     val (counts, finalText) = patterns.foldLeft(
       (Seq.empty[(String, Column)], text)) {
       case ((acc, t), (name, pat, rep)) =>

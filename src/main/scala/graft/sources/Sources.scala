@@ -238,6 +238,25 @@ object Sources {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id").parquet(path)
 
+  /** Land SEVERAL batches in ONE write job (r15, r14 verdict directive
+    * #8 — guide §6 fewer write jobs): the union carries each batch's
+    * literal `_batch_id`, so the dynamic-partition overwrite lays out
+    * exactly the directories N sequential [[upsertBatch]] calls would —
+    * same partition values, same rows, same reader behavior — for one
+    * job's scheduling/commit cost instead of N. Only for lifecycles
+    * where the batches are KNOWN together (seeding, backfill): batches
+    * arriving over time, or contended writers, keep using
+    * [[upsertBatch]] / the stage-and-claim protocol.
+    */
+  def upsertBatches(batches: Seq[(DataFrame, Long)], path: String): Unit = {
+    require(batches.nonEmpty, "upsertBatches needs at least one batch")
+    batches.map { case (df, id) => df.withColumn("_batch_id", lit(id)) }
+      .reduce(_.unionByName(_))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id").parquet(path)
+  }
+
   /** I20 — OPTIMISTIC CONCURRENCY for the batch log (round-9 directive
     * #2). The reference's real lifecycle runs TWO daily jobs against
     * one table (the INSERT job, function.py:552, and the next-day
@@ -1059,8 +1078,13 @@ object SourceQueries {
     val log = scratch("compactlog")
     val base = scratch("compactbase")
     val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
-    Sources.upsertBatch(orders.withColumn("o_orderstatus", lit("PENDING")), log, 1L)
-    Sources.upsertBatch(orders, log, 2L)
+    // r15: the two pre-compaction seed batches land in ONE write job —
+    // layout and rows identical to two sequential upserts (see
+    // upsertBatches); batch 3 stays separate, it must arrive AFTER the
+    // compaction to exercise the post-watermark delta path
+    Sources.upsertBatches(Seq(
+      orders.withColumn("o_orderstatus", lit("PENDING")) -> 1L,
+      orders -> 2L), log)
     Sources.compactLog(spark, log, Seq("o_orderkey"), base)
     Sources.upsertBatch(orders.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_orderstatus", lit("SHIPPED")), log, 3L)
@@ -1084,10 +1108,13 @@ object SourceQueries {
   def srcTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val path = scratch("timetravel")
     val orders = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
-    Sources.upsertBatch(orders.withColumn("o_orderstatus", lit("PENDING")), path, 1L)
-    Sources.upsertBatch(orders, path, 2L)
-    Sources.upsertBatch(orders.filter(col("o_orderkey") % 10 === 0)
-      .withColumn("o_orderstatus", lit("SHIPPED")), path, 3L)
+    // r15: all three versions are known up front here (pure seeding —
+    // nothing reads between the writes), so they land as one job
+    Sources.upsertBatches(Seq(
+      orders.withColumn("o_orderstatus", lit("PENDING")) -> 1L,
+      orders -> 2L,
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("SHIPPED")) -> 3L), path)
     (1L to 3L).map { b =>
       Sources.readAsOf(spark, path, Seq("o_orderkey"), b)
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))

@@ -60,14 +60,23 @@ object CorpusAdmit {
     val cands = probe.join(index, Seq("band", "sig", "salt"))
       .filter(col("o") =!= col("d"))
       .select("d", "o").distinct()
+    // r15: same two admission-verify optimizations as Dedup2.admissionOver
+    // (r14 verdict directive #1 + #7) — the o-side shingle projection is
+    // pruned to candidate index docs via a broadcast left-semi BEFORE the
+    // O(tokens)/row shingling (superset-safe: the verify join is inner on
+    // `o`), and the verify runs the fused native Jaccard (bit-identical
+    // quotient). Stream ≡ batch stays pinned: both paths changed together.
+    val candO = index.join(probe, Seq("band", "sig", "salt"), "left_semi")
+      .select(col("o").as("doc_id"))
     val withJac = cands
       .join(Dedup.shingled(delta)
         .select(col("doc_id").as("d"), col("shingles").as("sh_d")), "d")
-      .join(Dedup.shingled(Tables.documents(s, indexDir))
+      .join(Dedup.shingled(Tables.documents(s, indexDir)
+          .join(broadcast(candO), Seq("doc_id"), "left_semi"))
         .select(col("doc_id").as("o"), col("shingles").as("sh_o")), "o")
       .select(col("d"),
-        (size(array_intersect(col("sh_d"), col("sh_o"))).cast("double") /
-          size(array_union(col("sh_d"), col("sh_o")))).as("jaccard"))
+        graft.functions.VectorOps.jaccardSim(col("sh_d"), col("sh_o"))
+          .as("jaccard"))
     val perDelta = withJac.groupBy("d")
       .agg(count(lit(1)).as("n_candidates"),
         count(when(col("jaccard") >= 0.5, 1)).as("n_near_dups"))
