@@ -187,18 +187,19 @@ object DistRank {
       .collect().map(_.getLong(1))
   }
 
-  /** FULLY LAZY two-scan plan (was three): the per-slice sizes are no
-    * longer a separate eager `groupBy.count` scan + driver collect —
-    * they're derived from the SAME windowed subplan as the ranks
-    * (`max(_lrank)` per slice IS the slice size), so the shuffle under
-    * the window is shared between the sizes branch and the rank branch
-    * (ReusedExchange when the optimizer keeps the subplans identical; a
-    * narrow second scan otherwise) and the input is never scanned for
-    * sizes alone. Offsets are a running sum over the ≤`shuffle
-    * .partitions`-row slice-totals frame — a single-partition window over
-    * a bounded tiny frame, broadcast back onto the data. No driver
-    * action happens until the CALLER runs one; the only separate input
-    * pass left is the approxQuantile boundary sketch in [[sliceByKey]].
+  /** FULLY LAZY plan: the per-slice sizes are a LAZY partial-aggregated
+    * `groupBy(_slice).count()` branch over the sliced scan (r15 — the
+    * r14 windowed-subplan derivation never achieved its hoped-for
+    * ReusedExchange: column pruning narrowed the sizes branch, the
+    * subplans stopped matching, and the fallback shipped the whole
+    * table through a SECOND exchange; the partial aggregate exchanges
+    * ≤ mappers × slices rows instead, so the table crosses the network
+    * once). Offsets are a running sum over the ≤`shuffle.partitions`-row
+    * slice-totals frame — a single-partition window over a bounded tiny
+    * frame, broadcast back onto the data. No driver action happens until
+    * the CALLER runs one; the only separate input pass left is the
+    * approxQuantile boundary sketch in [[sliceByKey]] (the sizes branch
+    * re-scans the input, but a scan pruned to the slice key only).
     *
     * PRECONDITION (deterministic input): the boundary sketch and the
     * ranked plan each scan the input, and if exchange reuse doesn't
@@ -221,7 +222,20 @@ object DistRank {
     val (sliced, _) = sliceByKey(df, sortCols)
     val local = sliced.withColumn("_lrank",
       row_number().over(Window.partitionBy("_slice").orderBy(sortCols: _*)))
-    val offsets = sliceOffsets(local, Seq(max("_lrank").cast("long").as("_sz")))
+    // r15 (guide §2.3 aggregate-before-shuffle; found while refuting the
+    // r14 verdict's `_k`-width hypothesis against the committed plans):
+    // deriving sizes from the WINDOWED subplan (max(_lrank) per slice)
+    // never actually reused the rank exchange — column pruning narrows
+    // the sizes branch below the Window, the subplans stop being
+    // identical, and the "narrow second scan" fallback shipped the WHOLE
+    // table through a second Exchange + Sort + Window. A slice's size is
+    // just count(*): the groupBy partial-aggregates map-side, so the
+    // sizes branch now exchanges ≤ mappers × slices pre-aggregated rows
+    // instead of every row — at 100 TB the table crosses the network
+    // ONCE (the rank exchange), not twice. Same value: count(*) per
+    // slice ≡ max(_lrank) per slice.
+    val offsets = sliceOffsets(
+      sliced.groupBy("_slice").agg(count(lit(1)).as("_sz")))
     val ranked = local
       .join(broadcast(offsets.select(col("_slice"), col("_off_0").as("_off"))),
         Seq("_slice"))
@@ -230,14 +244,13 @@ object DistRank {
     (ranked, offsets.agg(coalesce(sum("_sz"), lit(0L)).as("_n")))
   }
 
-  /** Per-slice exclusive running offsets for each aggregate in `aggs`
-    * (evaluated per `_slice` over the windowed frame): returns
-    * (_slice, _off_0, _off_1, ...). The frame this windows over is ≤
-    * `shuffle.partitions` rows — the one place a single-partition window
-    * is the RIGHT plan.
+  /** Per-slice exclusive running offsets for each total column of the
+    * pre-aggregated `totals` frame (`_slice` first, one column per
+    * total): returns (_slice, <totals>, _off_0, _off_1, ...). The frame
+    * this windows over is ≤ slice-count rows — the one place a
+    * single-partition window is the RIGHT plan.
     */
-  private def sliceOffsets(local: DataFrame, aggs: Seq[Column]): DataFrame = {
-    val totals = local.groupBy("_slice").agg(aggs.head, aggs.tail: _*)
+  private def sliceOffsets(totals: DataFrame): DataFrame = {
     val names = totals.schema.fieldNames.drop(1)
     val wOff = Window.orderBy("_slice")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -249,10 +262,10 @@ object DistRank {
   /** Distributed RUNNING SUMS — withGlobalRank generalized from
     * row_number to arbitrary cumulative integer sums: each value column
     * gets a per-slice running sum at full parallelism plus its slice's
-    * exclusive offset, derived like the rank offsets from the SAME
-    * windowed subplan (`max_by(_ls_i, _lrank)` — the running sum at the
-    * slice's last row IS the slice total) and broadcast back. Fully
-    * lazy, no driver collect. Bit-identical to
+    * exclusive offset, derived like the rank offsets from a lazy
+    * partial-aggregated per-slice total branch (Σ coalesce(v, 0) per
+    * slice ≡ the running sum at the slice's last row) and broadcast
+    * back. Fully lazy, no driver collect. Bit-identical to
     * `sum(coalesce(v, 0)).over(Window.orderBy(sortCols))` when the sort
     * is unique, while never funnelling the table through one task — the
     * cumulative-metric primitive (CDFs, precision@k, reach curves) at
@@ -294,9 +307,17 @@ object DistRank {
         s"withRunningSums needs integer-typed value columns; " +
           s"'${values(i)._2}' summed to ${dt.simpleString}")
     }
-    // per-slice total = the running sum at the slice's LAST row
-    val offsets = sliceOffsets(withLocal,
-      values.indices.map(i => max_by(col(s"_ls_$i"), col("_lrank")).as(s"_t_$i")))
+    // r15 (guide §2.3, see withGlobalRankAndCount): per-slice totals come
+    // from a map-side partial-aggregated groupBy over the sliced scan —
+    // Σ coalesce(v, 0) per slice ≡ the running sum at the slice's last
+    // row (the old max_by over the windowed frame, which pruning turned
+    // into a full second exchange of the table) — so the only full-width
+    // exchange left is the running-sum window's own.
+    val offsets = sliceOffsets(
+      sliced.groupBy("_slice").agg(
+        sum(coalesce(values.head._1, lit(0))).cast("long").as("_t_0"),
+        values.zipWithIndex.tail.map { case ((v, _), i) =>
+          sum(coalesce(v, lit(0))).cast("long").as(s"_t_$i") }: _*))
     val joined = withLocal.join(
       broadcast(offsets.select(col("_slice") +:
         values.indices.map(i => col(s"_off_$i")): _*)), Seq("_slice"))

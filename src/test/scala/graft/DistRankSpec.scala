@@ -74,20 +74,32 @@ class DistRankSpec extends AnyFunSuite {
     }
   }
 
-  test("withGlobalRank scans the input ONCE: sizes ride a ReusedExchange, no driver collect") {
+  test("withGlobalRank sizes branch is a pruned partial-aggregated scan, never a second full exchange") {
+    // r15 redesign (guide §2.3): the r14 windowed-subplan sizes only
+    // reused the rank exchange on inputs too narrow to prune (this
+    // test's old shape) — and even then BOTH consumers re-fetched the
+    // full-width shuffle. On real consumers (withRunningSums with label
+    // columns) pruning differentiated the branches and the fallback
+    // shipped the whole table through a SECOND full exchange. Sizes are
+    // now count(*) per slice from a lazy pruned scan: map-side partial
+    // aggregation, a ≤ mappers × slices-row exchange, the table crosses
+    // the network once. Pins: (a) the sizes scan reads ONLY the sort
+    // key, (b) its aggregate partial-aggregates before its exchange,
+    // (c) still no driver collect (the plan stays lazy — asserted by
+    // construction: this test reaches the executed plan only via the
+    // caller's own collect).
     val o = graft.tables.Tables.orders(spark, TestSpark.sf)
       .select("o_orderkey", "o_totalprice")
     val df = DistRank.withGlobalRank(o, "rank",
       col("o_totalprice"), col("o_orderkey"))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // the slice-sizes branch (max local rank per slice) must consume the
-    // SAME exchange as the rank branch — the round-4 design paid an
-    // eager groupBy-count scan + driver collect for the offsets instead
-    assert("Scan parquet".r.findAllIn(plan).size == 1,
-      s"expected exactly one input scan (sizes folded into the rank pass):\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"sizes branch did not reuse the rank branch's slice exchange:\n$plan")
+    val scans = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(scans.size == 2, s"expected rank scan + pruned sizes scan:\n$plan")
+    assert(scans.exists(s => s.contains("o_totalprice") && !s.contains("o_orderkey")),
+      s"sizes scan was not pruned to the sort key:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"sizes branch lost its map-side partial aggregation:\n$plan")
   }
 
   test("withRunningSums reads NULL values as 0 (carries prior totals across null prefixes)") {
